@@ -1,0 +1,241 @@
+"""Community detection (PLP) and partition quality measures.
+
+Reference: /root/reference/networkit/cpp/community/PLP.{h,cpp} (141 LoC) —
+label propagation: each node adopts the neighbor label with the highest
+incident edge weight, ties broken to the SMALLEST label id (PLP.cpp:89-92,
+std::max_element over an ordered std::map). The reference sweep is
+asynchronous and schedule-dependent (PLP.cpp:77-107); this engine uses a
+SYNCHRONOUS (Jacobi) superstep with the same tie-break, which is
+deterministic and partition-invariant — required for exact-match oracles
+(see SURVEY.md §5 determinism caveat).
+
+Quality measures: Modularity (cpp/community/Modularity.cpp:28-81:
+coverage − Σ_C (vol(C)/2m)²), Coverage, EdgeCut, Conductance — all two-pass
+``edges ⋈ labels`` aggregations. ParallelPartitionCoarsening
+(cpp/coarsening/ParallelPartitionCoarsening.h:20-29) is the label-contraction
+groupBy used by PLM-style multilevel schemes.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..graph import Graph
+from ..plans.iterate import SuperstepDriver
+
+
+def plp(
+    graph: Graph,
+    max_iter: int = 100,
+    theta: Optional[int] = None,
+    fixed_iters: Optional[int] = None,
+    checkpoint_dir: Optional[str] = None,
+) -> DataFrame:
+    """Synchronous label propagation; returns (node, label).
+
+    Update rule per superstep (PLP.cpp:77-107, synchronized):
+      label'[u] = argmax_l Σ_{v∈N(u), label[v]=l} w(u,v), ties → smallest l;
+      isolated nodes keep their singleton label (PLP.cpp:50-61).
+    Termination: #updated nodes <= theta (default n/1e5, PLP.cpp:41-43) or
+    max_iter. Synchronous LP can 2-cycle on bipartite structures, so
+    max_iter/fixed_iters is a real bound, not just a safety net.
+    """
+    nodes = graph.nodes()
+    if theta is None and fixed_iters is None:
+        theta = max(int(graph.num_nodes() / 1e5), 0)
+    sym = graph.sym().persist()
+    sym.count()
+    labels = nodes.select("node", F.col("node").alias("label")).localCheckpoint(eager=True)
+
+    def superstep(cur: DataFrame) -> DataFrame:
+        # weight of each label among u's neighbors (PLP.cpp:80-86)
+        nbr = sym.join(cur, sym.dst == cur.node).select(
+            F.col("src").alias("u"), "label", "weight"
+        )
+        lw = nbr.groupBy("u", "label").agg(F.sum("weight").alias("w"))
+        # argmax by (w, -label): heaviest label, ties to smallest id
+        best = lw.groupBy("u").agg(
+            F.max(F.struct(F.col("w"), (-F.col("label")).alias("nl"))).alias("m")
+        ).select("u", (-F.col("m.nl")).alias("best"))
+        return cur.join(best, cur.node == best.u, "left").select(
+            "node", F.coalesce("best", "label").alias("label")
+        )
+
+    limit = fixed_iters if fixed_iters is not None else max_iter
+    prev = None  # labels at t-1 (for period-2 oscillation detection)
+    iters = 0
+    oscillating = False
+    for i in range(limit):
+        new = superstep(labels).localCheckpoint(eager=True)
+        iters = i + 1
+        if fixed_iters is None:
+            diff1 = (
+                new.alias("a").join(labels.alias("b"), "node")
+                .filter(F.col("a.label") != F.col("b.label")).count()
+            )
+            if diff1 <= theta:
+                labels = new
+                break
+            if prev is not None:
+                diff2 = (
+                    new.alias("a").join(prev.alias("b"), "node")
+                    .filter(F.col("a.label") != F.col("b.label")).count()
+                )
+                if diff2 <= theta:
+                    # period-2 cycle (synchronous LP on bipartite structure):
+                    # resolve deterministically to the elementwise min of the
+                    # two alternating label vectors (identity on fixpoints)
+                    labels = (
+                        new.alias("a").join(labels.alias("b"), "node")
+                        .select("node", F.least(F.col("a.label"), F.col("b.label")).alias("label"))
+                        .localCheckpoint(eager=True)
+                    )
+                    oscillating = True
+                    break
+        prev = labels
+        labels = new
+    out = labels
+    out._iterations = iters
+    out._oscillation_resolved = oscillating
+    sym.unpersist()
+    return out
+
+
+def lp_degree_ordered(graph: Graph, max_iter: int = 100) -> DataFrame:
+    """LPDegreeOrdered analog (cpp/community/LPDegreeOrdered.{h,cpp}): the
+    synchronous engine is order-free, so this is PLP; kept as a named alias
+    for API parity."""
+    return plp(graph, max_iter=max_iter)
+
+
+# ---------------------------------------------------------------------------
+# partition measures
+# ---------------------------------------------------------------------------
+
+def _edge_labels(graph: Graph, labels: DataFrame) -> DataFrame:
+    """edges ⋈ labels on both endpoints → (src, dst, weight, lsrc, ldst).
+    Labels are broadcast when small; at web scale this is two shuffle joins
+    on (src)/(dst) against a co-partitioned label table."""
+    l1 = labels.select(F.col("node").alias("src"), F.col("label").alias("lsrc"))
+    l2 = labels.select(F.col("node").alias("dst"), F.col("label").alias("ldst"))
+    return graph.edges.join(l1, "src").join(l2, "dst")
+
+
+def modularity(graph: Graph, labels: DataFrame) -> float:
+    """Modularity.cpp:28-81: coverage − Σ_C (vol(C)/2m)²; vol counts self-
+    loops twice... reference counts self-loop weight once in degree and the
+    total edge weight, intra-weight includes loops (:52-60)."""
+    m = graph.total_edge_weight()
+    if m == 0:
+        return 0.0
+    el = _edge_labels(graph, labels)
+    intra = (
+        el.filter(F.col("lsrc") == F.col("ldst")).agg(F.sum("weight").alias("w")).collect()[0]["w"]
+        or 0.0
+    )
+    coverage = intra / m
+    # volume per community: sum of weighted degrees (sym view counts each
+    # undirected edge at both endpoints → vol(C) sums to 2m)
+    wdeg = graph.weighted_degrees()
+    vol = (
+        labels.join(wdeg, "node")
+        .groupBy("label")
+        .agg(F.sum("wdeg").alias("vol"))
+    )
+    sq = vol.agg(F.sum(F.pow(F.col("vol") / (2.0 * m), 2)).alias("s")).collect()[0]["s"] or 0.0
+    return coverage - sq
+
+
+def coverage(graph: Graph, labels: DataFrame) -> float:
+    """Coverage.cpp: intra-community edge weight / total edge weight."""
+    m = graph.total_edge_weight()
+    if m == 0:
+        return 0.0
+    el = _edge_labels(graph, labels)
+    intra = (
+        el.filter(F.col("lsrc") == F.col("ldst")).agg(F.sum("weight").alias("w")).collect()[0]["w"]
+        or 0.0
+    )
+    return intra / m
+
+
+def edge_cut(graph: Graph, labels: DataFrame) -> float:
+    """EdgeCut.cpp: total weight of inter-community edges."""
+    el = _edge_labels(graph, labels)
+    cut = (
+        el.filter(F.col("lsrc") != F.col("ldst")).agg(F.sum("weight").alias("w")).collect()[0]["w"]
+        or 0.0
+    )
+    return float(cut)
+
+
+def conductance(graph: Graph, labels: DataFrame, community: int) -> float:
+    """Conductance.cpp: cut(C) / min(vol(C), vol(V∖C))."""
+    wdeg = graph.weighted_degrees()
+    vols = labels.join(wdeg, "node").groupBy("label").agg(F.sum("wdeg").alias("vol"))
+    volc = vols.filter(F.col("label") == community).collect()
+    vol_c = float(volc[0]["vol"]) if volc else 0.0
+    total = float(vols.agg(F.sum("vol").alias("t")).collect()[0]["t"] or 0.0)
+    el = _edge_labels(graph, labels)
+    cut = (
+        el.filter(
+            ((F.col("lsrc") == community) | (F.col("ldst") == community))
+            & (F.col("lsrc") != F.col("ldst"))
+        )
+        .agg(F.sum("weight").alias("w"))
+        .collect()[0]["w"]
+        or 0.0
+    )
+    denom = min(vol_c, total - vol_c)
+    return float(cut) / denom if denom > 0 else 0.0
+
+
+def coarsen(graph: Graph, labels: DataFrame) -> Graph:
+    """ParallelPartitionCoarsening (cpp/coarsening/ParallelPartitionCoarsening
+    .h:20-29): contract communities to super-nodes, summing parallel edge
+    weights — one groupBy after the two label joins. Used by CC-coarsening
+    (ParallelConnectedComponents.cpp:81-94) and PLM multilevel."""
+    el = _edge_labels(graph, labels)
+    contracted = (
+        el.select(
+            F.least("lsrc", "ldst").alias("src") if not graph.directed else F.col("lsrc").alias("src"),
+            F.greatest("lsrc", "ldst").alias("dst") if not graph.directed else F.col("ldst").alias("dst"),
+            "weight",
+        )
+        .groupBy("src", "dst")
+        .agg(F.sum("weight").alias("weight"))
+    )
+    return Graph(contracted, directed=graph.directed, weighted=True)
+
+
+def partition_intersection(labels_a: DataFrame, labels_b: DataFrame) -> DataFrame:
+    """PartitionIntersection (cpp/community/PartitionIntersection.cpp):
+    finest common refinement — relabel by (label_a, label_b) pair."""
+    joined = labels_a.withColumnRenamed("label", "la").join(
+        labels_b.withColumnRenamed("label", "lb"), "node"
+    )
+    # deterministic new label: min node id within each (la, lb) cell
+    return (
+        joined.groupBy("la", "lb")
+        .agg(F.min("node").alias("cell"))
+        .join(joined, ["la", "lb"])
+        .select("node", F.col("cell").alias("label"))
+    )
+
+
+def local_partition_coverage(graph: Graph, labels: DataFrame) -> DataFrame:
+    """LocalPartitionCoverage.cpp:43 — per node, fraction of neighbors in the
+    same partition."""
+    lab_u = labels.select(F.col("node").alias("src"), F.col("label").alias("lsrc"))
+    lab_v = labels.select(F.col("node").alias("dst"), F.col("label").alias("ldst"))
+    nb = graph.sym().join(lab_u, "src").join(lab_v, "dst")
+    per = nb.groupBy("src").agg(
+        (F.sum(F.when(F.col("lsrc") == F.col("ldst"), 1).otherwise(0)) / F.count("*")).alias(
+            "coverage"
+        )
+    ).select(F.col("src").alias("node"), "coverage")
+    return graph.nodes().join(per, "node", "left").select(
+        "node", F.coalesce("coverage", F.lit(0.0)).alias("coverage")
+    )

@@ -1,0 +1,194 @@
+"""PageRank — power iteration, reference semantics.
+
+Reference: /root/reference/networkit/cpp/centrality/PageRank.{h,cpp} (77 LoC);
+Python wrapper default tol=1e-9 (_NetworKit.pyx:5877).
+
+Pinned semantics (PageRank.cpp):
+- gather over IN-edges: pr'[u] = damp * Σ_{v→u} pr[v] * w(v,u) / wdeg(v)
+  + (1-damp)/n   (.cpp:35-46); wdeg = weighted OUT degree (.cpp:30-33)
+- init uniform 1/n (.cpp:24-26)
+- convergence on L2 norm sqrt(Σ (old-new)^2) <= tol (.cpp:48-55)
+- final normalization to sum 1 (.cpp:61-68)
+- NO dangling redistribution — dangling mass is lost per iteration and only
+  restored by the final normalization (.cpp:37-46 has no dangling term).
+
+Spark plan per superstep (declarative; Catalyst chooses hash joins, AQE
+coalesces the reduce):
+  contribs = transition ⋈ ranks ON src == node   (transition pre-partitioned
+             by src and cached → only the small rank vector shuffles)
+  sums     = contribs.groupBy(dst).sum(p * score)   (map-side partial agg)
+  ranks'   = nodes ⟕ sums → damp*sum + (1-damp)/n
+Lineage is truncated each superstep via localCheckpoint (plans/iterate.py).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..graph import Graph
+from ..plans.iterate import SuperstepDriver
+
+
+def _transition(graph: Graph, num_partitions: Optional[int] = None) -> DataFrame:
+    """Edge transition matrix rows ``(src, dst, p)`` with
+    ``p = w(src,dst)/wdeg(src)``, pre-partitioned by src and cached: the
+    adjacency never re-shuffles across supersteps — only the rank vector does.
+    """
+    out = graph.sym()
+    wdeg = out.groupBy("src").agg(F.sum("weight").alias("wdeg"))
+    trans = (
+        out.join(wdeg, "src")
+        .select("src", "dst", (F.col("weight") / F.col("wdeg")).alias("p"))
+    )
+    if num_partitions:
+        trans = trans.repartition(num_partitions, "src")
+    return trans
+
+
+def pagerank(
+    graph: Graph,
+    damp: float = 0.85,
+    tol: float = 1e-9,
+    max_iter: int = 200,
+    fixed_iters: Optional[int] = None,
+    checkpoint_dir: Optional[str] = None,
+    num_partitions: Optional[int] = None,
+) -> DataFrame:
+    """Returns (node, score) normalized to sum 1.
+
+    ``fixed_iters`` runs exactly that many supersteps with no convergence
+    collect (oracle-parity + benchmarking mode); otherwise iterate until the
+    L2 residual <= tol, one scalar collect per superstep.
+    """
+    n = graph.num_nodes()
+    nodes = graph.nodes()
+    trans = _transition(graph, num_partitions).persist()
+    trans.count()  # materialize the cached adjacency once
+
+    teleport = (1.0 - damp) / n
+    init = nodes.select("node", F.lit(1.0 / n).alias("score"))
+
+    def step(ranks: DataFrame, i: int):
+        sums = (
+            trans.join(ranks, trans.src == ranks.node)
+            .groupBy("dst")
+            .agg(F.sum(F.col("p") * F.col("score")).alias("mass"))
+        )
+        new = nodes.join(sums, nodes.node == sums.dst, "left").select(
+            "node",
+            (F.lit(damp) * F.coalesce("mass", F.lit(0.0)) + F.lit(teleport)).alias(
+                "score"
+            ),
+        )
+        if fixed_iters is not None:
+            return new, None
+        # L2 residual — single scalar agg job per superstep
+        resid = (
+            new.alias("a")
+            .join(ranks.alias("b"), "node")
+            .agg(F.sum(F.pow(F.col("a.score") - F.col("b.score"), 2)).alias("s"))
+            .collect()[0]["s"]
+        )
+        return new, math.sqrt(resid or 0.0)
+
+    driver = SuperstepDriver(
+        tol=tol,
+        max_iter=fixed_iters if fixed_iters is not None else max_iter,
+        checkpoint_dir=checkpoint_dir,
+    )
+    state = driver.run(init, step)
+    trans.unpersist()
+    result = state.df
+    total = result.agg(F.sum("score").alias("t")).collect()[0]["t"]
+    out = result.select("node", (F.col("score") / F.lit(total)).alias("score"))
+    out._iterations = state.iteration  # introspection for benches
+    out._metrics = state.metrics
+    return out
+
+
+def katz_centrality(
+    graph: Graph,
+    alpha: float = 5e-4,
+    beta: float = 0.1,
+    tol: float = 1e-8,
+    max_iter: int = 200,
+    fixed_iters: Optional[int] = None,
+) -> DataFrame:
+    """Katz: x ← α·Aᵀx + β, L2-normalized at the end
+    (reference cpp/centrality/KatzCentrality.cpp:31-59 — converges when the
+    score-vector length stabilizes)."""
+    nodes = graph.nodes()
+    inedges = graph.sym()  # gather over in-neighbors (undirected: same set)
+    init = nodes.select("node", F.lit(0.0).alias("score"))
+
+    def step(x: DataFrame, i: int):
+        sums = (
+            inedges.join(x, inedges.src == x.node)
+            .groupBy("dst")
+            .agg(F.sum(F.col("weight") * F.col("score")).alias("mass"))
+        )
+        new = nodes.join(sums, nodes.node == sums.dst, "left").select(
+            "node",
+            (F.lit(alpha) * F.coalesce("mass", F.lit(0.0)) + F.lit(beta)).alias("score"),
+        )
+        if fixed_iters is not None:
+            return new, None
+        resid = (
+            new.alias("a")
+            .join(x.alias("b"), "node")
+            .agg(F.sum(F.abs(F.col("a.score") - F.col("b.score"))).alias("s"))
+            .collect()[0]["s"]
+        )
+        return new, resid or 0.0
+
+    driver = SuperstepDriver(
+        tol=tol, max_iter=fixed_iters if fixed_iters is not None else max_iter
+    )
+    state = driver.run(init, step)
+    norm = state.df.agg(F.sqrt(F.sum(F.pow("score", 2))).alias("n")).collect()[0]["n"]
+    return state.df.select("node", (F.col("score") / F.lit(norm)).alias("score"))
+
+
+def eigenvector_centrality(
+    graph: Graph,
+    tol: float = 1e-9,
+    max_iter: int = 200,
+    fixed_iters: Optional[int] = None,
+) -> DataFrame:
+    """Power iteration with L2 normalization each step
+    (reference cpp/centrality/EigenvectorCentrality.cpp, 80 LoC)."""
+    n = graph.num_nodes()
+    nodes = graph.nodes()
+    inedges = graph.sym()
+    init = nodes.select("node", F.lit(1.0 / math.sqrt(n)).alias("score"))
+
+    def step(x: DataFrame, i: int):
+        sums = (
+            inedges.join(x, inedges.src == x.node)
+            .groupBy("dst")
+            .agg(F.sum(F.col("weight") * F.col("score")).alias("mass"))
+        )
+        new = nodes.join(sums, nodes.node == sums.dst, "left").select(
+            "node", F.coalesce("mass", F.lit(0.0)).alias("score")
+        )
+        norm_row = new.agg(F.sqrt(F.sum(F.pow("score", 2))).alias("nrm")).collect()[0]
+        nrm = norm_row["nrm"] or 1.0
+        new = new.select("node", (F.col("score") / F.lit(nrm)).alias("score"))
+        if fixed_iters is not None:
+            return new, None
+        resid = (
+            new.alias("a")
+            .join(x.alias("b"), "node")
+            .agg(F.sqrt(F.sum(F.pow(F.col("a.score") - F.col("b.score"), 2))).alias("s"))
+            .collect()[0]["s"]
+        )
+        return new, resid or 0.0
+
+    driver = SuperstepDriver(
+        tol=tol, max_iter=fixed_iters if fixed_iters is not None else max_iter
+    )
+    state = driver.run(init, step)
+    return state.df
