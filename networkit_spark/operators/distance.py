@@ -1,0 +1,171 @@
+"""Traversal & distance operators — frontier-join supersteps.
+
+Reference: /root/reference/networkit/cpp/graph/BFS.cpp:17-70 (unweighted
+SSSP), cpp/graph/Dijkstra.cpp:20-90 (weighted; the priority queue becomes
+Bellman-Ford-style min-relaxation supersteps in Spark),
+cpp/distance/Eccentricity.cpp, cpp/distance/EffectiveDiameterApproximation.cpp
+(ANF/Flajolet-Martin neighborhood function via per-hop bitmask OR — maps to
+``bit_or`` aggregation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..graph import Graph
+
+
+def bfs_distances(graph: Graph, source: int, max_iter: int = 10_000) -> DataFrame:
+    """(node, dist) for nodes reachable from source; hop counts.
+
+    Frontier superstep: dist'[v] = min(dist[v], min over in-neighbors+1).
+    Converges in eccentricity(source) rounds; each round is one join +
+    min-aggregate on the (small) frontier."""
+    sym = graph.sym().select("src", "dst").persist()
+    sym.count()
+    dist = (
+        graph.nodes()
+        .filter(F.col("node") == source)
+        .select("node", F.lit(0).alias("dist"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = dist
+    while max_iter > 0:
+        max_iter -= 1
+        reach = (
+            sym.join(frontier, sym.src == frontier.node)
+            .select(F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist"))
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+        new_frontier = reach.join(dist, "node", "left_anti").localCheckpoint(eager=True)
+        if new_frontier.isEmpty():
+            break
+        dist = dist.unionByName(new_frontier).localCheckpoint(eager=True)
+        frontier = new_frontier
+    sym.unpersist()
+    return dist
+
+
+def sssp_distances(graph: Graph, source: int, max_iter: int = 10_000) -> DataFrame:
+    """Weighted single-source shortest paths (Dijkstra semantics via
+    Bellman-Ford supersteps): (node, dist DOUBLE) for reachable nodes."""
+    sym = graph.sym().persist()
+    sym.count()
+    dist = (
+        graph.nodes()
+        .filter(F.col("node") == source)
+        .select("node", F.lit(0.0).alias("dist"))
+        .localCheckpoint(eager=True)
+    )
+    changed = dist
+    while max_iter > 0:
+        max_iter -= 1
+        relax = (
+            sym.join(changed, sym.src == changed.node)
+            .select(F.col("dst").alias("node"), (F.col("dist") + F.col("weight")).alias("dist"))
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+        merged = (
+            dist.unionByName(relax).groupBy("node").agg(F.min("dist").alias("dist"))
+        ).localCheckpoint(eager=True)
+        changed = (
+            merged.alias("a")
+            .join(dist.alias("b"), "node", "left")
+            .filter(F.col("b.dist").isNull() | (F.col("a.dist") < F.col("b.dist")))
+            .select("node", F.col("a.dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        dist = merged
+        if changed.isEmpty():
+            break
+    sym.unpersist()
+    return dist
+
+
+def eccentricity(graph: Graph, source: int) -> int:
+    """Eccentricity.cpp: max BFS distance from source."""
+    d = bfs_distances(graph, source)
+    return int(d.agg(F.max("dist")).collect()[0][0] or 0)
+
+
+def neighborhood_function_anf(
+    graph: Graph, num_sketches: int = 8, max_hops: int = 32, seed: int = 42
+) -> list:
+    """ANF / Flajolet-Martin neighborhood function
+    (EffectiveDiameterApproximation.cpp:13-120): per node keep ``num_sketches``
+    FM bitmasks; bit i set with prob 2^-(i+1); per hop OR over neighbors;
+    estimate |N_h| from mean lowest-zero-bit b as 2^b / 0.77351.
+
+    Deterministic: the random bit comes from xxhash64(node, sketch) — no
+    task-order dependence. Returns [(hop, estimated_reachable_pairs)].
+    """
+    sym = graph.sym().select("src", "dst").persist()
+    nodes = graph.nodes()
+    # geometric bit position from a deterministic hash (no task-order rand):
+    # u ~ Uniform(0,1) from xxhash64(node, sketch, seed); pos = floor(-log2 u)
+    masks = []
+    for s in range(num_sketches):
+        h = F.abs(F.xxhash64("node", F.lit(s), F.lit(seed)))
+        u = (h % F.lit(2**52)).cast("double") / F.lit(float(2**52))
+        pos = F.least(
+            F.floor(-F.log2(F.greatest(u, F.lit(1e-15)))).cast("int"), F.lit(61)
+        )
+        masks.append(F.shiftleft(F.lit(1).cast("long"), pos).alias(f"m{s}"))
+    cur = nodes.select("node", *masks).localCheckpoint(eager=True)
+
+    # per-node reach estimate: b = mean lowest-zero-bit over sketches,
+    # est(u) = 2^b / 0.77351; lowest-zero-bit = #trailing ones =
+    # bit_count(m XOR (m+1)) - 1
+    def est_col():
+        bs = [
+            (F.bit_count(F.col(f"m{s}").bitwiseXOR(F.col(f"m{s}") + 1)) - 1)
+            for s in range(num_sketches)
+        ]
+        mean_b = sum(bs, F.lit(0)).cast("double") / F.lit(float(num_sketches))
+        return F.pow(F.lit(2.0), mean_b) / F.lit(0.77351)
+
+    results = []
+    est_prev = None
+    for hop in range(1, max_hops + 1):
+        nbr = sym.join(cur, sym.src == cur.node).groupBy(F.col("dst").alias("node")).agg(
+            *[F.bit_or(f"m{s}").alias(f"n{s}") for s in range(num_sketches)]
+        )
+        cur = (
+            cur.join(nbr, "node", "left")
+            .select(
+                "node",
+                *[
+                    F.col(f"m{s}").bitwiseOR(F.coalesce(F.col(f"n{s}"), F.lit(0))).alias(f"m{s}")
+                    for s in range(num_sketches)
+                ],
+            )
+            .localCheckpoint(eager=True)
+        )
+        est = cur.select(est_col().alias("e")).agg(F.sum("e")).collect()[0][0]
+        results.append((hop, float(est)))
+        if est_prev is not None and abs(est - est_prev) < 1e-9 * max(est, 1.0):
+            break
+        est_prev = est
+    sym.unpersist()
+    return results
+
+
+def effective_diameter_approx(graph: Graph, ratio: float = 0.9, **kw) -> float:
+    """EffectiveDiameterApproximation.cpp: smallest hop h where the
+    neighborhood function reaches ``ratio`` of its final value (with linear
+    interpolation between hops, matching the reference's estimate shape)."""
+    nf = neighborhood_function_anf(graph, **kw)
+    if not nf:
+        return 0.0
+    final = nf[-1][1]
+    target = ratio * final
+    prev_h, prev_v = 0, 0.0
+    for h, v in nf:
+        if v >= target:
+            if v == prev_v:
+                return float(h)
+            return prev_h + (target - prev_v) / (v - prev_v)
+        prev_h, prev_v = h, v
+    return float(nf[-1][0])
