@@ -159,6 +159,202 @@ def q_bfs(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# data-pipeline queries (documents / embeddings / events)
+# ---------------------------------------------------------------------------
+
+MINHASH_K = 9
+MH_PERMS = 16
+MH_BANDS = 4
+MH_THRESHOLD = 0.5
+NG_N = 3
+NG_THRESHOLD = 0.3
+ND_THRESHOLD = 0.9
+ANN_K = 10
+IVF_BITS = 6
+SIMHASH_BITS = 32
+
+
+def q_doc_profile(spark, sf_dir):
+    from networkit_spark.functions.text import analyze_documents
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return analyze_documents(docs)
+
+
+def _docs_with_clones(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    clones = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    return docs.unionByName(clones)
+
+
+def q_dedup_exact(spark, sf_dir):
+    from networkit_spark.functions.dedup import exact_duplicates
+
+    return exact_duplicates(_docs_with_clones(spark, sf_dir))
+
+
+def q_minhash_pairs(spark, sf_dir):
+    from networkit_spark.functions.dedup import minhash_lsh_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return minhash_lsh_pairs(
+        docs, k=MINHASH_K, num_perms=MH_PERMS, bands=MH_BANDS, threshold=MH_THRESHOLD
+    )
+
+
+def _docs_with_neardup_clones(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    clones = docs.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zq xv jk")).alias("text"),
+    )
+    return docs.unionByName(clones)
+
+
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    from networkit_spark.functions.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        _docs_with_neardup_clones(spark, sf_dir),
+        num_perms=MH_PERMS,
+        bands=MH_BANDS,
+        threshold=NG_THRESHOLD,
+        use_word_ngrams=True,
+        ngram_n=NG_N,
+    )
+
+
+def q_simhash(spark, sf_dir):
+    from networkit_spark.functions.dedup import simhash_fingerprints
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return simhash_fingerprints(docs, bits=SIMHASH_BITS)
+
+
+def _emb_with_clones(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id", "embedding")
+    v = F.col("embedding")
+    perturbed = F.concat(
+        F.array(F.element_at(v, 1) + F.lit(0.5)), F.slice(v, 2, 10_000)
+    )
+    clones = emb.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), perturbed.alias("embedding")
+    )
+    return emb.unionByName(clones)
+
+
+def q_embedding_neardup(spark, sf_dir):
+    from networkit_spark.functions.dedup import embedding_neardup_pairs
+
+    return embedding_neardup_pairs(
+        _emb_with_clones(spark, sf_dir), threshold=ND_THRESHOLD, lsh_bits=8
+    )
+
+
+def q_ann_topk(spark, sf_dir):
+    from networkit_spark.functions.similarity import cosine_topk_bruteforce
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter("vec_id < 8").withColumnRenamed("vec_id", "query_id")
+    out = cosine_topk_bruteforce(emb, q, k=ANN_K)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+def q_ann_ivf(spark, sf_dir):
+    from networkit_spark.functions.similarity import cosine_topk_ivf
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter("vec_id < 8").withColumnRenamed("vec_id", "query_id")
+    out = cosine_topk_ivf(emb, q, k=ANN_K, bits=IVF_BITS)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+def q_events_window(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.groupBy(
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        "event_type",
+    ).agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 6).alias("total_value"),
+    )
+
+
+def q_multimodal_decode(spark, sf_dir):
+    from networkit_spark.functions.multimodal import (
+        decode_images,
+        synthesize_media_from_documents,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = synthesize_media_from_documents(docs)
+    return decode_images(media).select("media_id", "width", "height", "n_bytes")
+
+
+LP_MAX_NODE = 30  # link-prediction pair set: all (u, v), u < v < 30
+
+
+def q_link_prediction(spark, sf_dir):
+    from networkit_spark.operators.linkprediction import link_prediction_scores
+
+    g = _g(spark, sf_dir)
+    nn = g.nodes().filter(F.col("node") < LP_MAX_NODE)
+    pairs = (
+        nn.select(F.col("node").alias("u"))
+        .crossJoin(nn.select(F.col("node").alias("v")))
+        .filter(F.col("u") < F.col("v"))
+    )
+    out = link_prediction_scores(g, pairs)
+    return out.select(
+        "u", "v",
+        F.col("common_neighbors").cast("long").alias("common_neighbors"),
+        F.round("jaccard", 6).alias("jaccard"),
+        F.round("adamic_adar", 6).alias("adamic_adar"),
+        F.round("resource_allocation", 6).alias("resource_allocation"),
+        F.col("preferential_attachment").cast("long").alias("preferential_attachment"),
+    )
+
+
+def q_local_degree_score(spark, sf_dir):
+    from networkit_spark.operators.sparsification import local_degree_score
+
+    return local_degree_score(_g(spark, sf_dir)).select(
+        "src", "dst", F.round("score", 6).alias("score")
+    )
+
+
+def q_sparsify_jaccard(spark, sf_dir):
+    from networkit_spark.operators.sparsification import jaccard_similarity_score
+
+    return jaccard_similarity_score(_g(spark, sf_dir)).select(
+        "src", "dst", F.round("score", 6).alias("score")
+    )
+
+
+def q_rand_measure(spark, sf_dir):
+    """Rand dissimilarity between the PLP partition and the CC partition."""
+    from networkit_spark.operators.measures import rand_measure
+
+    g = _g(spark, sf_dir)
+    a = plp(g, fixed_iters=PLP_ITERS)
+    b = connected_components(g).withColumnRenamed("component", "label")
+    v = rand_measure(a, b)
+    return spark.range(1).select(F.round(F.lit(v), 6).alias("rand_distance"))
+
+
+def q_intrapartition_density(spark, sf_dir):
+    from networkit_spark.operators.measures import intrapartition_density
+
+    g = _g(spark, sf_dir)
+    labels = plp(g, fixed_iters=PLP_ITERS)
+    return intrapartition_density(g, labels).select(
+        "label", F.round("density", 6).alias("density")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "graph_edges": q_edges,
@@ -176,6 +372,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assortativity": q_assortativity,
         "kcore": q_kcore,
         "bfs_dist": q_bfs,
+        "doc_profile": q_doc_profile,
+        "dedup_exact": q_dedup_exact,
+        "minhash_pairs": q_minhash_pairs,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "simhash": q_simhash,
+        "embedding_neardup": q_embedding_neardup,
+        "ann_topk": q_ann_topk,
+        "ann_ivf": q_ann_ivf,
+        "events_window": q_events_window,
+        "multimodal_decode": q_multimodal_decode,
+        "link_prediction": q_link_prediction,
+        "local_degree_score": q_local_degree_score,
+        "sparsify_jaccard": q_sparsify_jaccard,
+        "rand_measure": q_rand_measure,
+        "intrapartition_density": q_intrapartition_density,
     }
 
 
@@ -350,6 +561,366 @@ def _bfs_sql() -> str:
     )
 
 
+# -- data-pipeline oracles ---------------------------------------------------
+
+_H60 = "CAST(('0x' || substr(md5({x}), 1, 15)) AS BIGINT)"
+_MOD31 = 2147483647
+
+
+def _doc_profile_sql() -> str:
+    from networkit_spark.functions.text import STOPWORDS
+
+    def hits(lang):
+        lst = "[" + ", ".join(f"'{w}'" for w in STOPWORDS[lang]) + "]"
+        return (
+            f"CAST(len(list_filter(string_split(text, ' '), "
+            f"t -> list_contains({lst}, t))) AS BIGINT) AS h_{lang}"
+        )
+
+    en_list = "[" + ", ".join(f"'{w}'" for w in STOPWORDS["en"]) + "]"
+    g = "GREATEST(h_de, h_en, h_es, h_fr)"
+    return f"""
+WITH b AS MATERIALIZED (
+  SELECT doc_id, text,
+    CAST(length(text) AS BIGINT) AS n_chars,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+    CAST(len(list_filter(string_split(text, ' '),
+         t -> list_contains({en_list}, t))) AS BIGINT) AS stopwords_en,
+    length(regexp_replace(text, '[^a-z ]', '', 'g')) / length(text) AS alpha,
+    {hits('de')}, {hits('en')}, {hits('es')}, {hits('fr')}
+  FROM documents
+)
+SELECT doc_id, n_chars, n_tokens, stopwords_en,
+  ROUND(alpha, 6) AS alpha_ratio,
+  ROUND(0.4 * (CASE WHEN n_tokens >= 5 AND n_tokens <= 10000 THEN 1.0 ELSE 0.0 END)
+      + 0.3 * LEAST(CAST(stopwords_en AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 5.0, 1.0)
+      + 0.3 * alpha, 6) AS quality,
+  CASE WHEN {g} = 0 THEN 'und'
+       WHEN h_de = {g} THEN 'de'
+       WHEN h_en = {g} THEN 'en'
+       WHEN h_es = {g} THEN 'es'
+       ELSE 'fr' END AS lang_pred,
+  {_H60.format(x='text')} AS fp64
+FROM b
+"""
+
+
+_DOCS_CLONES = """
+docsrc AS MATERIALIZED (
+  SELECT doc_id AS doc, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc, text FROM documents WHERE doc_id % 7 = 0
+)
+"""
+
+_DOCS_CLONES_PLAIN = """
+docsrc AS MATERIALIZED (
+  SELECT doc_id AS doc, text FROM documents
+)
+"""
+
+_DOCS_NEARDUP = """
+docsrc AS MATERIALIZED (
+  SELECT doc_id AS doc, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc, text || ' zq xv jk' AS text
+  FROM documents WHERE doc_id % 11 = 0
+)
+"""
+
+
+def _dedup_exact_sql() -> str:
+    return f"""
+WITH {_DOCS_CLONES.strip()},
+h AS MATERIALIZED (SELECT doc, md5(text) AS h FROM docsrc),
+keep AS MATERIALIZED (SELECT h, MIN(doc) AS dup_of FROM h GROUP BY h)
+SELECT a.doc AS doc_id, k.dup_of FROM h a JOIN keep k USING (h)
+WHERE a.doc <> k.dup_of
+"""
+
+
+def _minhash_sql(
+    source_cte: str, threshold: float, use_word_ngrams: bool = False
+) -> str:
+    from networkit_spark.functions.dedup import _perm_consts
+
+    k, perms, bands = MINHASH_K, MH_PERMS, MH_BANDS
+    rows = perms // bands
+    if use_word_ngrams:
+        feats = (
+            f"list_distinct(list_transform("
+            f"range(0, len(string_split(text, ' ')) - {NG_N} + 1), "
+            f"i -> array_to_string(list_slice(string_split(text, ' '), i + 1, i + {NG_N}), ' ')))"
+        )
+    else:
+        feats = (
+            f"list_distinct(list_transform(range(1, length(text) - {k} + 2), "
+            f"i -> substr(text, i, {k})))"
+        )
+    sig_cols = []
+    for p in range(perms):
+        a, b = _perm_consts(p)
+        sig_cols.append(
+            f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {_MOD31})) AS s{p}"
+        )
+    band_selects = []
+    for bi in range(bands):
+        cols = ", ".join(f"s{bi * rows + r}::VARCHAR" for r in range(rows))
+        band_selects.append(
+            f"SELECT doc, {bi} AS band, md5(concat_ws('_', {cols})) AS bkey FROM sig"
+        )
+    return f"""
+WITH {source_cte.strip()},
+feats AS MATERIALIZED (SELECT doc, {feats} AS fs FROM docsrc),
+hs AS MATERIALIZED (
+  SELECT doc, list_distinct(list_transform(fs, s -> {_H60.format(x='s')} % {_MOD31})) AS hs
+  FROM feats WHERE len(fs) > 0
+),
+sig AS MATERIALIZED (SELECT doc, {', '.join(sig_cols)} FROM hs),
+bands AS MATERIALIZED ({' UNION ALL '.join(band_selects)}),
+cand AS MATERIALIZED (
+  SELECT DISTINCT x.doc AS a, y.doc AS b
+  FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey AND x.doc < y.doc
+)
+SELECT a, b, ROUND(j, 6) AS jaccard FROM (
+  SELECT c.a, c.b,
+         CAST(len(list_intersect(ha.hs, hb.hs)) AS DOUBLE)
+           / len(list_distinct(list_concat(ha.hs, hb.hs))) AS j
+  FROM cand c JOIN hs ha ON c.a = ha.doc JOIN hs hb ON c.b = hb.doc
+) v WHERE j >= {threshold}
+"""
+
+
+def _simhash_sql() -> str:
+    bits = SIMHASH_BITS
+    sums = ", ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(bits)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN CAST({2 ** b} AS BIGINT) ELSE 0 END)"
+        for b in range(bits)
+    )
+    return f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+h AS MATERIALIZED (SELECT doc_id, {_H60.format(x='tok')} AS h FROM toks),
+sums AS MATERIALIZED (SELECT doc_id, {sums} FROM h GROUP BY doc_id)
+SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM sums
+"""
+
+
+def _neardup_sql() -> str:
+    bits = 8
+    bucket = " + ".join(
+        f"(CASE WHEN v[{b + 1}] >= 0 THEN {2 ** b} ELSE 0 END)" for b in range(bits)
+    )
+    return f"""
+WITH src AS MATERIALIZED (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000,
+         list_concat([(embedding::DOUBLE[])[1] + 0.5], (embedding::DOUBLE[])[2:])
+  FROM embeddings WHERE vec_id % 50 = 0
+),
+base AS MATERIALIZED (
+  SELECT vec_id AS doc, v, sqrt(list_dot_product(v, v)) AS nrm, {bucket} AS bucket
+  FROM src WHERE list_dot_product(v, v) > 0
+)
+SELECT a, b, ROUND(c, 6) AS cos FROM (
+  SELECT x.doc AS a, y.doc AS b,
+         list_dot_product(x.v, y.v) / (x.nrm * y.nrm) AS c
+  FROM base x JOIN base y ON x.bucket = y.bucket AND x.doc < y.doc
+) p WHERE c >= {ND_THRESHOLD}
+"""
+
+
+def _bucket_expr(col: str, bits: int) -> str:
+    return " + ".join(
+        f"(CASE WHEN ({col})[{b + 1}] >= 0 THEN {2 ** b} ELSE 0 END)"
+        for b in range(bits)
+    )
+
+
+def _ann_sql(ivf: bool) -> str:
+    be = _bucket_expr("embedding::DOUBLE[]", IVF_BITS)
+    join = (
+        "c JOIN q ON c.bucket = q.bucket AND c.vec_id <> q.query_id"
+        if ivf
+        else "c CROSS JOIN q WHERE c.vec_id <> q.query_id"
+    )
+    bcol = f", {be} AS bucket" if ivf else ""
+    return f"""
+WITH c AS MATERIALIZED (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nv
+         {bcol}
+  FROM embeddings
+  WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
+),
+q AS MATERIALIZED (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nq
+         {bcol}
+  FROM embeddings
+  WHERE vec_id < 8
+    AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
+),
+scored AS MATERIALIZED (
+  SELECT q.query_id, c.vec_id,
+         list_dot_product(q.qv, c.v) / (q.nq * c.nv) AS cos
+  FROM {join}
+)
+SELECT query_id, vec_id, ROUND(cos, 6) AS cos, rank FROM (
+  SELECT query_id, vec_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM scored
+) r WHERE rank <= {ANN_K}
+"""
+
+
+def _linkpred_sql() -> str:
+    return _with(
+        edges_sql(N_NODES),
+        f"pn AS MATERIALIZED (SELECT node FROM nodes WHERE node < {LP_MAX_NODE})",
+        "pairs AS MATERIALIZED (SELECT a.node AS u, b.node AS v FROM pn a JOIN pn b ON a.node < b.node)",
+        """wed AS MATERIALIZED (
+  SELECT p.u, p.v, COUNT(*) AS cn,
+         SUM(CASE WHEN d.degree > 1 THEN 1.0 / ln(d.degree) ELSE 0.0 END) AS aa,
+         SUM(1.0 / d.degree) AS ra
+  FROM pairs p
+  JOIN sym e1 ON e1.src = p.u
+  JOIN sym e2 ON e2.src = p.v AND e2.dst = e1.dst
+  JOIN deg d ON d.node = e1.dst
+  GROUP BY p.u, p.v
+)""",
+        select="""SELECT p.u, p.v,
+  CAST(COALESCE(w.cn, 0) AS BIGINT) AS common_neighbors,
+  ROUND(CASE WHEN du.degree + dv.degree - COALESCE(w.cn, 0) > 0
+        THEN COALESCE(w.cn, 0) / (du.degree + dv.degree - COALESCE(w.cn, 0))
+        ELSE 0.0 END, 6) AS jaccard,
+  ROUND(COALESCE(w.aa, 0.0), 6) AS adamic_adar,
+  ROUND(COALESCE(w.ra, 0.0), 6) AS resource_allocation,
+  CAST(du.degree * dv.degree AS BIGINT) AS preferential_attachment
+FROM pairs p
+JOIN deg du ON du.node = p.u
+JOIN deg dv ON dv.node = p.v
+LEFT JOIN wed w ON w.u = p.u AND w.v = p.v""",
+    )
+
+
+def _lds_sql() -> str:
+    return _with(
+        edges_sql(N_NODES),
+        """ranked AS MATERIALIZED (
+  SELECT s.src, s.dst, ds.degree AS ds,
+         ROW_NUMBER() OVER (PARTITION BY s.src ORDER BY dd.degree DESC, s.dst ASC) AS rnk
+  FROM sym s JOIN deg dd ON s.dst = dd.node JOIN deg ds ON s.src = ds.node
+)""",
+        """scored AS MATERIALIZED (
+  SELECT LEAST(src, dst) AS src, GREATEST(src, dst) AS dst,
+         CASE WHEN ds > 1 THEN 1.0 - ln(CAST(rnk AS DOUBLE)) / ln(CAST(ds AS DOUBLE))
+              ELSE 1.0 END AS s
+  FROM ranked
+)""",
+        select="SELECT src, dst, ROUND(MAX(s), 6) AS score FROM scored GROUP BY src, dst",
+    )
+
+
+def _sparsify_sql() -> str:
+    return _with(
+        edges_sql(N_NODES),
+        _TRI_CTES,
+        """esc AS MATERIALIZED (
+  SELECT e.src, e.dst, COALESCE(t.cnt, 0) AS tri FROM edges e LEFT JOIN (
+    SELECT src, dst, COUNT(*) AS cnt FROM (
+      SELECT LEAST(a, b) AS src, GREATEST(a, b) AS dst FROM tri
+      UNION ALL SELECT LEAST(a, c), GREATEST(a, c) FROM tri
+      UNION ALL SELECT LEAST(b, c), GREATEST(b, c) FROM tri
+    ) x GROUP BY src, dst
+  ) t ON e.src = t.src AND e.dst = t.dst
+)""",
+        select="""SELECT e.src, e.dst,
+  ROUND(CASE WHEN du.degree + dv.degree - e.tri - 2 > 0
+        THEN e.tri / (du.degree + dv.degree - e.tri - 2) ELSE 0.0 END, 6) AS score
+FROM esc e JOIN deg du ON e.src = du.node JOIN deg dv ON e.dst = dv.node""",
+    )
+
+
+def _rand_sql() -> str:
+    ctes = _plp_ctes(PLP_ITERS)
+    # CC chain shares base CTE names; only c* are new
+    ctes.append("c0 AS MATERIALIZED (SELECT node, node AS component FROM nodes)")
+    for i in range(CC_ROUNDS):
+        ctes.append(f"""c{i + 1} AS MATERIALIZED (
+  SELECT x.node, MIN(x.component) AS component FROM (
+    SELECT node, component FROM c{i}
+    UNION ALL
+    SELECT s.dst AS node, c.component FROM sym s JOIN c{i} c ON s.src = c.node
+  ) x GROUP BY x.node
+)""")
+    L, C = f"l{PLP_ITERS}", f"c{CC_ROUNDS}"
+    ctes.append(
+        f"ct AS MATERIALIZED (SELECT a.label AS la, b.component AS lb, COUNT(*) AS nij "
+        f"FROM {L} a JOIN {C} b ON a.node = b.node GROUP BY 1, 2)"
+    )
+    ctes.append("s11 AS MATERIALIZED (SELECT SUM(nij * (nij - 1) / 2.0) AS v FROM ct)")
+    ctes.append(
+        "sa AS MATERIALIZED (SELECT SUM(ni * (ni - 1) / 2.0) AS v FROM "
+        "(SELECT SUM(nij) AS ni FROM ct GROUP BY la) q)"
+    )
+    ctes.append(
+        "sb AS MATERIALIZED (SELECT SUM(nj * (nj - 1) / 2.0) AS v FROM "
+        "(SELECT SUM(nij) AS nj FROM ct GROUP BY lb) q)"
+    )
+    ctes.append("n2 AS MATERIALIZED (SELECT SUM(nij) AS n FROM ct)")
+    return _with(
+        *ctes,
+        select=(
+            "SELECT ROUND(1.0 - (s11.v + (n2.n * (n2.n - 1) / 2.0 - sa.v - sb.v + s11.v))"
+            " / (n2.n * (n2.n - 1) / 2.0), 6) AS rand_distance FROM s11, sa, sb, n2"
+        ),
+    )
+
+
+def _density_sql() -> str:
+    ctes = _plp_ctes(PLP_ITERS)
+    L = f"l{PLP_ITERS}"
+    ctes.append(f"""intra AS MATERIALIZED (
+  SELECT la.label, COUNT(*) AS m_in
+  FROM edges e JOIN {L} la ON e.src = la.node JOIN {L} lb ON e.dst = lb.node
+  WHERE la.label = lb.label AND e.src <> e.dst
+  GROUP BY la.label
+)""")
+    ctes.append(
+        f"sizes AS MATERIALIZED (SELECT label, COUNT(*) AS size FROM {L} GROUP BY label)"
+    )
+    return _with(
+        *ctes,
+        select="""SELECT s.label,
+  ROUND(CASE WHEN s.size >= 2
+        THEN COALESCE(i.m_in, 0) / (s.size * (s.size - 1) / 2.0)
+        ELSE 0.0 END, 6) AS density
+FROM sizes s LEFT JOIN intra i ON s.label = i.label""",
+    )
+
+
+_EVENTS_SQL = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
+       COUNT(*) AS n, ROUND(SUM(value), 6) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+_MULTIMODAL_SQL = """
+SELECT doc_id AS media_id,
+  64 + CAST(('0x' || substr(sha256(text), 1, 2)) AS BIGINT) % 1984 AS width,
+  64 + CAST(('0x' || substr(sha256(text), 3, 2)) AS BIGINT) % 1984 AS height,
+  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+FROM documents
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     E = edges_sql(N_NODES)
     return {
@@ -401,4 +972,21 @@ def oracle_sql() -> dict[str, str]:
         ),
         "kcore": _kcore_sql(),
         "bfs_dist": _bfs_sql(),
+        "doc_profile": _doc_profile_sql(),
+        "dedup_exact": _dedup_exact_sql(),
+        "minhash_pairs": _minhash_sql(_DOCS_CLONES_PLAIN, MH_THRESHOLD),
+        "ngram_jaccard_pairs": _minhash_sql(
+            _DOCS_NEARDUP, NG_THRESHOLD, use_word_ngrams=True
+        ),
+        "simhash": _simhash_sql(),
+        "embedding_neardup": _neardup_sql(),
+        "ann_topk": _ann_sql(ivf=False),
+        "ann_ivf": _ann_sql(ivf=True),
+        "events_window": _EVENTS_SQL,
+        "multimodal_decode": _MULTIMODAL_SQL,
+        "link_prediction": _linkpred_sql(),
+        "local_degree_score": _lds_sql(),
+        "sparsify_jaccard": _sparsify_sql(),
+        "rand_measure": _rand_sql(),
+        "intrapartition_density": _density_sql(),
     }

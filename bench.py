@@ -1,0 +1,100 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Extra keys (informational, driver ignores them): edges/sec-per-superstep for
+PageRank (the BASELINE.md primary target) and graph size.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# graph size scales with SF: sf0.1 → ~20k nodes / ~590k edges
+N_NODES = int(os.environ.get("SPARK_GRAFT_BENCH_NODES", "20000"))
+PR_ITERS = int(os.environ.get("SPARK_GRAFT_BENCH_PR_ITERS", "10"))
+
+
+def main():
+    from pyspark.sql import functions as F
+
+    from networkit_spark.session import get_spark
+    from networkit_spark.graph import Graph
+    from networkit_spark.testgraph import lineitem_edges
+    from networkit_spark.operators.pagerank import pagerank
+    from networkit_spark.operators.components import connected_components
+    from networkit_spark.operators.community import plp
+    from networkit_spark.operators.triangles import triangles
+    from networkit_spark.functions.dedup import minhash_lsh_pairs
+    from networkit_spark.functions.similarity import cosine_topk_bruteforce
+
+    spark = get_spark("networkit-spark-bench", cpus=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    edges = lineitem_edges(spark, SF_DIR, n_nodes=N_NODES).persist()
+    m = edges.count()
+    g = Graph(edges, directed=False, weighted=True)
+    n = g.num_nodes()
+
+    timings: dict[str, float] = {}
+    extra: dict[str, float] = {"nodes": n, "edges": m}
+
+    def timed(name, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    # q1: PageRank, fixed supersteps — the primary target metric
+    timed("pagerank", lambda: pagerank(g, fixed_iters=PR_ITERS).agg(F.sum("score")).collect())
+    # edges processed per superstep = 2m (sym gather); per-superstep rate
+    extra["pagerank_eps_per_superstep"] = round(2 * m / (timings["pagerank"] / PR_ITERS), 1)
+    extra["pagerank_iters"] = PR_ITERS
+
+    # q2: connected components to fixpoint
+    timed("connected_components", lambda: connected_components(g).select(F.countDistinct("component")).collect())
+    extra["cc_eps"] = round(2 * m / timings["connected_components"], 1)
+
+    # q3: PLP, 4 synchronous sweeps
+    timed("plp", lambda: plp(g, fixed_iters=4).select(F.countDistinct("label")).collect())
+
+    # q4: triangle count (degree-ordered wedge join)
+    timed("triangle_count", lambda: triangles(g).count())
+    extra["tri_eps"] = round(2 * m / timings["triangle_count"], 1)
+
+    # q5: MinHash-LSH near-dup pairs over documents
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    timed("minhash_dedup", lambda: minhash_lsh_pairs(docs, threshold=0.5).count())
+
+    # q6: ANN cosine top-10, 8 query vectors, brute force
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    qv = emb.filter("vec_id < 8").withColumnRenamed("vec_id", "query_id")
+    timed("ann_topk", lambda: cosine_topk_bruteforce(emb, qv, k=10).count())
+
+    total = round(sum(timings.values()), 3)
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "cpus": CPUS,
+                "extra": extra,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

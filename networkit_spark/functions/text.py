@@ -71,22 +71,8 @@ def language_id(col) -> Column:
                 F.lit(lang).alias("lang"),
             )
         )
-    # argmax by (hits, lexicographically-last lang wins ties under max;
-    # invert by sorting desc on hits then asc lang via negative trick)
     arr = F.array(*scores)
-    best = F.array_max(
-        F.transform(
-            arr,
-            lambda s: F.struct(
-                s["hits"].alias("hits"),
-                # max picks lexicographically LARGEST lang on hit-ties; to tie
-                # to the smallest code, compare on a reversed-order key
-                F.lit(None).cast("string").alias("_pad"),
-                s["lang"].alias("lang"),
-            ),
-        )
-    )
-    # deterministic tie-break to smallest code: recompute via filter
+    # argmax hits; ties break to the smallest language code
     max_hits = F.array_max(F.transform(arr, lambda s: s["hits"]))
     winners = F.filter(arr, lambda s: s["hits"] == max_hits)
     first = F.array_min(F.transform(winners, lambda s: s["lang"]))
@@ -111,9 +97,9 @@ def analyze_documents(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     c = F.col(text_col)
     return df.select(
         F.col(id_col),
-        char_count(c).alias("n_chars"),
-        token_count(c).alias("n_tokens"),
-        stopword_count(c, "en").alias("stopwords_en"),
+        char_count(c).cast("long").alias("n_chars"),
+        token_count(c).cast("long").alias("n_tokens"),
+        stopword_count(c, "en").cast("long").alias("stopwords_en"),
         F.round(alpha_ratio(c), 6).alias("alpha_ratio"),
         quality_score(c).alias("quality"),
         language_id(c).alias("lang_pred"),

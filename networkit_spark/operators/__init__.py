@@ -8,23 +8,40 @@ from .triangles import (
     global_clustering_coefficient,
     triangle_edge_score,
 )
+from .kcore import k_core, coreness
+from .distance import (
+    bfs_distances,
+    sssp_distances,
+    eccentricity,
+    neighborhood_function_anf,
+    effective_diameter_approx,
+)
+from .centrality import (
+    degree_centrality,
+    sfigality,
+    closeness_sampled,
+    betweenness_sampled,
+    ranking,
+    centralization,
+    degree_assortativity,
+)
+from .linkprediction import (
+    link_prediction_scores,
+    missing_links,
+    same_community_index,
+    link_thresholder,
+    top_predictions,
+)
+from .sparsification import (
+    jaccard_similarity_score,
+    local_degree_score,
+    random_edge_score,
+    simmelian_overlap_score,
+    normalize_score,
+    blend_scores,
+    score_as_weight,
+    global_threshold_filter,
+    sparsify_to_ratio,
+)
 
-__all__ = [
-    "pagerank",
-    "katz_centrality",
-    "eigenvector_centrality",
-    "connected_components",
-    "num_components",
-    "component_sizes",
-    "plp",
-    "modularity",
-    "coverage",
-    "edge_cut",
-    "conductance",
-    "coarsen",
-    "triangle_count",
-    "node_triangle_counts",
-    "local_clustering_coefficient",
-    "global_clustering_coefficient",
-    "triangle_edge_score",
-]
+__all__ = [n for n in dir() if not n.startswith("_")]

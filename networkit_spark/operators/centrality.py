@@ -1,0 +1,153 @@
+"""Centrality measures beyond PageRank/Katz/Eigenvector (see pagerank.py).
+
+Reference: /root/reference/networkit/cpp/centrality/ — DegreeCentrality.cpp
+:15-40, Sfigality.cpp (39 LoC), Closeness.cpp / ApproxCloseness.cpp,
+ApproxBetweenness.cpp (Riondato-Kornaropoulos sampling), plus the
+``Centrality.scores()/ranking()`` surface (_NetworKit.pyx:5470-5515).
+
+Exact Brandes betweenness is a per-source DAG accumulation — O(nm) total and
+driver-iterative per source; at web scale only the sampled variants are
+meaningful, matching the reference's own Approx* guidance.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..graph import Graph
+from .distance import bfs_distances
+
+
+def degree_centrality(graph: Graph, normalized: bool = False) -> DataFrame:
+    """DegreeCentrality.cpp:15-40: (out-)degree, optionally / (n-1)."""
+    deg = graph.degrees()
+    if not normalized:
+        return deg.select("node", F.col("degree").cast("double").alias("score"))
+    n = graph.num_nodes()
+    return deg.select("node", (F.col("degree") / F.lit(float(max(n - 1, 1)))).alias("score"))
+
+
+def sfigality(graph: Graph) -> DataFrame:
+    """Sfigality.cpp: fraction of neighbors with strictly higher degree."""
+    deg = graph.degrees()
+    sym = graph.sym().select("src", "dst")
+    j = (
+        sym.join(deg.withColumnRenamed("node", "src").withColumnRenamed("degree", "ds"), "src")
+        .join(deg.withColumnRenamed("node", "dst").withColumnRenamed("degree", "dd"), "dst")
+    )
+    per = j.groupBy("src").agg(
+        (F.sum(F.when(F.col("dd") > F.col("ds"), 1).otherwise(0)) / F.count("*")).alias("score")
+    ).select(F.col("src").alias("node"), "score")
+    return graph.nodes().join(per, "node", "left").select(
+        "node", F.coalesce("score", F.lit(0.0)).alias("score")
+    )
+
+
+def closeness_sampled(graph: Graph, sources: list[int]) -> DataFrame:
+    """ApproxCloseness-style: closeness estimated from BFS distances of a
+    source sample (reference ApproxCloseness.cpp uses sampled pivots).
+    Returns (node, score) with score = (#samples reached) / Σ dist."""
+    acc = None
+    for s in sources:
+        d = bfs_distances(graph, s).select(
+            "node", F.col("dist").cast("double").alias("d")
+        )
+        acc = d if acc is None else acc.unionByName(d)
+    sums = acc.groupBy("node").agg(
+        F.sum("d").alias("total"), F.count("*").alias("reached")
+    )
+    return sums.select(
+        "node",
+        F.when(F.col("total") > 0, F.col("reached") / F.col("total")).otherwise(0.0).alias("score"),
+    )
+
+
+def betweenness_sampled(graph: Graph, sources: list[int]) -> DataFrame:
+    """Sampled Brandes (ApproxBetweenness2.cpp shape): for each sampled
+    source, BFS shortest-path DAG + dependency accumulation done as
+    DataFrame supersteps backwards over distance levels."""
+    sym = graph.sym().select("src", "dst").persist()
+    totals = None
+    for s in sources:
+        dist = bfs_distances(graph, s).persist()
+        # shortest-path counts sigma via forward sweep over levels
+        max_d = dist.agg(F.max("dist")).collect()[0][0] or 0
+        sigma = dist.filter(F.col("dist") == 0).select("node", F.lit(1.0).alias("sigma"))
+        sigma = sigma.localCheckpoint(eager=True)
+        for lvl in range(1, max_d + 1):
+            prev = sigma.join(dist, "node").filter(F.col("dist") == lvl - 1)
+            nxt = (
+                sym.join(prev.select(F.col("node").alias("src"), "sigma"), "src")
+                .select(F.col("dst").alias("node"), "sigma")
+                .join(dist, "node")
+                .filter(F.col("dist") == lvl)
+                .groupBy("node")
+                .agg(F.sum("sigma").alias("sigma"))
+            )
+            sigma = sigma.unionByName(nxt.select("node", "sigma")).localCheckpoint(eager=True)
+        # backward dependency accumulation
+        delta = dist.select("node", F.lit(0.0).alias("delta")).localCheckpoint(eager=True)
+        for lvl in range(max_d, 0, -1):
+            w = (
+                delta.join(dist, "node").filter(F.col("dist") == lvl)
+                .join(sigma, "node")
+                .select(F.col("node").alias("wnode"), "delta", F.col("sigma").alias("sw"))
+            )
+            contrib = (
+                sym.join(w.select(F.col("wnode").alias("dst"), "delta", "sw"), "dst")
+                .select(F.col("src").alias("node"), "delta", "sw", F.col("dst").alias("wn"))
+                .join(dist, "node")
+                .filter(F.col("dist") == lvl - 1)
+                .join(sigma.withColumnRenamed("sigma", "sv"), "node")
+                .select("node", (F.col("sv") / F.col("sw") * (1.0 + F.col("delta"))).alias("c"))
+                .groupBy("node")
+                .agg(F.sum("c").alias("c"))
+            )
+            delta = (
+                delta.join(contrib, "node", "left")
+                .select("node", (F.col("delta") + F.coalesce("c", F.lit(0.0))).alias("delta"))
+                .localCheckpoint(eager=True)
+            )
+        part = delta.filter(F.col("node") != s).select("node", F.col("delta").alias("score"))
+        totals = part if totals is None else totals.unionByName(part)
+        dist.unpersist()
+    sym.unpersist()
+    out = totals.groupBy("node").agg(F.sum("score").alias("score"))
+    return graph.nodes().join(out, "node", "left").select(
+        "node", F.coalesce("score", F.lit(0.0)).alias("score")
+    )
+
+
+def ranking(scores: DataFrame, score_col: str = "score") -> DataFrame:
+    """Centrality::ranking (_NetworKit.pyx:5492-5495): (rank, node, score)
+    ordered by score desc, node asc."""
+    w = Window.orderBy(F.desc(score_col), F.asc("node"))
+    return scores.select(
+        F.row_number().over(w).alias("rank"), "node", F.col(score_col)
+    )
+
+
+def centralization(scores: DataFrame, score_col: str = "score") -> float:
+    """Freeman centralization (Centrality::centralization surface):
+    Σ (max - score) / ((n-1)·max)."""
+    row = scores.agg(
+        F.max(score_col).alias("mx"), F.sum(score_col).alias("s"), F.count("*").alias("n")
+    ).collect()[0]
+    mx, s, n = row["mx"], row["s"], row["n"]
+    if not mx or n < 2:
+        return 0.0
+    return float((n * mx - s) / ((n - 1) * mx))
+
+
+def degree_assortativity(graph: Graph) -> float:
+    """Assortativity.cpp (~100 LoC): Pearson correlation of endpoint degrees
+    over the (symmetric) edge set — one F.corr aggregate."""
+    deg = graph.degrees()
+    d1 = deg.select(F.col("node").alias("src"), F.col("degree").alias("ds"))
+    d2 = deg.select(F.col("node").alias("dst"), F.col("degree").alias("dd"))
+    row = (
+        graph.sym().join(d1, "src").join(d2, "dst")
+        .agg(F.corr(F.col("ds").cast("double"), F.col("dd").cast("double")).alias("r"))
+        .collect()[0]
+    )
+    return float(row["r"] or 0.0)

@@ -42,16 +42,18 @@ def plp(
     max_iter. Synchronous LP can 2-cycle on bipartite structures, so
     max_iter/fixed_iters is a real bound, not just a safety net.
     """
-    nodes = graph.nodes()
+    nodes = graph.nodes().persist()
+    n = nodes.count()
     if theta is None and fixed_iters is None:
-        theta = max(int(graph.num_nodes() / 1e5), 0)
+        theta = max(int(n / 1e5), 0)
     sym = graph.sym().persist()
     sym.count()
+    bcast = (lambda d: F.broadcast(d)) if n <= 2_000_000 else (lambda d: d)
     labels = nodes.select("node", F.col("node").alias("label")).localCheckpoint(eager=True)
 
     def superstep(cur: DataFrame) -> DataFrame:
         # weight of each label among u's neighbors (PLP.cpp:80-86)
-        nbr = sym.join(cur, sym.dst == cur.node).select(
+        nbr = sym.join(bcast(cur), sym.dst == cur.node).select(
             F.col("src").alias("u"), "label", "weight"
         )
         lw = nbr.groupBy("u", "label").agg(F.sum("weight").alias("w"))
@@ -59,7 +61,7 @@ def plp(
         best = lw.groupBy("u").agg(
             F.max(F.struct(F.col("w"), (-F.col("label")).alias("nl"))).alias("m")
         ).select("u", (-F.col("m.nl")).alias("best"))
-        return cur.join(best, cur.node == best.u, "left").select(
+        return cur.join(bcast(best), cur.node == best.u, "left").select(
             "node", F.coalesce("best", "label").alias("label")
         )
 
@@ -100,6 +102,7 @@ def plp(
     out._iterations = iters
     out._oscillation_resolved = oscillating
     sym.unpersist()
+    nodes.unpersist()
     return out
 
 

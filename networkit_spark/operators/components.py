@@ -31,16 +31,19 @@ def connected_components(
     fixed_iters: Optional[int] = None,
     pointer_jumping: bool = True,
     checkpoint_dir: Optional[str] = None,
+    broadcast_threshold: int = 2_000_000,
 ) -> DataFrame:
     """Returns (node, component) with component = min node id in component."""
-    nodes = graph.nodes()
+    nodes = graph.nodes().persist()
     sym = graph.sym().select("src", "dst").persist()
     sym.count()
+    n = nodes.count()
+    bcast = (lambda d: F.broadcast(d)) if n <= broadcast_threshold else (lambda d: d)
     init = nodes.select("node", F.col("node").alias("component"))
 
     def step(labels: DataFrame, i: int):
         nbr_min = (
-            sym.join(labels, sym.src == labels.node)
+            sym.join(bcast(labels), sym.src == labels.node)
             .groupBy("dst")
             .agg(F.min("component").alias("component"))
             .select(F.col("dst").alias("node"), "component")
@@ -56,7 +59,7 @@ def connected_components(
                 F.col("node").alias("pnode"), F.col("component").alias("pcomp")
             )
             new = (
-                new.join(parents, new.component == parents.pnode, "left")
+                new.join(bcast(parents), new.component == parents.pnode, "left")
                 .select("node", F.coalesce("pcomp", "component").alias("component"))
             )
         if fixed_iters is not None:
@@ -76,6 +79,7 @@ def connected_components(
     )
     state = driver.run(init, step)
     sym.unpersist()
+    nodes.unpersist()
     out = state.df
     out._iterations = state.iteration
     return out

@@ -112,7 +112,9 @@ def neighborhood_function_anf(
         pos = F.least(
             F.floor(-F.log2(F.greatest(u, F.lit(1e-15)))).cast("int"), F.lit(61)
         )
-        masks.append(F.shiftleft(F.lit(1).cast("long"), pos).alias(f"m{s}"))
+        # 2^pos with a column exponent (shiftleft needs a literal); powers of
+        # two are exact in double up to 2^61
+        masks.append(F.pow(F.lit(2.0), pos.cast("double")).cast("long").alias(f"m{s}"))
     cur = nodes.select("node", *masks).localCheckpoint(eager=True)
 
     # per-node reach estimate: b = mean lowest-zero-bit over sketches,

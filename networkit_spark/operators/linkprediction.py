@@ -1,0 +1,113 @@
+"""Link-prediction indices — neighbor-set joins + scalar formulas.
+
+Reference: /root/reference/networkit/cpp/linkprediction/*.{h,cpp} and Python
+networkit/linkprediction.py: CommonNeighborsIndex, JaccardIndex,
+AdamicAdarIndex, ResourceAllocationIndex, PreferentialAttachmentIndex,
+TotalNeighborsIndex, UDegreeIndex, VDegreeIndex, NeighborhoodDistanceIndex,
+SameCommunityIndex, MissingLinksFinder, LinkThresholder.
+
+Spark shape: all scores for a pair set are computed in ONE wedge join —
+``pairs ⋈ sym(u) ⋈ sym(v)`` grouped by pair — plus degree-table joins.
+At web scale the pair set is the (small) candidate side; the adjacency
+stays put.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..graph import Graph
+
+
+def _common_neighbor_stats(graph: Graph, pairs: DataFrame) -> DataFrame:
+    """(u, v, cn, aa, ra): common-neighbor count plus Adamic-Adar
+    Σ 1/log(deg(z)) and Resource-Allocation Σ 1/deg(z) over shared
+    neighbors z."""
+    sym = graph.sym().select("src", "dst")
+    deg = graph.degrees()
+    nu = sym.select(F.col("src").alias("u"), F.col("dst").alias("z"))
+    nv = sym.select(F.col("src").alias("v"), F.col("dst").alias("z"))
+    wedges = (
+        pairs.join(nu, "u")
+        .join(nv, ["v", "z"])
+        .join(deg.withColumnRenamed("node", "z").withColumnRenamed("degree", "dz"), "z")
+    )
+    stats = wedges.groupBy("u", "v").agg(
+        F.count("*").alias("cn"),
+        F.sum(
+            F.when(F.col("dz") > 1, 1.0 / F.log(F.col("dz"))).otherwise(F.lit(0.0))
+        ).alias("aa"),
+        F.sum(1.0 / F.col("dz")).alias("ra"),
+    )
+    return pairs.join(stats, ["u", "v"], "left").select(
+        "u", "v",
+        F.coalesce("cn", F.lit(0)).alias("cn"),
+        F.coalesce("aa", F.lit(0.0)).alias("aa"),
+        F.coalesce("ra", F.lit(0.0)).alias("ra"),
+    )
+
+
+def link_prediction_scores(graph: Graph, pairs: DataFrame) -> DataFrame:
+    """All primary indices for (u, v) pairs in one pass:
+    common_neighbors, jaccard, adamic_adar, resource_allocation,
+    preferential_attachment, total_neighbors, u_degree, v_degree."""
+    deg = graph.degrees()
+    base = (
+        pairs.select("u", "v")
+        .join(deg.withColumnRenamed("node", "u").withColumnRenamed("degree", "du"), "u")
+        .join(deg.withColumnRenamed("node", "v").withColumnRenamed("degree", "dv"), "v")
+    )
+    cn = _common_neighbor_stats(graph, pairs.select("u", "v"))
+    out = base.join(cn, ["u", "v"])
+    union_size = F.col("du") + F.col("dv") - F.col("cn")
+    return out.select(
+        "u", "v",
+        F.col("cn").alias("common_neighbors"),
+        F.when(union_size > 0, F.col("cn") / union_size).otherwise(0.0).alias("jaccard"),
+        F.col("aa").alias("adamic_adar"),
+        F.col("ra").alias("resource_allocation"),
+        (F.col("du") * F.col("dv")).alias("preferential_attachment"),
+        union_size.alias("total_neighbors"),
+        F.col("du").alias("u_degree"),
+        F.col("dv").alias("v_degree"),
+    )
+
+
+def missing_links(graph: Graph, k_hop: int = 2, limit_nodes: DataFrame | None = None) -> DataFrame:
+    """MissingLinksFinder analog: non-adjacent pairs at distance 2
+    (the standard candidate set — wedge endpoints minus existing edges)."""
+    sym = graph.sym().select("src", "dst")
+    e1 = sym.select(F.col("src").alias("u"), F.col("dst").alias("z"))
+    e2 = sym.select(F.col("src").alias("z"), F.col("dst").alias("v"))
+    if limit_nodes is not None:
+        e1 = e1.join(limit_nodes.withColumnRenamed(limit_nodes.columns[0], "u"), "u", "left_semi")
+    two_hop = (
+        e1.join(e2, "z")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+    existing = sym.filter(F.col("src") < F.col("dst")).select(
+        F.col("src").alias("u"), F.col("dst").alias("v")
+    )
+    return two_hop.join(existing, ["u", "v"], "left_anti")
+
+
+def same_community_index(labels: DataFrame, pairs: DataFrame) -> DataFrame:
+    """SameCommunityIndex: 1.0 iff both endpoints share a community label."""
+    lu = labels.select(F.col("node").alias("u"), F.col("label").alias("lu"))
+    lv = labels.select(F.col("node").alias("v"), F.col("label").alias("lv"))
+    return pairs.join(lu, "u").join(lv, "v").select(
+        "u", "v",
+        F.when(F.col("lu") == F.col("lv"), 1.0).otherwise(0.0).alias("same_community"),
+    )
+
+
+def link_thresholder(scores: DataFrame, score_col: str, threshold: float) -> DataFrame:
+    """LinkThresholder: keep pairs with score >= threshold."""
+    return scores.filter(F.col(score_col) >= threshold)
+
+
+def top_predictions(scores: DataFrame, score_col: str, k: int) -> DataFrame:
+    """PredictionsSorter: global top-k by (score desc, u, v) — deterministic."""
+    return scores.orderBy(F.desc(score_col), F.asc("u"), F.asc("v")).limit(k)

@@ -1,0 +1,234 @@
+"""Partition comparison + local community quality measures.
+
+Reference: /root/reference/networkit/cpp/community/ —
+NodeStructuralRandMeasure.cpp, AdjustedRandMeasure, JaccardMeasure,
+NMIDistance.cpp (all pair-counting / information-theoretic over two
+partitions), IntrapartitionDensity, PartitionFragmentation,
+PartitionHubDominance, StablePartitionNodes, IsolatedInterpartitionConductance.
+
+Pair-counting never enumerates the O(n²) pairs: everything derives from the
+contingency table ``groupBy(label_a, label_b).count()`` (the standard
+sufficient statistic), so cost is one shuffle on the label pair.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..graph import Graph
+
+
+def _contingency(a: DataFrame, b: DataFrame) -> DataFrame:
+    return (
+        a.withColumnRenamed("label", "la")
+        .join(b.withColumnRenamed("label", "lb"), "node")
+        .groupBy("la", "lb")
+        .agg(F.count("*").alias("nij"))
+    )
+
+
+def _pair_counts(a: DataFrame, b: DataFrame) -> tuple[float, float, float, int]:
+    """(same_both, same_a, same_b, n) as pair counts C(x,2) sums."""
+    ct = _contingency(a, b).persist()
+    c2 = lambda c: F.sum(F.col(c) * (F.col(c) - 1) / 2.0)
+    s11 = ct.agg(c2("nij")).collect()[0][0] or 0.0
+    sa = (
+        ct.groupBy("la").agg(F.sum("nij").alias("ni"))
+        .agg(F.sum(F.col("ni") * (F.col("ni") - 1) / 2.0)).collect()[0][0] or 0.0
+    )
+    sb = (
+        ct.groupBy("lb").agg(F.sum("nij").alias("nj"))
+        .agg(F.sum(F.col("nj") * (F.col("nj") - 1) / 2.0)).collect()[0][0] or 0.0
+    )
+    n = int(ct.agg(F.sum("nij")).collect()[0][0] or 0)
+    ct.unpersist()
+    return float(s11), float(sa), float(sb), n
+
+
+def rand_measure(a: DataFrame, b: DataFrame) -> float:
+    """NodeStructuralRandMeasure: DISSIMILARITY in [0,1] — fraction of node
+    pairs the two clusterings disagree on (reference returns a distance)."""
+    s11, sa, sb, n = _pair_counts(a, b)
+    total = n * (n - 1) / 2.0
+    if total == 0:
+        return 0.0
+    agree = s11 + (total - sa - sb + s11)
+    return 1.0 - agree / total
+
+
+def adjusted_rand_measure(a: DataFrame, b: DataFrame) -> float:
+    """AdjustedRandMeasure: 1 - ARI (a distance, like the reference)."""
+    s11, sa, sb, n = _pair_counts(a, b)
+    total = n * (n - 1) / 2.0
+    if total == 0:
+        return 0.0
+    expected = sa * sb / total
+    max_idx = (sa + sb) / 2.0
+    if max_idx == expected:
+        return 0.0
+    ari = (s11 - expected) / (max_idx - expected)
+    return 1.0 - ari
+
+
+def jaccard_measure(a: DataFrame, b: DataFrame) -> float:
+    """JaccardMeasure: 1 - |S11| / (|S11| + disagreements) over pairs."""
+    s11, sa, sb, n = _pair_counts(a, b)
+    denom = sa + sb - s11
+    if denom == 0:
+        return 0.0
+    return 1.0 - s11 / denom
+
+
+def nmi_distance(a: DataFrame, b: DataFrame) -> float:
+    """NMIDistance.cpp: 1 - NMI (normalized by max entropy)."""
+    ct = _contingency(a, b).persist()
+    n = int(ct.agg(F.sum("nij")).collect()[0][0] or 0)
+    if n == 0:
+        return 0.0
+    rows = ct.collect()
+    ni: dict = {}
+    nj: dict = {}
+    for r in rows:
+        ni[r["la"]] = ni.get(r["la"], 0) + r["nij"]
+        nj[r["lb"]] = nj.get(r["lb"], 0) + r["nij"]
+    mi = 0.0
+    for r in rows:
+        p = r["nij"] / n
+        mi += p * math.log(p / ((ni[r["la"]] / n) * (nj[r["lb"]] / n)))
+    ha = -sum((c / n) * math.log(c / n) for c in ni.values())
+    hb = -sum((c / n) * math.log(c / n) for c in nj.values())
+    ct.unpersist()
+    hmax = max(ha, hb)
+    if hmax == 0:
+        return 0.0
+    return 1.0 - mi / hmax
+
+
+# -- local (per-community) quality measures ---------------------------------
+
+def intrapartition_density(graph: Graph, labels: DataFrame) -> DataFrame:
+    """IntrapartitionDensity: per community, intra-edge count / C(size, 2)."""
+    la = labels.select(F.col("node").alias("src"), F.col("label").alias("lsrc"))
+    lb = labels.select(F.col("node").alias("dst"), F.col("label").alias("ldst"))
+    intra = (
+        graph.edges.filter(F.col("src") != F.col("dst"))
+        .join(la, "src").join(lb, "dst")
+        .filter(F.col("lsrc") == F.col("ldst"))
+        .groupBy(F.col("lsrc").alias("label"))
+        .agg(F.count("*").alias("m_in"))
+    )
+    sizes = labels.groupBy("label").agg(F.count("*").alias("size"))
+    return sizes.join(intra, "label", "left").select(
+        "label",
+        F.when(
+            F.col("size") >= 2,
+            F.coalesce("m_in", F.lit(0)) / (F.col("size") * (F.col("size") - 1) / 2.0),
+        ).otherwise(0.0).alias("density"),
+    )
+
+
+def partition_fragmentation(graph: Graph, labels: DataFrame) -> DataFrame:
+    """PartitionFragmentation: per community, 1 - (largest connected chunk
+    inside the community) / community size."""
+    from .components import connected_components
+
+    sub = graph.subgraph_from_nodes(labels.select("node"))
+    # components within each community: restrict edges to intra-community
+    la = labels.select(F.col("node").alias("src"), F.col("label").alias("lsrc"))
+    lb = labels.select(F.col("node").alias("dst"), F.col("label").alias("ldst"))
+    intra_edges = (
+        sub.edges.join(la, "src").join(lb, "dst")
+        .filter(F.col("lsrc") == F.col("ldst"))
+        .select("src", "dst", "weight")
+    )
+    intra_graph = Graph(intra_edges, directed=False, weighted=graph.weighted)
+    comp = connected_components(Graph(
+        intra_edges.unionByName(
+            labels.select(F.col("node").alias("src"), F.col("node").alias("dst"))
+            .withColumn("weight", F.lit(1.0))
+        ),
+        directed=False,
+    ))
+    chunk = (
+        labels.join(comp, "node")
+        .groupBy("label", "component")
+        .agg(F.count("*").alias("chunk"))
+        .groupBy("label")
+        .agg(F.max("chunk").alias("largest"))
+    )
+    sizes = labels.groupBy("label").agg(F.count("*").alias("size"))
+    return sizes.join(chunk, "label").select(
+        "label", (1.0 - F.col("largest") / F.col("size")).alias("fragmentation")
+    )
+
+
+def partition_hub_dominance(graph: Graph, labels: DataFrame) -> DataFrame:
+    """PartitionHubDominance: per community, max internal degree /
+    (size - 1)."""
+    la = labels.select(F.col("node").alias("src"), F.col("label").alias("lsrc"))
+    lb = labels.select(F.col("node").alias("dst"), F.col("label").alias("ldst"))
+    internal_deg = (
+        graph.sym().join(la, "src").join(lb, "dst")
+        .filter(F.col("lsrc") == F.col("ldst"))
+        .groupBy("src", "lsrc")
+        .agg(F.count("*").alias("d_in"))
+        .groupBy(F.col("lsrc").alias("label"))
+        .agg(F.max("d_in").alias("max_in"))
+    )
+    sizes = labels.groupBy("label").agg(F.count("*").alias("size"))
+    return sizes.join(internal_deg, "label", "left").select(
+        "label",
+        F.when(
+            F.col("size") >= 2, F.coalesce("max_in", F.lit(0)) / (F.col("size") - 1.0)
+        ).otherwise(0.0).alias("hub_dominance"),
+    )
+
+
+def stable_partition_nodes(graph: Graph, labels: DataFrame) -> DataFrame:
+    """StablePartitionNodes: per node, is the node 'stable' — strictly more
+    neighbors inside its community than in any other single community."""
+    la = labels.select(F.col("node").alias("src"), F.col("label").alias("lsrc"))
+    lb = labels.select(F.col("node").alias("dst"), F.col("label").alias("ldst"))
+    cnt = (
+        graph.sym().join(la, "src").join(lb, "dst")
+        .groupBy("src", "lsrc", "ldst")
+        .agg(F.count("*").alias("c"))
+    )
+    own = cnt.filter(F.col("lsrc") == F.col("ldst")).select(
+        F.col("src").alias("node"), F.col("c").alias("own_c")
+    )
+    best_other = (
+        cnt.filter(F.col("lsrc") != F.col("ldst"))
+        .groupBy(F.col("src").alias("node"))
+        .agg(F.max("c").alias("other_c"))
+    )
+    return (
+        labels.select("node")
+        .join(own, "node", "left")
+        .join(best_other, "node", "left")
+        .select(
+            "node",
+            (
+                F.coalesce("own_c", F.lit(0)) > F.coalesce("other_c", F.lit(0))
+            ).alias("stable"),
+        )
+    )
+
+
+def clustering_generator_singleton(graph: Graph) -> DataFrame:
+    """ClusteringGenerator::makeSingletonClustering."""
+    return graph.nodes().select("node", F.col("node").alias("label"))
+
+
+def clustering_generator_one(graph: Graph) -> DataFrame:
+    """ClusteringGenerator::makeOneClustering."""
+    return graph.nodes().select("node", F.lit(0).cast("long").alias("label"))
+
+
+def clustering_generator_random(graph: Graph, k: int, seed: int = 42) -> DataFrame:
+    """makeRandomClustering — deterministic hash-based assignment."""
+    return graph.nodes().select(
+        "node", (F.abs(F.xxhash64("node", F.lit(seed))) % k).alias("label")
+    )

@@ -1,0 +1,316 @@
+"""Remaining operator surface: diameter estimation, algebraic distance,
+Luby's independent set, Borůvka spanning forest, personalized PageRank +
+PageRankNibble sweep.
+
+Reference files:
+- cpp/distance/Diameter.{h,cpp} (iFub exact + estimatedRange via 2-sweep)
+- cpp/distance/AlgebraicDistance.cpp (~100 LoC, iterative smoothing)
+- cpp/independentset/Luby.cpp (random-priority maximal independent set)
+- cpp/graph/SpanningForest.cpp / KruskalMSF (sequential union-find → here
+  Borůvka min-edge supersteps, the textbook distributed MSF)
+- cpp/scd/ApproximatePageRank.{h,cpp} + PageRankNibble.{h,cpp}
+  (_NetworKit.pyx:6628-6640): seeded community via personalized PR +
+  conductance sweep cut.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..graph import Graph
+from .distance import bfs_distances
+
+
+def diameter_range(graph: Graph, start: Optional[int] = None) -> tuple[int, int]:
+    """Diameter 2-sweep estimate (Diameter.h estimatedRange): BFS from a
+    start node, then BFS from the farthest node found; returns
+    (lower_bound, upper_bound) = (ecc2, 2*ecc2)."""
+    if start is None:
+        start = int(graph.nodes().agg(F.min("node")).collect()[0][0])
+    d1 = bfs_distances(graph, start)
+    far = d1.orderBy(F.desc("dist"), F.asc("node")).limit(1).collect()[0]
+    d2 = bfs_distances(graph, int(far["node"]))
+    ecc2 = int(d2.agg(F.max("dist")).collect()[0][0] or 0)
+    return ecc2, 2 * ecc2
+
+
+def algebraic_distance(
+    graph: Graph, num_systems: int = 8, num_iters: int = 10, omega: float = 0.5, seed: int = 42
+) -> DataFrame:
+    """AlgebraicDistance.cpp: iterate Jacobi over-relaxation smoothing of
+    ``num_systems`` random node vectors; per-edge distance = max coordinate
+    difference. Init is hash-seeded (deterministic). Returns
+    (src, dst, score)."""
+    nodes = graph.nodes()
+    cols = []
+    for s in range(num_systems):
+        u = (F.abs(F.xxhash64("node", F.lit(s), F.lit(seed))) % F.lit(2 ** 52)).cast(
+            "double"
+        ) / F.lit(float(2 ** 52))
+        cols.append(u.alias(f"x{s}"))
+    x = nodes.select("node", *cols).localCheckpoint(eager=True)
+    sym = graph.sym().persist()
+    wdeg = graph.weighted_degrees().persist()
+    for _ in range(num_iters):
+        nbr = (
+            sym.join(x, sym.dst == x.node)
+            .groupBy(F.col("src").alias("node"))
+            .agg(*[F.sum(F.col(f"x{s}") * F.col("weight")).alias(f"n{s}") for s in range(num_systems)])
+        )
+        x = (
+            x.join(nbr, "node", "left")
+            .join(wdeg, "node")
+            .select(
+                "node",
+                *[
+                    (
+                        F.lit(1 - omega) * F.col(f"x{s}")
+                        + F.lit(omega) * F.coalesce(F.col(f"n{s}") / F.col("wdeg"), F.col(f"x{s}"))
+                    ).alias(f"x{s}")
+                    for s in range(num_systems)
+                ],
+            )
+            .localCheckpoint(eager=True)
+        )
+    xu = x.select(F.col("node").alias("src"), *[F.col(f"x{s}").alias(f"u{s}") for s in range(num_systems)])
+    xv = x.select(F.col("node").alias("dst"), *[F.col(f"x{s}").alias(f"v{s}") for s in range(num_systems)])
+    diffs = [F.abs(F.col(f"u{s}") - F.col(f"v{s}")) for s in range(num_systems)]
+    sym.unpersist()
+    wdeg.unpersist()
+    return (
+        graph.edges.join(xu, "src").join(xv, "dst")
+        .select("src", "dst", F.greatest(*diffs).alias("score"))
+    )
+
+
+def luby_independent_set(graph: Graph, seed: int = 42, max_iter: int = 100) -> DataFrame:
+    """Luby.cpp: maximal independent set via random priorities — per round,
+    nodes that beat all undecided neighbors' hash-priorities join the set;
+    their neighbors drop out. Deterministic (hash priorities), O(log n)
+    rounds w.h.p. Returns (node) of the MIS."""
+    sym = graph.sym().select("src", "dst").filter(F.col("src") != F.col("dst")).persist()
+    undecided = graph.nodes().localCheckpoint(eager=True)
+    chosen = None
+    rnd = 0
+    while rnd < max_iter:
+        rnd += 1
+        pri = undecided.select(
+            "node", F.xxhash64("node", F.lit(seed), F.lit(rnd)).alias("pri")
+        )
+        e = (
+            sym.join(pri.withColumnRenamed("node", "src").withColumnRenamed("pri", "ps"), "src")
+            .join(pri.withColumnRenamed("node", "dst").withColumnRenamed("pri", "pd"), "dst")
+        )
+        # a node loses if any undecided neighbor has (pri, id) greater
+        losers = e.filter(
+            (F.col("pd") > F.col("ps"))
+            | ((F.col("pd") == F.col("ps")) & (F.col("dst") > F.col("src")))
+        ).select(F.col("src").alias("node")).distinct()
+        winners = pri.select("node").join(losers, "node", "left_anti").localCheckpoint(eager=True)
+        if winners.isEmpty():
+            break
+        chosen = winners if chosen is None else chosen.unionByName(winners).localCheckpoint(eager=True)
+        nbrs_of_winners = (
+            sym.join(winners.withColumnRenamed("node", "src"), "src", "left_semi")
+            .select(F.col("dst").alias("node")).distinct()
+        )
+        undecided = (
+            undecided.join(winners, "node", "left_anti")
+            .join(nbrs_of_winners, "node", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if undecided.isEmpty():
+            break
+    sym.unpersist()
+    return chosen if chosen is not None else undecided.limit(0)
+
+
+def spanning_forest(graph: Graph, max_iter: int = 64, minimum: bool = True) -> DataFrame:
+    """Borůvka supersteps (SpanningForest / KruskalMSF analog — Kruskal's
+    union-find is sequential; Borůvka is the distributed classic): per round
+    every component picks its cheapest outgoing edge (deterministic
+    tie-break by (weight, src, dst)), merges via hash-to-min on the picked
+    edges. Returns the forest edges (src, dst, weight)."""
+    sign = 1.0 if minimum else -1.0
+    comp = graph.nodes().select("node", F.col("node").alias("comp")).localCheckpoint(eager=True)
+    edges = graph.edges.filter(F.col("src") != F.col("dst")).persist()
+    forest = None
+    for _ in range(max_iter):
+        ec = (
+            edges.join(comp.withColumnRenamed("node", "src").withColumnRenamed("comp", "cs"), "src")
+            .join(comp.withColumnRenamed("node", "dst").withColumnRenamed("comp", "cd"), "dst")
+            .filter(F.col("cs") != F.col("cd"))
+        )
+        if ec.isEmpty():
+            break
+        # cheapest outgoing edge per component (consider both directions)
+        cand = ec.select(F.col("cs").alias("c"), "src", "dst", "weight").unionByName(
+            ec.select(F.col("cd").alias("c"), "src", "dst", "weight")
+        )
+        w = Window.partitionBy("c").orderBy(
+            (F.col("weight") * sign).asc(), F.col("src").asc(), F.col("dst").asc()
+        )
+        picked = (
+            cand.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("src", "dst", "weight")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        forest = picked if forest is None else forest.unionByName(picked).distinct().localCheckpoint(eager=True)
+        # merge components over picked edges: hash-to-min until stable
+        pe = picked.join(comp.withColumnRenamed("node", "src").withColumnRenamed("comp", "cs"), "src") \
+                   .join(comp.withColumnRenamed("node", "dst").withColumnRenamed("comp", "cd"), "dst") \
+                   .select("cs", "cd")
+        pe = pe.unionByName(pe.select(F.col("cd").alias("cs"), F.col("cs").alias("cd")))
+        mapping = comp.select(F.col("comp").alias("c")).distinct().select("c", F.col("c").alias("root"))
+        for _ in range(max_iter):
+            nbr = (
+                pe.join(mapping.withColumnRenamed("c", "cs").withColumnRenamed("root", "rs"), "cs")
+                .groupBy(F.col("cd").alias("c"))
+                .agg(F.min("rs").alias("cand_root"))
+            )
+            new_map = (
+                mapping.join(nbr, "c", "left")
+                .select("c", F.least(F.col("root"), F.coalesce("cand_root", F.col("root"))).alias("root"))
+                .localCheckpoint(eager=True)
+            )
+            changed = (
+                new_map.alias("a").join(mapping.alias("b"), "c")
+                .filter(F.col("a.root") != F.col("b.root")).count()
+            )
+            mapping = new_map
+            if changed == 0:
+                break
+        comp = (
+            comp.join(mapping.withColumnRenamed("c", "comp"), "comp")
+            .select("node", F.col("root").alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+    edges.unpersist()
+    if forest is None:
+        return graph.edges.limit(0)
+    return forest
+
+
+def personalized_pagerank(
+    graph: Graph,
+    seeds: list[int],
+    damp: float = 0.85,
+    tol: float = 1e-8,
+    max_iter: int = 100,
+) -> DataFrame:
+    """ApproximatePageRank analog (push-based in the reference,
+    cpp/scd/ApproximatePageRank.h:20-35; here the same fixpoint via global
+    power iteration with teleport restricted to the seed set)."""
+    import math
+
+    n_seeds = len(seeds)
+    nodes = graph.nodes().persist()
+    out = graph.sym()
+    wdeg = out.groupBy("src").agg(F.sum("weight").alias("wdeg"))
+    trans = out.join(wdeg, "src").select(
+        "src", "dst", (F.col("weight") / F.col("wdeg")).alias("p")
+    ).persist()
+    trans.count()
+    seed_df = nodes.select(
+        "node",
+        F.when(F.col("node").isin(seeds), F.lit(1.0 / n_seeds)).otherwise(F.lit(0.0)).alias("tele"),
+    ).persist()
+    ranks = seed_df.select("node", F.col("tele").alias("score")).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        sums = (
+            trans.join(F.broadcast(ranks), trans.src == ranks.node)
+            .groupBy("dst")
+            .agg(F.sum(F.col("p") * F.col("score")).alias("mass"))
+        )
+        new = (
+            seed_df.join(F.broadcast(sums), seed_df.node == sums.dst, "left")
+            .select(
+                "node",
+                (F.lit(damp) * F.coalesce("mass", F.lit(0.0)) + F.lit(1 - damp) * F.col("tele")).alias("score"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        resid = (
+            new.alias("a").join(ranks.alias("b"), "node")
+            .agg(F.sum(F.abs(F.col("a.score") - F.col("b.score"))).alias("s"))
+            .collect()[0]["s"]
+        )
+        ranks = new
+        if (resid or 0.0) <= tol:
+            break
+    trans.unpersist()
+    nodes.unpersist()
+    seed_df.unpersist()
+    return ranks
+
+
+def pagerank_nibble(
+    graph: Graph, seed: int, damp: float = 0.85, tol: float = 1e-6
+) -> DataFrame:
+    """PageRankNibble (cpp/scd/PageRankNibble.{h,cpp}): personalized PR from
+    the seed, order nodes by score/degree, take the prefix with minimum
+    conductance (sweep cut via running window aggregates). Returns (node)
+    of the detected community."""
+    ppr = personalized_pagerank(graph, [seed], damp=damp, tol=tol)
+    deg = graph.weighted_degrees()
+    total_vol = deg.agg(F.sum("wdeg")).collect()[0][0] or 0.0
+    ordered = (
+        ppr.filter(F.col("score") > 0)
+        .join(deg, "node")
+        .select("node", (F.col("score") / F.col("wdeg")).alias("key"), "wdeg")
+        .orderBy(F.desc("key"), F.asc("node"))
+        .withColumn("pos", F.row_number().over(Window.orderBy(F.desc("key"), F.asc("node"))))
+    ).persist()
+    # cut(prefix) computed per position: edges with exactly one endpoint in prefix
+    pos_map = ordered.select("node", "pos")
+    e = (
+        graph.sym()
+        .join(pos_map.withColumnRenamed("node", "src").withColumnRenamed("pos", "ps"), "src", "left")
+        .join(pos_map.withColumnRenamed("node", "dst").withColumnRenamed("pos", "pd"), "dst", "left")
+        .select(
+            F.coalesce("ps", F.lit(2 ** 62)).alias("ps"),
+            F.coalesce("pd", F.lit(2 ** 62)).alias("pd"),
+            "weight",
+        )
+    )
+    # for prefix length L: edge (ps, pd) is cut iff min(ps,pd) <= L < max(ps,pd)
+    lo = F.least("ps", "pd")
+    hi = F.greatest("ps", "pd")
+    deltas = (
+        e.filter(lo < hi)
+        .select(lo.alias("enter"), hi.alias("leave"), "weight")
+    )
+    enters = deltas.groupBy(F.col("enter").alias("pos")).agg(F.sum("weight").alias("w_in"))
+    leaves = deltas.groupBy(F.col("leave").alias("pos")).agg(F.sum("weight").alias("w_out"))
+    sweep = (
+        ordered.select("pos", "wdeg")
+        .join(enters, "pos", "left")
+        .join(leaves, "pos", "left")
+        .orderBy("pos")
+        .select(
+            "pos",
+            F.sum("wdeg").over(Window.orderBy("pos")).alias("vol"),
+            (
+                F.sum(F.coalesce("w_in", F.lit(0.0))).over(Window.orderBy("pos"))
+                - F.sum(F.coalesce("w_out", F.lit(0.0))).over(Window.orderBy("pos"))
+            ).alias("cut"),
+        )
+        .withColumn(
+            "cond",
+            F.when(
+                F.least(F.col("vol"), F.lit(total_vol) - F.col("vol")) > 0,
+                F.col("cut") / F.least(F.col("vol"), F.lit(total_vol) - F.col("vol")),
+            ).otherwise(F.lit(float("inf"))),
+        )
+    )
+    best = sweep.orderBy(F.asc("cond"), F.asc("pos")).limit(1).collect()
+    if not best:
+        ordered.unpersist()
+        return graph.nodes().filter(F.col("node") == seed).select("node")
+    best_pos = best[0]["pos"]
+    out = ordered.filter(F.col("pos") <= best_pos).select("node")
+    return out

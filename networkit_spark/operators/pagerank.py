@@ -56,28 +56,36 @@ def pagerank(
     fixed_iters: Optional[int] = None,
     checkpoint_dir: Optional[str] = None,
     num_partitions: Optional[int] = None,
+    broadcast_threshold: int = 2_000_000,
 ) -> DataFrame:
     """Returns (node, score) normalized to sum 1.
 
     ``fixed_iters`` runs exactly that many supersteps with no convergence
     collect (oracle-parity + benchmarking mode); otherwise iterate until the
     L2 residual <= tol, one scalar collect per superstep.
+
+    Physical plan: the cached transition edges NEVER reshuffle. When the rank
+    vector is small (n <= broadcast_threshold) it broadcasts into a map-side
+    join, so a superstep is scan + broadcast-join + partial agg + one
+    n-row shuffle. Above the threshold both sides hash-join on src — the
+    adjacency side pre-partitioned once via ``num_partitions``.
     """
     n = graph.num_nodes()
-    nodes = graph.nodes()
+    nodes = graph.nodes().persist()
     trans = _transition(graph, num_partitions).persist()
     trans.count()  # materialize the cached adjacency once
+    bcast = (lambda df: F.broadcast(df)) if n <= broadcast_threshold else (lambda df: df)
 
     teleport = (1.0 - damp) / n
     init = nodes.select("node", F.lit(1.0 / n).alias("score"))
 
     def step(ranks: DataFrame, i: int):
         sums = (
-            trans.join(ranks, trans.src == ranks.node)
+            trans.join(bcast(ranks), trans.src == ranks.node)
             .groupBy("dst")
             .agg(F.sum(F.col("p") * F.col("score")).alias("mass"))
         )
-        new = nodes.join(sums, nodes.node == sums.dst, "left").select(
+        new = nodes.join(bcast(sums), nodes.node == sums.dst, "left").select(
             "node",
             (F.lit(damp) * F.coalesce("mass", F.lit(0.0)) + F.lit(teleport)).alias(
                 "score"
@@ -101,6 +109,7 @@ def pagerank(
     )
     state = driver.run(init, step)
     trans.unpersist()
+    nodes.unpersist()
     result = state.df
     total = result.agg(F.sum("score").alias("t")).collect()[0]["t"]
     out = result.select("node", (F.col("score") / F.lit(total)).alias("score"))

@@ -1,0 +1,142 @@
+"""Edge sparsification — score edges, filter by global threshold.
+
+Reference: /root/reference/networkit/cpp/sparsification/ (Sparsifiers.h:
+23-160) + networkit/sparsification.py: edge scorers (TriangleEdgeScore-based
+Simmelian variants, LocalDegreeScore, LocalSimilarityScore, RandomEdgeScore)
+feeding ``GlobalThresholdFilter`` (GlobalThresholdFilter.cpp) =
+``edges.filter(score >= t)``. Also edgescores/: PrefixJaccardScore,
+GeometricMeanScore, EdgeScoreNormalizer/Blender/Linearizer/AsWeight.
+
+Everything is relational: one triangle/wedge join for the structural scores,
+then column arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..graph import Graph
+from .triangles import triangle_edge_score
+
+
+def jaccard_similarity_score(graph: Graph) -> DataFrame:
+    """(src, dst, score): Jaccard of endpoint neighborhoods =
+    tri(e) / (deg(u) + deg(v) - tri(e) - 2) — the SCAN structural similarity
+    shape (SCANStructuralSimilarityScore) from the per-edge triangle count."""
+    tri = triangle_edge_score(graph)
+    deg = graph.degrees()
+    j = (
+        tri.join(deg.withColumnRenamed("node", "src").withColumnRenamed("degree", "du"), "src")
+        .join(deg.withColumnRenamed("node", "dst").withColumnRenamed("degree", "dv"), "dst")
+    )
+    denom = F.col("du") + F.col("dv") - F.col("score") - 2
+    return j.select(
+        "src", "dst",
+        F.when(denom > 0, F.col("score") / denom).otherwise(0.0).alias("score"),
+    )
+
+
+def local_degree_score(graph: Graph) -> DataFrame:
+    """LocalDegreeScore: rank of the edge within each endpoint's adjacency by
+    the OTHER endpoint's degree; score = 1 - log(rank)/log(deg) (keeps
+    hub-to-hub backbone edges)."""
+    deg = graph.degrees()
+    sym = graph.sym().select("src", "dst")
+    ranked = (
+        sym.join(deg.withColumnRenamed("node", "dst").withColumnRenamed("degree", "dd"), "dst")
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("src").orderBy(F.desc("dd"), F.asc("dst"))
+            ),
+        )
+        .join(deg.withColumnRenamed("node", "src").withColumnRenamed("degree", "ds"), "src")
+        .select(
+            "src", "dst",
+            F.when(
+                F.col("ds") > 1,
+                1.0 - F.log(F.col("rnk").cast("double")) / F.log(F.col("ds").cast("double")),
+            ).otherwise(1.0).alias("s"),
+        )
+    )
+    canon = ranked.select(
+        F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst"), "s"
+    )
+    return canon.groupBy("src", "dst").agg(F.max("s").alias("score"))
+
+
+def random_edge_score(graph: Graph, seed: int = 42) -> DataFrame:
+    """RandomEdgeScore — deterministic hash-uniform in [0,1) per edge."""
+    return graph.edges.select(
+        "src", "dst",
+        ((F.abs(F.xxhash64("src", "dst", F.lit(seed))) % F.lit(2 ** 53)).cast("double")
+         / F.lit(float(2 ** 53))).alias("score"),
+    )
+
+
+def simmelian_overlap_score(graph: Graph, max_rank: int = 10) -> DataFrame:
+    """SimmelianOverlapScore (non-parametric): overlap of the top-``max_rank``
+    strongest ties (by per-edge triangle count) of both endpoints."""
+    tri = triangle_edge_score(graph)
+    both = tri.unionByName(
+        tri.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "score")
+    )
+    ranked = both.withColumn(
+        "rnk",
+        F.row_number().over(Window.partitionBy("src").orderBy(F.desc("score"), F.asc("dst"))),
+    ).filter(F.col("rnk") <= max_rank)
+    nu = ranked.select(F.col("src").alias("u"), F.col("dst").alias("z"))
+    nv = ranked.select(F.col("src").alias("v"), F.col("dst").alias("z"))
+    pairs = graph.edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    overlap = (
+        pairs.join(nu, "u").join(nv, ["v", "z"]).groupBy("u", "v").agg(F.count("*").alias("ov"))
+    )
+    return pairs.join(overlap, ["u", "v"], "left").select(
+        F.col("u").alias("src"), F.col("v").alias("dst"),
+        F.coalesce("ov", F.lit(0)).cast("double").alias("score"),
+    )
+
+
+def normalize_score(scores: DataFrame, invert: bool = False) -> DataFrame:
+    """EdgeScoreNormalizer: min-max normalize to [0,1]."""
+    row = scores.agg(F.min("score").alias("lo"), F.max("score").alias("hi")).collect()[0]
+    lo, hi = row["lo"], row["hi"]
+    span = (hi - lo) or 1.0
+    norm = (F.col("score") - lo) / span
+    return scores.select("src", "dst", (1.0 - norm if invert else norm).alias("score"))
+
+
+def blend_scores(a: DataFrame, b: DataFrame, weight_a: float = 0.5) -> DataFrame:
+    """EdgeScoreBlender: convex combination of two edge scores."""
+    bb = b.withColumnRenamed("score", "score_b")
+    return a.join(bb, ["src", "dst"]).select(
+        "src", "dst",
+        (F.lit(weight_a) * F.col("score") + F.lit(1 - weight_a) * F.col("score_b")).alias("score"),
+    )
+
+
+def score_as_weight(graph: Graph, scores: DataFrame) -> Graph:
+    """EdgeScoreAsWeight: replace edge weights with scores."""
+    e = graph.edges.drop("weight").join(scores, ["src", "dst"]).select(
+        "src", "dst", F.col("score").alias("weight")
+    )
+    return Graph(e, directed=graph.directed, weighted=True)
+
+
+def global_threshold_filter(
+    graph: Graph, scores: DataFrame, threshold: float, above: bool = True
+) -> Graph:
+    """GlobalThresholdFilter.cpp: keep edges with score >= (or <) t."""
+    cond = F.col("score") >= threshold if above else F.col("score") < threshold
+    kept = graph.edges.join(scores.filter(cond).select("src", "dst"), ["src", "dst"], "left_semi")
+    return Graph(kept, directed=graph.directed, weighted=graph.weighted)
+
+
+def sparsify_to_ratio(
+    graph: Graph, scores: DataFrame, target_ratio: float
+) -> Graph:
+    """Parametric sparsifier surface (Sparsifiers.h getSparsifiedGraphOfSize):
+    keep the top ``target_ratio`` fraction of edges by score via an
+    approx-quantile threshold (single pass, no global sort)."""
+    t = scores.stat.approxQuantile("score", [1.0 - target_ratio], 0.001)[0]
+    return global_threshold_filter(graph, scores, t)

@@ -1,0 +1,90 @@
+import pytest
+from pyspark.sql import functions as F
+
+from networkit_spark.graph import Graph
+from networkit_spark.operators.community import modularity
+from networkit_spark.operators.measures import (
+    adjusted_rand_measure,
+    clustering_generator_one,
+    clustering_generator_random,
+    clustering_generator_singleton,
+    intrapartition_density,
+    jaccard_measure,
+    nmi_distance,
+    partition_hub_dominance,
+    rand_measure,
+    stable_partition_nodes,
+)
+from networkit_spark.operators.plm import plm
+
+TWO_CLIQUES = [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5), (2, 3)]
+
+
+@pytest.fixture(scope="module")
+def g(spark):
+    return Graph.from_edge_list(spark, TWO_CLIQUES, num_nodes=6)
+
+
+def labels_df(spark, mapping):
+    return spark.createDataFrame(list(mapping.items()), "node long, label long")
+
+
+def test_plm_two_cliques(spark, g):
+    labels = plm(g)
+    got = {r["node"]: r["label"] for r in labels.collect()}
+    # two communities, split at the bridge; canonical min-member labels
+    assert got[0] == got[1] == got[2]
+    assert got[3] == got[4] == got[5]
+    assert got[0] != got[3]
+    assert modularity(g, labels) == pytest.approx(10 / 28, abs=1e-9)
+
+
+def test_plm_monotone_modularity_on_random(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    n = 40
+    edges = sorted({(min(int(a), int(b)), max(int(a), int(b)))
+                    for a, b in rng.randint(0, n, size=(150, 2)) if a != b})
+    g = Graph.from_edge_list(spark, edges, num_nodes=n)
+    labels = plm(g)
+    singleton_mod = modularity(g, clustering_generator_singleton(g))
+    assert modularity(g, labels) >= singleton_mod - 1e-12
+    # proper clustering
+    assert labels.count() == n
+    assert labels.groupBy("node").count().filter("count > 1").count() == 0
+
+
+def test_pair_counting_measures(spark, g):
+    a = labels_df(spark, {0: 0, 1: 0, 2: 0, 3: 1, 4: 1, 5: 1})
+    same = labels_df(spark, {0: 7, 1: 7, 2: 7, 3: 9, 4: 9, 5: 9})  # relabeled
+    b = labels_df(spark, {0: 0, 1: 0, 2: 1, 3: 1, 4: 1, 5: 1})
+    assert rand_measure(a, same) == pytest.approx(0.0)
+    assert adjusted_rand_measure(a, same) == pytest.approx(0.0)
+    assert jaccard_measure(a, same) == pytest.approx(0.0)
+    assert nmi_distance(a, same) == pytest.approx(0.0)
+    # a vs b disagree on pairs involving node 2: (0,2),(1,2) same→diff and
+    # (2,3),(2,4),(2,5) diff→same → 5 of 15 pairs disagree
+    assert rand_measure(a, b) == pytest.approx(5 / 15)
+    assert 0 < nmi_distance(a, b) < 1
+    assert 0 < adjusted_rand_measure(a, b) < 1
+
+
+def test_local_measures(spark, g):
+    lab = labels_df(spark, {0: 0, 1: 0, 2: 0, 3: 3, 4: 3, 5: 3})
+    dens = {r["label"]: r["density"] for r in intrapartition_density(g, lab).collect()}
+    assert dens == {0: 1.0, 3: 1.0}  # cliques are fully dense
+    hub = {r["label"]: r["hub_dominance"] for r in partition_hub_dominance(g, lab).collect()}
+    assert hub == {0: 1.0, 3: 1.0}
+    stable = {r["node"]: r["stable"] for r in stable_partition_nodes(g, lab).collect()}
+    assert stable[0] and stable[1]  # inner nodes clearly stable
+    assert stable[2]  # 2 intra, 1 inter
+
+
+def test_clustering_generators(spark, g):
+    assert clustering_generator_one(g).select("label").distinct().count() == 1
+    s = clustering_generator_singleton(g)
+    assert s.select("label").distinct().count() == 6
+    r1 = clustering_generator_random(g, 3, seed=1).collect()
+    r2 = clustering_generator_random(g, 3, seed=1).collect()
+    assert sorted(map(tuple, r1)) == sorted(map(tuple, r2))

@@ -1,0 +1,138 @@
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from networkit_spark.functions.dedup import (
+    embedding_neardup_pairs,
+    exact_duplicates,
+    minhash_lsh_pairs,
+    simhash_fingerprints,
+)
+from networkit_spark.functions.similarity import (
+    cosine_topk_bruteforce,
+    cosine_topk_ivf,
+)
+from networkit_spark.functions.text import analyze_documents
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog and runs away", "en"),
+        (1, "the quick brown fox jumps over the lazy dog and runs away", "en"),  # exact dup of 0
+        (2, "the quick brown fox jumps over the lazy dog and walks away", "en"),  # near dup
+        (3, "der hund ist nicht ein fuchs und das ist gut", "de"),
+        (4, "completely different content about spark dataframes and shuffles", "en"),
+        (5, "x", "en"),  # shorter than shingle size
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_exact_duplicates(spark, docs):
+    d = {r["doc_id"]: r["dup_of"] for r in exact_duplicates(docs).collect()}
+    assert d == {1: 0}
+
+
+def test_minhash_near_dup(spark, docs):
+    pairs = {(r["a"], r["b"]): r["jaccard"] for r in
+             minhash_lsh_pairs(docs, threshold=0.5).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs or (1, 2) in pairs  # near dup caught by LSH
+    assert all(a < b for a, b in pairs)
+    assert not any({a, b} & {4} for a, b in pairs)  # unrelated doc never pairs
+
+
+def test_simhash_properties(spark, docs):
+    fps = {r["doc_id"]: r["simhash"] for r in simhash_fingerprints(docs).collect()}
+    assert fps[0] == fps[1]  # identical docs → identical fingerprints
+    ham02 = bin(fps[0] ^ fps[2]).count("1")
+    ham04 = bin(fps[0] ^ fps[4]).count("1")
+    assert ham02 < ham04  # near-dup closer in hamming space than unrelated
+
+
+def test_text_profile(spark, docs):
+    prof = {r["doc_id"]: r for r in analyze_documents(docs).collect()}
+    assert prof[0]["n_tokens"] == 12
+    assert prof[0]["lang_pred"] == "en"
+    assert prof[3]["lang_pred"] == "de"
+    assert prof[0]["fp64"] == prof[1]["fp64"]
+    # fingerprint matches hashlib md5 prefix
+    expected = int(hashlib.md5(b"x").hexdigest()[:15], 16)
+    assert prof[5]["fp64"] == expected
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    base = rng.randn(20, 16).astype("float32")
+    base[5] = base[0] + 0.01 * rng.randn(16).astype("float32")  # near dup of 0
+    rows = [(i, [float(x) for x in base[i]]) for i in range(20)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_embedding_neardup(spark, embeddings):
+    pairs = [(r["a"], r["b"]) for r in
+             embedding_neardup_pairs(embeddings, threshold=0.95, lsh_bits=4).collect()]
+    assert (0, 5) in pairs
+
+
+def test_ann_bruteforce_vs_numpy(spark, embeddings):
+    import numpy as np
+
+    q = embeddings.filter("vec_id = 0").withColumnRenamed("vec_id", "query_id")
+    got = [
+        (r["vec_id"], r["rank"])
+        for r in cosine_topk_bruteforce(embeddings, q, k=5).orderBy("rank").collect()
+    ]
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in embeddings.collect()}
+    q0 = vecs[0]
+    sims = sorted(
+        (
+            (-(vecs[i] @ q0) / (np.linalg.norm(vecs[i]) * np.linalg.norm(q0)), i)
+            for i in vecs if i != 0
+        )
+    )[:5]
+    expected = [(i, r + 1) for r, (_, i) in enumerate(sims)]
+    assert got == expected
+    assert got[0][0] == 5  # the planted near-dup is rank 1
+
+
+def test_ann_ivf_subset_of_bucket(spark, embeddings):
+    q = embeddings.filter("vec_id < 2").withColumnRenamed("vec_id", "query_id")
+    out = cosine_topk_ivf(embeddings, q, k=5, bits=3).collect()
+    # every hit must share the query's 3-bit sign bucket
+    vecs = {r["vec_id"]: r["embedding"] for r in embeddings.collect()}
+
+    def bucket(v):
+        return sum((1 << b) for b in range(3) if v[b] >= 0)
+
+    for r in out:
+        assert bucket(vecs[r["vec_id"]]) == bucket(vecs[r["query_id"]])
+
+
+def test_multimodal_decode_deterministic(spark, docs):
+    from networkit_spark.functions.multimodal import (
+        decode_images,
+        resize_images,
+        sample_video_frames,
+        synthesize_media_from_documents,
+    )
+
+    media = synthesize_media_from_documents(
+        docs.withColumn("n_chars", F.length("text"))
+    )
+    a = sorted(decode_images(media, dims=4).collect())
+    b = sorted(decode_images(media.repartition(7), dims=4).collect())
+    assert a == b  # partitioning-independent
+    assert all(64 <= r["width"] < 2048 for r in a)
+    rs = resize_images(media, 32, 32).collect()
+    assert all(len(r["payload"]) == 32 for r in rs)  # sha256 digest stub
+    with pytest.raises(NotImplementedError):
+        decode_images(media, real=True)
+    vids = media.withColumn("media_type", F.lit("video"))
+    frames = sample_video_frames(vids, every_n=16).collect()
+    assert len(frames) > len(a)  # multiple frames per video

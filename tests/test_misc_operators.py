@@ -1,0 +1,74 @@
+import pytest
+from pyspark.sql import functions as F
+
+from networkit_spark.graph import Graph
+from networkit_spark.operators.misc import (
+    algebraic_distance,
+    diameter_range,
+    luby_independent_set,
+    pagerank_nibble,
+    personalized_pagerank,
+    spanning_forest,
+)
+
+
+def test_diameter_range_path(spark):
+    g = Graph.from_edge_list(spark, [(i, i + 1) for i in range(6)], num_nodes=7)
+    lo, hi = diameter_range(g, start=3)
+    assert lo == 6 and hi == 12  # exact diameter 6 found by 2-sweep from center
+
+
+def test_luby_mis_path(spark):
+    g = Graph.from_edge_list(spark, [(i, i + 1) for i in range(9)], num_nodes=10)
+    mis = sorted(r["node"] for r in luby_independent_set(g).collect())
+    s = set(mis)
+    # independent: no two adjacent
+    assert all((i, i + 1) not in [(a, b) for a in s for b in s if b == a + 1] for i in range(9))
+    for i in range(9):
+        assert not (i in s and i + 1 in s)
+    # maximal: every non-member has a member neighbor
+    for v in range(10):
+        if v not in s:
+            assert (v - 1 in s) or (v + 1 in s)
+
+
+def test_spanning_forest_mst(spark):
+    # square with diagonal: MST must pick the 3 cheapest connecting edges
+    edges = [(0, 1, 1.0), (1, 2, 2.0), (2, 3, 1.0), (0, 3, 5.0), (0, 2, 4.0)]
+    g = Graph.from_edge_list(spark, edges, weighted=True, num_nodes=4)
+    forest = spanning_forest(g).collect()
+    got = sorted((r["src"], r["dst"], r["weight"]) for r in forest)
+    assert got == [(0, 1, 1.0), (1, 2, 2.0), (2, 3, 1.0)]
+    total = sum(w for _, _, w in got)
+    assert total == 4.0
+
+
+def test_spanning_forest_disconnected(spark):
+    edges = [(0, 1, 1.0), (2, 3, 1.0)]
+    g = Graph.from_edge_list(spark, edges, weighted=True, num_nodes=4)
+    assert spanning_forest(g).count() == 2  # one tree per component
+
+
+def test_personalized_pagerank_localizes(spark):
+    # two triangles bridged: PPR from node 0 concentrates on its triangle
+    edges = [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5), (2, 3)]
+    g = Graph.from_edge_list(spark, edges, num_nodes=6)
+    ppr = {r["node"]: r["score"] for r in personalized_pagerank(g, [0]).collect()}
+    assert ppr[0] > ppr[3] and ppr[1] > ppr[4]
+    assert sum(ppr.values()) == pytest.approx(1.0, abs=0.2)  # dangling-free graph
+
+
+def test_pagerank_nibble_finds_seed_community(spark):
+    edges = [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5), (2, 3)]
+    g = Graph.from_edge_list(spark, edges, num_nodes=6)
+    comm = sorted(r["node"] for r in pagerank_nibble(g, seed=0).collect())
+    assert comm == [0, 1, 2]  # the seed's triangle is the min-conductance cut
+
+
+def test_algebraic_distance_separates_clusters(spark):
+    edges = [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5), (2, 3)]
+    g = Graph.from_edge_list(spark, edges, num_nodes=6)
+    ad = {(r["src"], r["dst"]): r["score"] for r in algebraic_distance(g).collect()}
+    bridge = ad[(2, 3)]
+    intra = [v for k, v in ad.items() if k != (2, 3)]
+    assert bridge > max(intra) * 0.8  # bridge is among the largest distances
