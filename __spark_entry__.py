@@ -43,9 +43,17 @@ N_NODES = 1000
 # ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """PageRank of the lineitem-derived link graph at sf0.001."""
+    """Flagship north-star pipeline at sf0.001: synthesize Common-Crawl-style
+    pages whose hrefs encode the lineitem link graph, extract hrefs with a
+    vectorized Arrow pandas UDF, assign dense url-sorted node ids, and run
+    PageRank over the extracted edge table."""
+    from networkit_spark.sources.pages import pages_to_edges, synthesize_pages
+
     g = lineitem_graph(spark, "/root/testdata/sf0.001", n_nodes=500)
-    pr = pagerank(g, damp=0.85, fixed_iters=PR_ITERS)
+    pages = synthesize_pages(g)
+    edges = pages_to_edges(pages)  # both orientations in dense-id space
+    web = Graph(edges, directed=True, weighted=False)
+    pr = pagerank(web, damp=0.85, fixed_iters=PR_ITERS)
     return pr.select("node", F.round("score", 6).alias("score")).orderBy(
         F.desc("score"), F.asc("node")
     )
@@ -355,6 +363,270 @@ def q_intrapartition_density(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# second-wave queries: pages pipeline, more centralities, distances, measures
+# ---------------------------------------------------------------------------
+
+KATZ_ITERS = 15
+KATZ_ALPHA = 5e-4
+KATZ_BETA = 0.1
+EV_ITERS = 10
+PPR_ITERS = 15
+PPR_SEEDS = [0, 1]
+SSSP_ROUNDS = 15
+CL_NSOURCES = 4
+CL_ROUNDS = 10
+DIAM_ROUNDS = 10
+BETW_SOURCES = [0, 1]
+
+
+def q_pages_edges(spark, sf_dir):
+    """input_hint pipeline: synthesize Common-Crawl-style pages whose hrefs
+    encode the lineitem graph, extract hrefs via Arrow pandas UDF, assign
+    dense url-sorted ids, return the edge table."""
+    from networkit_spark.sources.pages import pages_to_edges, synthesize_pages
+
+    pages = synthesize_pages(_g(spark, sf_dir))
+    return pages_to_edges(pages)
+
+
+def q_pages_text_ok(spark, sf_dir):
+    """input_hint per-row invariant: pandas-UDF extraction reproduces the
+    stored text byte-identically (sha256 equality) for every url."""
+    from networkit_spark.sources.pages import extract_and_verify, synthesize_pages
+
+    pages = synthesize_pages(_g(spark, sf_dir))
+    v = extract_and_verify(pages)
+    return v.agg(
+        F.count("*").alias("n_pages"),
+        F.sum(F.when(F.col("ok"), 1).otherwise(0)).cast("long").alias("n_ok"),
+    )
+
+
+def q_katz(spark, sf_dir):
+    from networkit_spark.operators.pagerank import katz_centrality
+
+    out = katz_centrality(
+        _g(spark, sf_dir), alpha=KATZ_ALPHA, beta=KATZ_BETA, fixed_iters=KATZ_ITERS
+    )
+    return out.select("node", F.round("score", 6).alias("score"))
+
+
+def q_eigenvector(spark, sf_dir):
+    from networkit_spark.operators.pagerank import eigenvector_centrality
+
+    out = eigenvector_centrality(_g(spark, sf_dir), fixed_iters=EV_ITERS)
+    return out.select("node", F.round("score", 6).alias("score"))
+
+
+def q_ppr(spark, sf_dir):
+    from networkit_spark.operators.misc import personalized_pagerank
+
+    out = personalized_pagerank(
+        _g(spark, sf_dir), PPR_SEEDS, damp=0.85, tol=-1.0, max_iter=PPR_ITERS
+    )
+    return out.select("node", F.round("score", 6).alias("score"))
+
+
+def q_sssp(spark, sf_dir):
+    from networkit_spark.operators.distance import sssp_distances
+
+    g = _g(spark, sf_dir)
+    source = int(g.nodes().agg(F.min("node")).collect()[0][0])
+    return sssp_distances(g, source).select("node", F.round("dist", 6).alias("dist"))
+
+
+def q_closeness(spark, sf_dir):
+    from networkit_spark.operators.centrality import closeness_sampled
+
+    g = _g(spark, sf_dir)
+    srcs = [
+        int(r["node"])
+        for r in g.nodes().orderBy("node").limit(CL_NSOURCES).collect()
+    ]
+    return closeness_sampled(g, srcs).select(
+        "node", F.round("score", 6).alias("score")
+    )
+
+
+def q_clustering_stats(spark, sf_dir):
+    from networkit_spark.operators.triangles import (
+        average_local_clustering_coefficient,
+        global_clustering_coefficient,
+    )
+
+    g = _g(spark, sf_dir)
+    avg = average_local_clustering_coefficient(g)
+    gcc = global_clustering_coefficient(g)
+    return spark.range(1).select(
+        F.round(F.lit(avg), 6).alias("avg_lcc"),
+        F.round(F.lit(gcc), 6).alias("global_cc"),
+    )
+
+
+def q_component_sizes(spark, sf_dir):
+    from networkit_spark.operators.components import component_sizes
+
+    labels = connected_components(_g(spark, sf_dir))
+    return component_sizes(labels)
+
+
+def q_largest_component(spark, sf_dir):
+    g = _g(spark, sf_dir)
+    labels = connected_components(g).persist()
+    top = (
+        labels.groupBy("component")
+        .agg(F.count("*").alias("n_nodes"))
+        .orderBy(F.desc("n_nodes"), F.asc("component"))
+        .limit(1)
+        .collect()[0]
+    )
+    comp, n_nodes = int(top["component"]), int(top["n_nodes"])
+    la = labels.select(F.col("node").alias("src"), F.col("component").alias("cs"))
+    lb = labels.select(F.col("node").alias("dst"), F.col("component").alias("cd"))
+    n_edges = (
+        g.edges.join(la, "src").join(lb, "dst")
+        .filter((F.col("cs") == comp) & (F.col("cd") == comp))
+        .count()
+    )
+    labels.unpersist()
+    return spark.range(1).select(
+        F.lit(comp).cast("long").alias("component"),
+        F.lit(n_nodes).cast("long").alias("n_nodes"),
+        F.lit(n_edges).cast("long").alias("n_edges"),
+    )
+
+
+def q_partition_compare(spark, sf_dir):
+    """ARI / Jaccard / NMI distances between the PLP partition and the CC
+    partition (reference AdjustedRandMeasure / JaccardMeasure /
+    NMIDistance)."""
+    from networkit_spark.operators.measures import (
+        adjusted_rand_measure,
+        jaccard_measure,
+        nmi_distance,
+    )
+
+    g = _g(spark, sf_dir)
+    a = plp(g, fixed_iters=PLP_ITERS)
+    b = connected_components(g).withColumnRenamed("component", "label")
+    ari = adjusted_rand_measure(a, b)
+    jac = jaccard_measure(a, b)
+    nmi = nmi_distance(a, b)
+    return spark.range(1).select(
+        F.round(F.lit(ari), 6).alias("ari_distance"),
+        F.round(F.lit(jac), 6).alias("jaccard_distance"),
+        F.round(F.lit(nmi), 6).alias("nmi_distance"),
+    )
+
+
+def q_hub_dominance(spark, sf_dir):
+    from networkit_spark.operators.measures import partition_hub_dominance
+
+    g = _g(spark, sf_dir)
+    labels = plp(g, fixed_iters=PLP_ITERS)
+    return partition_hub_dominance(g, labels).select(
+        "label", F.round("hub_dominance", 6).alias("hub_dominance")
+    )
+
+
+def q_stable_nodes(spark, sf_dir):
+    from networkit_spark.operators.measures import stable_partition_nodes
+
+    g = _g(spark, sf_dir)
+    labels = plp(g, fixed_iters=PLP_ITERS)
+    return stable_partition_nodes(g, labels)
+
+
+def q_fragmentation(spark, sf_dir):
+    from networkit_spark.operators.measures import partition_fragmentation
+
+    g = _g(spark, sf_dir)
+    labels = plp(g, fixed_iters=PLP_ITERS)
+    return partition_fragmentation(g, labels).select(
+        "label", F.round("fragmentation", 6).alias("fragmentation")
+    )
+
+
+def q_diameter_range(spark, sf_dir):
+    from networkit_spark.operators.misc import diameter_range
+
+    lb, ub = diameter_range(_g(spark, sf_dir))
+    return spark.range(1).select(
+        F.lit(lb).cast("long").alias("lower"), F.lit(ub).cast("long").alias("upper")
+    )
+
+
+def q_missing_links(spark, sf_dir):
+    from networkit_spark.operators.linkprediction import missing_links
+
+    g = _g(spark, sf_dir)
+    limit = g.nodes().filter(F.col("node") < LP_MAX_NODE)
+    return missing_links(g, limit_nodes=limit)
+
+
+def q_pagerank_csr(spark, sf_dir):
+    """Physical CSR-block SpMV PageRank (plans/layout.py) — identical
+    semantics to q_pagerank, graded against the same SQL oracle."""
+    from networkit_spark.plans.layout import pagerank_csr
+
+    pr = pagerank_csr(
+        _g(spark, sf_dir), damp=0.85, fixed_iters=PR_ITERS, num_buckets=16
+    )
+    return pr.select("node", F.round("score", 6).alias("score"))
+
+
+# -- rows-only queries (no SQL-expressible oracle; driver records row counts)
+
+def q_betweenness(spark, sf_dir):
+    from networkit_spark.operators.centrality import betweenness_sampled
+
+    g = _g(spark, sf_dir)
+    out = betweenness_sampled(g, BETW_SOURCES)
+    return out.select("node", F.round("score", 6).alias("score"))
+
+
+def q_anf_diameter(spark, sf_dir):
+    from networkit_spark.operators.distance import effective_diameter_approx
+
+    d = effective_diameter_approx(_g(spark, sf_dir), ratio=0.9)
+    return spark.range(1).select(F.lit(float(d)).alias("effective_diameter"))
+
+
+def q_luby_mis(spark, sf_dir):
+    from networkit_spark.operators.misc import luby_independent_set
+
+    return luby_independent_set(_g(spark, sf_dir)).orderBy("node")
+
+
+def q_spanning_forest(spark, sf_dir):
+    from networkit_spark.operators.misc import spanning_forest
+
+    return spanning_forest(_g(spark, sf_dir)).orderBy("src", "dst")
+
+
+def q_plm(spark, sf_dir):
+    from networkit_spark.operators.plm import plm
+
+    return plm(_g(spark, sf_dir), max_levels=3, max_sweeps=4)
+
+
+def q_algebraic_distance(spark, sf_dir):
+    from networkit_spark.operators.misc import algebraic_distance
+
+    return algebraic_distance(_g(spark, sf_dir), num_systems=4, num_iters=5).select(
+        "src", "dst", F.round("score", 6).alias("score")
+    )
+
+
+def q_pagerank_nibble(spark, sf_dir):
+    from networkit_spark.operators.misc import pagerank_nibble
+
+    g = _g(spark, sf_dir)
+    seed = int(g.nodes().agg(F.min("node")).collect()[0][0])
+    return pagerank_nibble(g, seed, tol=1e-4).orderBy("node")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "graph_edges": q_edges,
@@ -387,6 +659,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparsify_jaccard": q_sparsify_jaccard,
         "rand_measure": q_rand_measure,
         "intrapartition_density": q_intrapartition_density,
+        # second wave — pages pipeline + wider operator surface
+        "pages_edges": q_pages_edges,
+        "pages_text_ok": q_pages_text_ok,
+        "katz": q_katz,
+        "eigenvector": q_eigenvector,
+        "ppr": q_ppr,
+        "sssp_dist": q_sssp,
+        "closeness": q_closeness,
+        "clustering_stats": q_clustering_stats,
+        "component_sizes": q_component_sizes,
+        "largest_component": q_largest_component,
+        "partition_compare": q_partition_compare,
+        "hub_dominance": q_hub_dominance,
+        "stable_nodes": q_stable_nodes,
+        "fragmentation": q_fragmentation,
+        "diameter_range": q_diameter_range,
+        "missing_links": q_missing_links,
+        "pagerank_csr": q_pagerank_csr,
+        # rows-only (no SQL-expressible oracle)
+        "betweenness": q_betweenness,
+        "anf_diameter": q_anf_diameter,
+        "luby_mis": q_luby_mis,
+        "spanning_forest": q_spanning_forest,
+        "plm": q_plm,
+        "algebraic_distance": q_algebraic_distance,
+        "pagerank_nibble": q_pagerank_nibble,
     }
 
 
@@ -906,6 +1204,376 @@ FROM sizes s LEFT JOIN intra i ON s.label = i.label""",
     )
 
 
+_URL_EXPR = (
+    "'https://site' || CAST(node % 97 AS VARCHAR) || '.example/p/' || CAST(node AS VARCHAR)"
+)
+
+
+def _pages_edges_sql() -> str:
+    return _with(
+        edges_sql(N_NODES),
+        f"""idmap AS MATERIALIZED (
+  SELECT node, ROW_NUMBER() OVER (ORDER BY {_URL_EXPR}) - 1 AS nid FROM nodes
+)""",
+        select=(
+            "SELECT a.nid AS src, b.nid AS dst, CAST(1.0 AS DOUBLE) AS weight "
+            "FROM sym e JOIN idmap a ON e.src = a.node JOIN idmap b ON e.dst = b.node"
+        ),
+    )
+
+
+def _pages_text_ok_sql() -> str:
+    return _with(
+        edges_sql(N_NODES),
+        select="SELECT COUNT(*) AS n_pages, COUNT(*) AS n_ok FROM nodes",
+    )
+
+
+def _katz_sql() -> str:
+    ctes = [
+        edges_sql(N_NODES),
+        "x0 AS MATERIALIZED (SELECT node, 0.0 AS score FROM nodes)",
+    ]
+    for i in range(KATZ_ITERS):
+        ctes.append(f"""x{i + 1} AS MATERIALIZED (
+  SELECT n.node, {KATZ_ALPHA} * COALESCE(m.mass, 0) + {KATZ_BETA} AS score
+  FROM nodes n LEFT JOIN (
+    SELECT s.dst AS node, SUM(s.weight * x.score) AS mass
+    FROM sym s JOIN x{i} x ON s.src = x.node GROUP BY s.dst
+  ) m ON n.node = m.node
+)""")
+    return _with(
+        *ctes,
+        select=(
+            f"SELECT node, ROUND(score / (SELECT sqrt(SUM(score * score)) "
+            f"FROM x{KATZ_ITERS}), 6) AS score FROM x{KATZ_ITERS}"
+        ),
+    )
+
+
+def _eigenvector_sql() -> str:
+    ctes = [
+        edges_sql(N_NODES),
+        "nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM nodes)",
+        "e0 AS MATERIALIZED (SELECT node, 1.0 / sqrt(nn.n) AS score FROM nodes CROSS JOIN nn)",
+    ]
+    for i in range(EV_ITERS):
+        ctes.append(f"""raw{i + 1} AS MATERIALIZED (
+  SELECT n.node, COALESCE(m.mass, 0) AS score
+  FROM nodes n LEFT JOIN (
+    SELECT s.dst AS node, SUM(s.weight * x.score) AS mass
+    FROM sym s JOIN e{i} x ON s.src = x.node GROUP BY s.dst
+  ) m ON n.node = m.node
+)""")
+        ctes.append(
+            f"e{i + 1} AS MATERIALIZED (SELECT node, score / "
+            f"(SELECT sqrt(SUM(score * score)) FROM raw{i + 1}) AS score FROM raw{i + 1})"
+        )
+    return _with(
+        *ctes,
+        select=f"SELECT node, ROUND(score, 6) AS score FROM e{EV_ITERS}",
+    )
+
+
+def _ppr_sql() -> str:
+    seeds = ", ".join(str(s) for s in PPR_SEEDS)
+    tele = 1.0 / len(PPR_SEEDS)
+    ctes = [
+        edges_sql(N_NODES),
+        f"tele AS MATERIALIZED (SELECT node, CASE WHEN node IN ({seeds}) "
+        f"THEN {tele} ELSE 0.0 END AS tele FROM nodes)",
+        "p0 AS MATERIALIZED (SELECT node, tele AS score FROM tele)",
+    ]
+    for i in range(PPR_ITERS):
+        ctes.append(f"""p{i + 1} AS MATERIALIZED (
+  SELECT t.node, 0.85 * COALESCE(m.mass, 0) + 0.15 * t.tele AS score
+  FROM tele t LEFT JOIN (
+    SELECT s.dst AS node, SUM(s.weight / w.wdeg * p.score) AS mass
+    FROM sym s JOIN wdeg w ON s.src = w.node JOIN p{i} p ON s.src = p.node
+    GROUP BY s.dst
+  ) m ON t.node = m.node
+)""")
+    return _with(
+        *ctes,
+        select=f"SELECT node, ROUND(score, 6) AS score FROM p{PPR_ITERS}",
+    )
+
+
+def _sssp_sql() -> str:
+    ctes = [
+        edges_sql(N_NODES),
+        "d0 AS MATERIALIZED (SELECT MIN(node) AS node, 0.0 AS dist FROM nodes)",
+    ]
+    for i in range(SSSP_ROUNDS):
+        ctes.append(f"""d{i + 1} AS MATERIALIZED (
+  SELECT node, MIN(dist) AS dist FROM (
+    SELECT node, dist FROM d{i}
+    UNION ALL
+    SELECT s.dst AS node, c.dist + s.weight AS dist
+    FROM sym s JOIN d{i} c ON s.src = c.node
+  ) x GROUP BY node
+)""")
+    return _with(
+        *ctes,
+        select=f"SELECT node, ROUND(dist, 6) AS dist FROM d{SSSP_ROUNDS}",
+    )
+
+
+def _closeness_sql() -> str:
+    ctes = [
+        edges_sql(N_NODES),
+        f"srcs AS MATERIALIZED (SELECT node AS s FROM nodes ORDER BY node LIMIT {CL_NSOURCES})",
+        "m0 AS MATERIALIZED (SELECT s, s AS node, 0 AS dist FROM srcs)",
+    ]
+    for i in range(CL_ROUNDS):
+        ctes.append(f"""m{i + 1} AS MATERIALIZED (
+  SELECT s, node, MIN(dist) AS dist FROM (
+    SELECT s, node, dist FROM m{i}
+    UNION ALL
+    SELECT m.s, e.dst AS node, m.dist + 1 AS dist
+    FROM sym e JOIN m{i} m ON e.src = m.node
+  ) x GROUP BY s, node
+)""")
+    return _with(
+        *ctes,
+        select=(
+            f"SELECT node, ROUND(CASE WHEN SUM(dist) > 0 "
+            f"THEN CAST(COUNT(*) AS DOUBLE) / SUM(dist) ELSE 0.0 END, 6) AS score "
+            f"FROM m{CL_ROUNDS} GROUP BY node"
+        ),
+    )
+
+
+def _clustering_stats_sql() -> str:
+    return _with(
+        edges_sql(N_NODES),
+        _TRI_CTES,
+        select="""SELECT
+  ROUND((SELECT AVG(CASE WHEN d.degree >= 2
+         THEN 2.0 * t.triangles / (d.degree * (d.degree - 1)) ELSE 0.0 END)
+         FROM tpn t JOIN deg d ON t.node = d.node), 6) AS avg_lcc,
+  ROUND(3.0 * (SELECT COUNT(*) FROM tri)
+        / (SELECT SUM(degree * (degree - 1) / 2.0) FROM deg), 6) AS global_cc""",
+    )
+
+
+def _component_sizes_sql() -> str:
+    ctes = [edges_sql(N_NODES), "c0 AS MATERIALIZED (SELECT node, node AS component FROM nodes)"]
+    for i in range(CC_ROUNDS):
+        ctes.append(f"""c{i + 1} AS MATERIALIZED (
+  SELECT x.node, MIN(x.component) AS component FROM (
+    SELECT node, component FROM c{i}
+    UNION ALL
+    SELECT s.dst AS node, c.component FROM sym s JOIN c{i} c ON s.src = c.node
+  ) x GROUP BY x.node
+)""")
+    return ctes
+
+
+def _component_sizes_query_sql() -> str:
+    ctes = _component_sizes_sql()
+    return _with(
+        *ctes,
+        select=f"SELECT component, COUNT(*) AS size FROM c{CC_ROUNDS} GROUP BY component",
+    )
+
+
+def _largest_component_sql() -> str:
+    ctes = _component_sizes_sql()
+    C = f"c{CC_ROUNDS}"
+    ctes.append(
+        f"big AS MATERIALIZED (SELECT component, COUNT(*) AS n_nodes FROM {C} "
+        f"GROUP BY component ORDER BY n_nodes DESC, component ASC LIMIT 1)"
+    )
+    return _with(
+        *ctes,
+        select=f"""SELECT b.component, b.n_nodes,
+  (SELECT COUNT(*) FROM edges e
+   JOIN {C} x ON e.src = x.node JOIN {C} y ON e.dst = y.node
+   WHERE x.component = b.component AND y.component = b.component) AS n_edges
+FROM big b""",
+    )
+
+
+def _partition_compare_sql() -> str:
+    ctes = _plp_ctes(PLP_ITERS) + _component_sizes_sql()[1:]
+    L, C = f"l{PLP_ITERS}", f"c{CC_ROUNDS}"
+    ctes.append(
+        f"ct AS MATERIALIZED (SELECT a.label AS la, b.component AS lb, "
+        f"COUNT(*) AS nij FROM {L} a JOIN {C} b ON a.node = b.node GROUP BY 1, 2)"
+    )
+    ctes.append("na AS MATERIALIZED (SELECT la, SUM(nij) AS ni FROM ct GROUP BY la)")
+    ctes.append("nb AS MATERIALIZED (SELECT lb, SUM(nij) AS nj FROM ct GROUP BY lb)")
+    ctes.append("nt AS MATERIALIZED (SELECT SUM(nij) AS n FROM ct)")
+    ctes.append("s11 AS MATERIALIZED (SELECT SUM(nij * (nij - 1) / 2.0) AS v FROM ct)")
+    ctes.append("sa AS MATERIALIZED (SELECT SUM(ni * (ni - 1) / 2.0) AS v FROM na)")
+    ctes.append("sb AS MATERIALIZED (SELECT SUM(nj * (nj - 1) / 2.0) AS v FROM nb)")
+    ctes.append("""mi AS MATERIALIZED (
+  SELECT SUM((ct.nij * 1.0 / nt.n)
+             * ln((ct.nij * 1.0 / nt.n) / ((na.ni * 1.0 / nt.n) * (nb.nj * 1.0 / nt.n)))) AS v
+  FROM ct JOIN na USING (la) JOIN nb USING (lb) CROSS JOIN nt
+)""")
+    ctes.append(
+        "ha AS MATERIALIZED (SELECT -SUM((ni * 1.0 / nt.n) * ln(ni * 1.0 / nt.n)) AS v "
+        "FROM na CROSS JOIN nt)"
+    )
+    ctes.append(
+        "hb AS MATERIALIZED (SELECT -SUM((nj * 1.0 / nt.n) * ln(nj * 1.0 / nt.n)) AS v "
+        "FROM nb CROSS JOIN nt)"
+    )
+    return _with(
+        *ctes,
+        select="""SELECT
+  ROUND(CASE WHEN (sa.v + sb.v) / 2.0 = sa.v * sb.v / (nt.n * (nt.n - 1) / 2.0) THEN 0.0
+        ELSE 1.0 - (s11.v - sa.v * sb.v / (nt.n * (nt.n - 1) / 2.0))
+             / ((sa.v + sb.v) / 2.0 - sa.v * sb.v / (nt.n * (nt.n - 1) / 2.0)) END, 6)
+    AS ari_distance,
+  ROUND(CASE WHEN sa.v + sb.v - s11.v = 0 THEN 0.0
+        ELSE 1.0 - s11.v / (sa.v + sb.v - s11.v) END, 6) AS jaccard_distance,
+  ROUND(CASE WHEN GREATEST(ha.v, hb.v) = 0 THEN 0.0
+        ELSE 1.0 - mi.v / GREATEST(ha.v, hb.v) END, 6) AS nmi_distance
+FROM s11, sa, sb, nt, mi, ha, hb""",
+    )
+
+
+def _hub_dominance_sql() -> str:
+    ctes = _plp_ctes(PLP_ITERS)
+    L = f"l{PLP_ITERS}"
+    ctes.append(f"""ideg AS MATERIALIZED (
+  SELECT la.label, MAX(cnt) AS max_in FROM (
+    SELECT s.src, la2.label, COUNT(*) AS cnt
+    FROM sym s JOIN {L} la2 ON s.src = la2.node JOIN {L} lb ON s.dst = lb.node
+    WHERE la2.label = lb.label
+    GROUP BY s.src, la2.label
+  ) la GROUP BY la.label
+)""")
+    ctes.append(
+        f"sizes AS MATERIALIZED (SELECT label, COUNT(*) AS size FROM {L} GROUP BY label)"
+    )
+    return _with(
+        *ctes,
+        select="""SELECT s.label,
+  ROUND(CASE WHEN s.size >= 2 THEN COALESCE(i.max_in, 0) / (s.size - 1.0)
+        ELSE 0.0 END, 6) AS hub_dominance
+FROM sizes s LEFT JOIN ideg i ON s.label = i.label""",
+    )
+
+
+def _stable_nodes_sql() -> str:
+    ctes = _plp_ctes(PLP_ITERS)
+    L = f"l{PLP_ITERS}"
+    ctes.append(f"""cnt AS MATERIALIZED (
+  SELECT s.src, la.label AS lsrc, lb.label AS ldst, COUNT(*) AS c
+  FROM sym s JOIN {L} la ON s.src = la.node JOIN {L} lb ON s.dst = lb.node
+  GROUP BY s.src, la.label, lb.label
+)""")
+    ctes.append(
+        "own AS MATERIALIZED (SELECT src AS node, c AS own_c FROM cnt WHERE lsrc = ldst)"
+    )
+    ctes.append(
+        "oth AS MATERIALIZED (SELECT src AS node, MAX(c) AS other_c FROM cnt "
+        "WHERE lsrc <> ldst GROUP BY src)"
+    )
+    return _with(
+        *ctes,
+        select=f"""SELECT l.node,
+  COALESCE(own.own_c, 0) > COALESCE(oth.other_c, 0) AS stable
+FROM {L} l LEFT JOIN own ON l.node = own.node LEFT JOIN oth ON l.node = oth.node""",
+    )
+
+
+def _fragmentation_sql() -> str:
+    ctes = _plp_ctes(PLP_ITERS)
+    L = f"l{PLP_ITERS}"
+    ctes.append(f"""ie AS MATERIALIZED (
+  SELECT e.src, e.dst FROM edges e
+  JOIN {L} a ON e.src = a.node JOIN {L} b ON e.dst = b.node
+  WHERE a.label = b.label
+)""")
+    ctes.append(
+        "isym AS MATERIALIZED (SELECT src, dst FROM ie UNION ALL "
+        "SELECT dst AS src, src AS dst FROM ie WHERE src <> dst)"
+    )
+    ctes.append(f"f0 AS MATERIALIZED (SELECT node, node AS comp FROM {L})")
+    for i in range(CC_ROUNDS):
+        ctes.append(f"""f{i + 1} AS MATERIALIZED (
+  SELECT x.node, MIN(x.comp) AS comp FROM (
+    SELECT node, comp FROM f{i}
+    UNION ALL
+    SELECT s.dst AS node, c.comp FROM isym s JOIN f{i} c ON s.src = c.node
+  ) x GROUP BY x.node
+)""")
+    FC = f"f{CC_ROUNDS}"
+    ctes.append(f"""chunk AS MATERIALIZED (
+  SELECT l.label, MAX(cnt) AS largest FROM (
+    SELECT l2.label, f.comp, COUNT(*) AS cnt
+    FROM {L} l2 JOIN {FC} f ON l2.node = f.node
+    GROUP BY l2.label, f.comp
+  ) l GROUP BY l.label
+)""")
+    ctes.append(
+        f"sizes AS MATERIALIZED (SELECT label, COUNT(*) AS size FROM {L} GROUP BY label)"
+    )
+    return _with(
+        *ctes,
+        select="""SELECT s.label,
+  ROUND(1.0 - c.largest * 1.0 / s.size, 6) AS fragmentation
+FROM sizes s JOIN chunk c ON s.label = c.label""",
+    )
+
+
+def _diameter_range_sql() -> str:
+    ctes = [
+        edges_sql(N_NODES),
+        "a0 AS MATERIALIZED (SELECT MIN(node) AS node, 0 AS dist FROM nodes)",
+    ]
+    for i in range(DIAM_ROUNDS):
+        ctes.append(f"""a{i + 1} AS MATERIALIZED (
+  SELECT node, MIN(dist) AS dist FROM (
+    SELECT node, dist FROM a{i}
+    UNION ALL
+    SELECT s.dst AS node, c.dist + 1 AS dist FROM sym s JOIN a{i} c ON s.src = c.node
+  ) x GROUP BY node
+)""")
+    A = f"a{DIAM_ROUNDS}"
+    ctes.append(f"""far AS MATERIALIZED (
+  SELECT node FROM (
+    SELECT node, ROW_NUMBER() OVER (ORDER BY dist DESC, node ASC) AS rn FROM {A}
+  ) r WHERE rn = 1
+)""")
+    ctes.append("b0 AS MATERIALIZED (SELECT node, 0 AS dist FROM far)")
+    for i in range(DIAM_ROUNDS):
+        ctes.append(f"""b{i + 1} AS MATERIALIZED (
+  SELECT node, MIN(dist) AS dist FROM (
+    SELECT node, dist FROM b{i}
+    UNION ALL
+    SELECT s.dst AS node, c.dist + 1 AS dist FROM sym s JOIN b{i} c ON s.src = c.node
+  ) x GROUP BY node
+)""")
+    B = f"b{DIAM_ROUNDS}"
+    return _with(
+        *ctes,
+        select=(
+            f"SELECT CAST(MAX(dist) AS BIGINT) AS lower, "
+            f"CAST(2 * MAX(dist) AS BIGINT) AS upper FROM {B}"
+        ),
+    )
+
+
+def _missing_links_sql() -> str:
+    return _with(
+        edges_sql(N_NODES),
+        f"""two_hop AS MATERIALIZED (
+  SELECT DISTINCT e1.src AS u, e2.dst AS v
+  FROM sym e1 JOIN sym e2 ON e1.dst = e2.src
+  WHERE e1.src < e2.dst AND e1.src < {LP_MAX_NODE}
+)""",
+        select="""SELECT t.u, t.v FROM two_hop t
+LEFT JOIN edges e ON t.u = e.src AND t.v = e.dst
+WHERE e.src IS NULL""",
+    )
+
+
 _EVENTS_SQL = """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
        COUNT(*) AS n, ROUND(SUM(value), 6) AS total_value
@@ -989,4 +1657,21 @@ def oracle_sql() -> dict[str, str]:
         "sparsify_jaccard": _sparsify_sql(),
         "rand_measure": _rand_sql(),
         "intrapartition_density": _density_sql(),
+        "pages_edges": _pages_edges_sql(),
+        "pages_text_ok": _pages_text_ok_sql(),
+        "katz": _katz_sql(),
+        "eigenvector": _eigenvector_sql(),
+        "ppr": _ppr_sql(),
+        "sssp_dist": _sssp_sql(),
+        "closeness": _closeness_sql(),
+        "clustering_stats": _clustering_stats_sql(),
+        "component_sizes": _component_sizes_query_sql(),
+        "largest_component": _largest_component_sql(),
+        "partition_compare": _partition_compare_sql(),
+        "hub_dominance": _hub_dominance_sql(),
+        "stable_nodes": _stable_nodes_sql(),
+        "fragmentation": _fragmentation_sql(),
+        "diameter_range": _diameter_range_sql(),
+        "missing_links": _missing_links_sql(),
+        "pagerank_csr": _pagerank_sql(directed=False),
     }

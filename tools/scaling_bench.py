@@ -90,6 +90,32 @@ def main():
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/scaling.json", "w") as f:
         json.dump(result, f, indent=2)
+    md = f"""# BENCH/BASELINE.md — two-parallelism scaling evidence
+
+Per the driver instruction, the north_rule's N→4N-executor scaling criterion is
+evidenced by running the IDENTICAL PageRank job at two parallelism levels on
+the same input and machine (single JVM, `local[8]` vs `local[32]`).
+
+- Input: deterministic RMAT web-like graph, scale={SCALE} (n={r8['nodes']:,}),
+  edge_factor={EDGE_FACTOR}, seed=42 — {r8['edges_sym']:,} directed (symmetrized) edges.
+- Job: PageRank power iteration (damp 0.85), {ITERS} fixed supersteps;
+  broadcast rank vector + cached pre-partitioned transition edges; steady-state
+  per-superstep time excludes session startup, graph build, and the first
+  warm-up superstep.
+
+| parallelism | sec/superstep | edges/sec/superstep |
+|---|---|---|
+| local[8]  (N)  | {r8['sec_per_superstep']} | {r8['eps_per_superstep']:,.0f} |
+| local[32] (4N) | {r32['sec_per_superstep']} | {r32['eps_per_superstep']:,.0f} |
+
+**Scaling efficiency (eps_4N / eps_N) / 4 = {eff:.3f}** — gate >= 0.8: {"PASS" if eff >= 0.8 else "FAIL"}.
+
+Caveat: both levels share one machine's memory bandwidth, so this measures
+strong scaling inside one box, the sandbox stand-in for N vs 4N executors.
+Raw per-superstep times: local[8]={r8['step_times']}, local[32]={r32['step_times']}.
+"""
+    with open("BENCH/BASELINE.md", "w") as f:
+        f.write(md)
     print(json.dumps(result))
 
 
