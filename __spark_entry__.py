@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from networkit_spark.graph import Graph
 from networkit_spark.testgraph import edges_sql, lineitem_edges, lineitem_graph
@@ -576,7 +576,92 @@ def q_pagerank_csr(spark, sf_dir):
     return pr.select("node", F.round("score", 6).alias("score"))
 
 
+def q_scan_score(spark, sf_dir):
+    from networkit_spark.operators.sparsification import scan_structural_score
+
+    return scan_structural_score(_g(spark, sf_dir)).select(
+        "src", "dst", F.round("score", 6).alias("score")
+    )
+
+
+def q_local_similarity(spark, sf_dir):
+    from networkit_spark.operators.sparsification import local_similarity_score
+
+    return local_similarity_score(_g(spark, sf_dir)).select(
+        "src", "dst", F.round("score", 6).alias("score")
+    )
+
+
+def q_events_rollup(spark, sf_dir):
+    """Rollup aggregation over the events table (generic SQL-surface
+    coverage: multi-level grouping via Spark's rollup ≡ SQL ROLLUP)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.rollup(F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("total_value"))
+    )
+
+
+def q_pagerank_topk(spark, sf_dir):
+    """ranking() surface (reference Centrality::ranking,
+    _NetworKit.pyx:5492-5495): top-20 nodes by PageRank, deterministic
+    tie-break by node id."""
+    pr = pagerank(_g(spark, sf_dir), damp=0.85, fixed_iters=PR_ITERS)
+    rounded = pr.select("node", F.round("score", 6).alias("score"))
+    # rank on the ROUNDED score so ordering is stable across float-summation
+    # orders (Spark partitions vs the single-threaded oracle)
+    return (
+        rounded.select(
+            F.row_number().over(
+                Window.orderBy(F.desc("score"), F.asc("node"))
+            ).alias("rank"),
+            "node",
+            "score",
+        )
+        .filter(F.col("rank") <= 20)
+    )
+
+
 # -- rows-only queries (no SQL-expressible oracle; driver records row counts)
+
+
+def q_matching(spark, sf_dir):
+    from networkit_spark.operators.matching import local_max_matching
+
+    return local_max_matching(_g(spark, sf_dir)).orderBy("src", "dst")
+
+
+def q_linkpred_eval(spark, sf_dir):
+    """Hold out a hash-sampled 20% of edges, score held-out pairs + an equal
+    set of non-edges with Adamic-Adar on the remaining graph, report
+    AUC-ROC / average precision. Deterministic but not SQL-oracle-friendly."""
+    from networkit_spark.graph import Graph
+    from networkit_spark.operators.linkprediction import (
+        evaluate_predictions,
+        link_prediction_scores,
+    )
+
+    g = _g(spark, sf_dir)
+    keep = g.edges.filter((F.abs(F.xxhash64("src", "dst", F.lit(7))) % 100) >= 20)
+    held = g.edges.join(keep.select("src", "dst"), ["src", "dst"], "left_anti")
+    train = Graph(keep, directed=False, weighted=True)
+    pos = held.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    nn = g.nodes().filter(F.col("node") < LP_MAX_NODE)
+    cand = (
+        nn.select(F.col("node").alias("u"))
+        .crossJoin(nn.select(F.col("node").alias("v")))
+        .filter(F.col("u") < F.col("v"))
+        .join(g.edges.select(F.col("src").alias("u"), F.col("dst").alias("v")), ["u", "v"], "left_anti")
+    )
+    pairs = pos.unionByName(cand).distinct()
+    scored = link_prediction_scores(train, pairs).select(
+        "u", "v", F.col("adamic_adar").alias("score")
+    )
+    m = evaluate_predictions(scored, pos, "score")
+    return spark.range(1).select(
+        F.round(F.lit(m["auc_roc"]), 6).alias("auc_roc"),
+        F.round(F.lit(m["average_precision"]), 6).alias("average_precision"),
+    )
 
 def q_betweenness(spark, sf_dir):
     from networkit_spark.operators.centrality import betweenness_sampled
@@ -677,7 +762,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diameter_range": q_diameter_range,
         "missing_links": q_missing_links,
         "pagerank_csr": q_pagerank_csr,
+        "scan_score": q_scan_score,
+        "local_similarity": q_local_similarity,
+        "events_rollup": q_events_rollup,
+        "pagerank_topk": q_pagerank_topk,
         # rows-only (no SQL-expressible oracle)
+        "matching": q_matching,
+        "linkpred_eval": q_linkpred_eval,
         "betweenness": q_betweenness,
         "anf_diameter": q_anf_diameter,
         "luby_mis": q_luby_mis,
@@ -1574,11 +1665,87 @@ WHERE e.src IS NULL""",
     )
 
 
+_ESC_CTE = """esc AS MATERIALIZED (
+  SELECT e.src, e.dst, COALESCE(t.cnt, 0) AS tri FROM edges e LEFT JOIN (
+    SELECT src, dst, COUNT(*) AS cnt FROM (
+      SELECT LEAST(a, b) AS src, GREATEST(a, b) AS dst FROM tri
+      UNION ALL SELECT LEAST(a, c), GREATEST(a, c) FROM tri
+      UNION ALL SELECT LEAST(b, c), GREATEST(b, c) FROM tri
+    ) x GROUP BY src, dst
+  ) t ON e.src = t.src AND e.dst = t.dst
+)"""
+
+
+def _scan_score_sql() -> str:
+    return _with(
+        edges_sql(N_NODES),
+        _TRI_CTES,
+        _ESC_CTE,
+        select="""SELECT e.src, e.dst,
+  ROUND((e.tri + 2) / sqrt((du.degree + 1.0) * (dv.degree + 1.0)), 6) AS score
+FROM esc e JOIN deg du ON e.src = du.node JOIN deg dv ON e.dst = dv.node""",
+    )
+
+
+def _local_similarity_sql() -> str:
+    return _with(
+        edges_sql(N_NODES),
+        _TRI_CTES,
+        _ESC_CTE,
+        """jsc AS MATERIALIZED (
+  SELECT e.src, e.dst,
+    CASE WHEN du.degree + dv.degree - e.tri - 2 > 0
+         THEN e.tri * 1.0 / (du.degree + dv.degree - e.tri - 2) ELSE 0.0 END AS jscore
+  FROM esc e JOIN deg du ON e.src = du.node JOIN deg dv ON e.dst = dv.node
+)""",
+        """bo AS MATERIALIZED (
+  SELECT src, dst, jscore FROM jsc
+  UNION ALL SELECT dst AS src, src AS dst, jscore FROM jsc
+)""",
+        """ranked AS MATERIALIZED (
+  SELECT b.src, b.dst, ds.degree AS ds,
+         ROW_NUMBER() OVER (PARTITION BY b.src ORDER BY b.jscore DESC, b.dst ASC) AS rnk
+  FROM bo b JOIN deg ds ON b.src = ds.node
+)""",
+        """scored AS MATERIALIZED (
+  SELECT LEAST(src, dst) AS src, GREATEST(src, dst) AS dst,
+         CASE WHEN ds > 1 THEN 1.0 - ln(CAST(rnk AS DOUBLE)) / ln(CAST(ds AS DOUBLE))
+              ELSE 1.0 END AS s
+  FROM ranked
+)""",
+        select="SELECT src, dst, ROUND(MAX(s), 6) AS score FROM scored GROUP BY src, dst",
+    )
+
+
 _EVENTS_SQL = """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
        COUNT(*) AS n, ROUND(SUM(value), 6) AS total_value
 FROM events GROUP BY 1, 2
 """
+
+_EVENTS_ROLLUP_SQL = """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+       COUNT(*) AS n, ROUND(SUM(value), 6) AS total_value
+FROM events
+GROUP BY ROLLUP(strftime(date_trunc('day', ts), '%Y-%m-%d'), event_type)
+"""
+
+
+def _pagerank_topk_sql() -> str:
+    ctes = _pr_ctes(PR_ITERS, directed=False)
+    R = f"r{PR_ITERS}"
+    ctes.append(
+        f"norm AS MATERIALIZED (SELECT node, "
+        f"ROUND(score / (SELECT SUM(score) FROM {R}), 6) AS score FROM {R})"
+    )
+    return _with(
+        *ctes,
+        select="""SELECT rank, node, score FROM (
+  SELECT node, score,
+         ROW_NUMBER() OVER (ORDER BY score DESC, node ASC) AS rank
+  FROM norm
+) r WHERE rank <= 20""",
+    )
 
 _MULTIMODAL_SQL = """
 SELECT doc_id AS media_id,
@@ -1674,4 +1841,8 @@ def oracle_sql() -> dict[str, str]:
         "diameter_range": _diameter_range_sql(),
         "missing_links": _missing_links_sql(),
         "pagerank_csr": _pagerank_sql(directed=False),
+        "scan_score": _scan_score_sql(),
+        "local_similarity": _local_similarity_sql(),
+        "events_rollup": _EVENTS_ROLLUP_SQL,
+        "pagerank_topk": _pagerank_topk_sql(),
     }

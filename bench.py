@@ -58,6 +58,39 @@ def main():
     extra["pagerank_eps_per_superstep"] = round(2 * m / (timings["pagerank"] / PR_ITERS), 1)
     extra["pagerank_iters"] = PR_ITERS
 
+    # steady-state superstep rate (BASELINE.md primary metric): cached
+    # pre-partitioned transition, warm-up excluded, median of 6 supersteps
+    from networkit_spark.operators.pagerank import _transition
+
+    trans = _transition(g).persist()
+    m_sym = trans.count()
+    nodes = g.nodes().persist()
+    n_nodes = nodes.count()
+    ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("score")).localCheckpoint(True)
+    steps = []
+    prev = None
+    for i in range(8):
+        t0 = time.time()
+        sums = (
+            trans.join(ranks, trans.src == ranks.node)
+            .groupBy("dst").agg(F.sum(F.col("p") * F.col("score")).alias("mass"))
+        )
+        new = nodes.join(sums, nodes.node == sums.dst, "left").select(
+            "node",
+            (F.lit(0.85) * F.coalesce("mass", F.lit(0.0)) + F.lit(0.15 / n_nodes)).alias("score"),
+        ).localCheckpoint(True)
+        if prev is not None:
+            prev.unpersist(True)
+        prev = ranks
+        ranks = new
+        steps.append(time.time() - t0)
+    trans.unpersist()
+    nodes.unpersist()
+    steady = sorted(steps[2:])
+    med = steady[len(steady) // 2]
+    extra["pagerank_sec_per_superstep_steady"] = round(med, 4)
+    extra["pagerank_eps_per_superstep_steady"] = round(m_sym / med, 1)
+
     # q2: connected components to fixpoint
     timed("connected_components", lambda: connected_components(g).select(F.countDistinct("component")).collect())
     extra["cc_eps"] = round(2 * m / timings["connected_components"], 1)

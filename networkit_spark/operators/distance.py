@@ -154,6 +154,71 @@ def neighborhood_function_anf(
     return results
 
 
+def hop_plot_approx(graph: Graph, **kw) -> list:
+    """HopPlotApproximation: fraction of reachable pairs per hop distance,
+    normalized by the final (fixpoint) estimate — same ANF machinery
+    (reference cpp/distance/HopPlotApproximation.cpp)."""
+    nf = neighborhood_function_anf(graph, **kw)
+    if not nf:
+        return []
+    final = nf[-1][1]
+    if final <= 0:
+        return [(h, 0.0) for h, _ in nf]
+    return [(h, v / final) for h, v in nf]
+
+
+def apsp_sampled(graph: Graph, sources: list[int]) -> DataFrame:
+    """APSP analog restricted to sampled sources (n× BFS is the reference
+    APSP.cpp; at scale only source samples are meaningful). Returns
+    (source, node, dist)."""
+    acc = None
+    for s in sources:
+        d = bfs_distances(graph, s).select(
+            F.lit(int(s)).alias("source"), "node", "dist"
+        )
+        acc = d if acc is None else acc.unionByName(d)
+    return acc
+
+
+def effective_diameter_exact(graph: Graph, ratio: float = 0.9) -> float:
+    """EffectiveDiameter (exact, small graphs): run multi-source BFS from ALL
+    nodes at once (level-synchronous pair counting) and return the smallest
+    hop where >= ratio of reachable pairs are covered
+    (reference cpp/distance/EffectiveDiameter.cpp). O(n*m) work — use the
+    ANF variant beyond test scale."""
+    sym = graph.sym().select("src", "dst").persist()
+    nodes = graph.nodes()
+    # pair frontier (source, node); memory O(reachable pairs) — small graphs
+    dist = nodes.select(F.col("node").alias("source"), "node", F.lit(0).alias("dist"))
+    dist = dist.localCheckpoint(eager=True)
+    frontier = dist
+    counts = [dist.count()]
+    hop = 0
+    while True:
+        hop += 1
+        reach = (
+            sym.join(frontier, sym.src == frontier.node)
+            .select("source", F.col("dst").alias("node"), F.lit(hop).alias("dist"))
+            .distinct()
+        )
+        new = reach.join(dist, ["source", "node"], "left_anti").localCheckpoint(eager=True)
+        if new.isEmpty():
+            break
+        dist = dist.unionByName(new).localCheckpoint(eager=True)
+        frontier = new
+        counts.append(counts[-1] + new.count())
+    sym.unpersist()
+    total = counts[-1]
+    target = ratio * total
+    for h, c in enumerate(counts):
+        if c >= target:
+            if h == 0:
+                return 0.0
+            prev = counts[h - 1]
+            return (h - 1) + (target - prev) / (c - prev)
+    return float(len(counts) - 1)
+
+
 def effective_diameter_approx(graph: Graph, ratio: float = 0.9, **kw) -> float:
     """EffectiveDiameterApproximation.cpp: smallest hop h where the
     neighborhood function reaches ``ratio`` of its final value (with linear

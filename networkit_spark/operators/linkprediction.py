@@ -70,7 +70,58 @@ def link_prediction_scores(graph: Graph, pairs: DataFrame) -> DataFrame:
         union_size.alias("total_neighbors"),
         F.col("du").alias("u_degree"),
         F.col("dv").alias("v_degree"),
+        F.when(
+            F.col("du") * F.col("dv") > 0,
+            F.col("cn") / F.sqrt(F.col("du") * F.col("dv")),
+        ).otherwise(0.0).alias("neighborhood_distance"),
     )
+
+
+def random_link_sampler(graph: Graph, fraction: float, seed: int = 42) -> Graph:
+    """RandomLinkSampler analog: keep a deterministic hash-sampled fraction of
+    edges (partitioning-independent, unlike ``df.sample``)."""
+    keep = graph.edges.filter(
+        (F.abs(F.xxhash64("src", "dst", F.lit(seed))) % 1_000_000)
+        < int(fraction * 1_000_000)
+    )
+    return Graph(keep, directed=graph.directed, weighted=graph.weighted)
+
+
+def evaluate_predictions(
+    scores: DataFrame, truth: DataFrame, score_col: str = "score"
+) -> dict:
+    """ROCMetric / PrecisionRecallMetric analog
+    (reference cpp/linkprediction/EvaluationMetric.h): ranks predictions by
+    score desc and returns AUC-ROC and average precision against a truth set
+    of (u, v) positive pairs. Distributed: one window pass over the ranked
+    predictions; only the two scalar integrals come back to the driver."""
+    from pyspark.sql import Window
+
+    t = truth.select("u", "v", F.lit(1).alias("pos"))
+    ranked = (
+        scores.join(t, ["u", "v"], "left")
+        .select("u", "v", score_col, F.coalesce("pos", F.lit(0)).alias("pos"))
+    )
+    n_pos = ranked.agg(F.sum("pos")).collect()[0][0] or 0
+    n_tot = ranked.count()
+    n_neg = n_tot - n_pos
+    if n_pos == 0 or n_neg == 0:
+        return {"auc_roc": 0.0, "average_precision": 0.0}
+    w = Window.orderBy(F.desc(score_col), F.asc("u"), F.asc("v"))
+    cum = ranked.select(
+        "pos",
+        F.row_number().over(w).alias("rank"),
+        F.sum("pos").over(w).alias("tp"),
+    )
+    # AUC via rank-sum (Mann-Whitney U): deterministic given the tie-break
+    rank_sum_pos = cum.filter(F.col("pos") == 1).agg(F.sum("rank")).collect()[0][0]
+    auc = 1.0 - (rank_sum_pos - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg)
+    ap = (
+        cum.filter(F.col("pos") == 1)
+        .agg(F.avg(F.col("tp") / F.col("rank")))
+        .collect()[0][0]
+    )
+    return {"auc_roc": float(auc), "average_precision": float(ap or 0.0)}
 
 
 def missing_links(graph: Graph, k_hop: int = 2, limit_nodes: DataFrame | None = None) -> DataFrame:

@@ -65,6 +65,78 @@ def local_degree_score(graph: Graph) -> DataFrame:
     return canon.groupBy("src", "dst").agg(F.max("s").alias("score"))
 
 
+def scan_structural_score(graph: Graph) -> DataFrame:
+    """SCANStructuralSimilarityScore: (tri(e) + 2) / sqrt((du+1)(dv+1)) —
+    cosine of closed neighborhoods (endpoints included), per the SCAN
+    definition (reference cpp/sparsification/SCANStructuralSimilarityScore)."""
+    tri = triangle_edge_score(graph)
+    deg = graph.degrees()
+    j = (
+        tri.join(deg.withColumnRenamed("node", "src").withColumnRenamed("degree", "du"), "src")
+        .join(deg.withColumnRenamed("node", "dst").withColumnRenamed("degree", "dv"), "dst")
+    )
+    return j.select(
+        "src", "dst",
+        (
+            (F.col("score") + 2)
+            / F.sqrt((F.col("du") + 1.0) * (F.col("dv") + 1.0))
+        ).alias("score"),
+    )
+
+
+def geometric_mean_score(graph: Graph, scores: DataFrame) -> DataFrame:
+    """GeometricMeanScore (cpp/edgescores/GeometricMeanScore.cpp): normalize
+    each edge score by the geometric mean of its endpoints' total incident
+    score mass: s(e) / sqrt(S(u) * S(v))."""
+    both = scores.select(F.col("src").alias("node"), "score").unionByName(
+        scores.select(F.col("dst").alias("node"), "score")
+    )
+    totals = both.groupBy("node").agg(F.sum("score").alias("tot"))
+    j = (
+        scores.join(totals.withColumnRenamed("node", "src").withColumnRenamed("tot", "tu"), "src")
+        .join(totals.withColumnRenamed("node", "dst").withColumnRenamed("tot", "tv"), "dst")
+    )
+    return j.select(
+        "src", "dst",
+        F.when(
+            F.col("tu") * F.col("tv") > 0,
+            F.col("score") / F.sqrt(F.col("tu") * F.col("tv")),
+        ).otherwise(0.0).alias("score"),
+    )
+
+
+def local_similarity_score(graph: Graph) -> DataFrame:
+    """LocalSimilarityScore: per endpoint, rank incident edges by structural
+    (Jaccard) similarity desc; edge score = 1 - log(rank)/log(deg), max over
+    the two endpoints — keeps each node's locally most-similar neighbors
+    (reference cpp/sparsification/LocalSimilarityScore.cpp shape)."""
+    sim = jaccard_similarity_score(graph)
+    both = sim.unionByName(
+        sim.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "score")
+    )
+    deg = graph.degrees()
+    ranked = (
+        both.withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("src").orderBy(F.desc("score"), F.asc("dst"))
+            ),
+        )
+        .join(deg.withColumnRenamed("node", "src").withColumnRenamed("degree", "ds"), "src")
+        .select(
+            "src", "dst",
+            F.when(
+                F.col("ds") > 1,
+                1.0 - F.log(F.col("rnk").cast("double")) / F.log(F.col("ds").cast("double")),
+            ).otherwise(1.0).alias("s"),
+        )
+    )
+    canon = ranked.select(
+        F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst"), "s"
+    )
+    return canon.groupBy("src", "dst").agg(F.max("s").alias("score"))
+
+
 def random_edge_score(graph: Graph, seed: int = 42) -> DataFrame:
     """RandomEdgeScore — deterministic hash-uniform in [0,1) per edge."""
     return graph.edges.select(

@@ -48,6 +48,10 @@ def get_spark(
         # iterative jobs: keep the RPC chatter + broadcast timeouts generous
         .config("spark.network.timeout", "600s")
         .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
+        # iterative supersteps drop a shuffle per iteration; GC the driver
+        # periodically so dropped shuffle files are actually deleted (without
+        # this, superstep time creeps upward — measured in BENCH/BASELINE.md)
+        .config("spark.cleaner.periodicGC.interval", "5min")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

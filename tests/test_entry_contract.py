@@ -22,7 +22,8 @@ SF_DIR = "/root/testdata/sf0.001"
 ROWS_ONLY = {
     # ops whose semantics aren't SQL-expressible (iterative/sampled/seeded)
     "betweenness", "anf_diameter", "luby_mis", "spanning_forest",
-    "plm", "algebraic_distance", "pagerank_nibble",
+    "plm", "algebraic_distance", "pagerank_nibble", "matching",
+    "linkpred_eval",
 }
 
 
