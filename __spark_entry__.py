@@ -609,16 +609,15 @@ def q_pagerank_topk(spark, sf_dir):
     pr = pagerank(_g(spark, sf_dir), damp=0.85, fixed_iters=PR_ITERS)
     rounded = pr.select("node", F.round("score", 6).alias("score"))
     # rank on the ROUNDED score so ordering is stable across float-summation
-    # orders (Spark partitions vs the single-threaded oracle)
-    return (
-        rounded.select(
-            F.row_number().over(
-                Window.orderBy(F.desc("score"), F.asc("node"))
-            ).alias("rank"),
-            "node",
-            "score",
-        )
-        .filter(F.col("rank") <= 20)
+    # orders (Spark partitions vs the single-threaded oracle); top-k is
+    # distributed TakeOrdered (orderBy+limit), then a window over just k rows
+    top = rounded.orderBy(F.desc("score"), F.asc("node")).limit(20)
+    return top.select(
+        F.row_number().over(
+            Window.orderBy(F.desc("score"), F.asc("node"))
+        ).alias("rank"),
+        "node",
+        "score",
     )
 
 
@@ -712,6 +711,45 @@ def q_pagerank_nibble(spark, sf_dir):
     return pagerank_nibble(g, seed, tol=1e-4).orderBy("node")
 
 
+# -- round-2: SCC + coreness over hash-sparsified subgraphs (keeps the
+# reachability-closure / H-index oracles tractable while staying derived
+# from the shared lineitem table)
+
+N_SPARSE = 300
+SCC_MOD = 29
+CORE_MOD = 13
+CORE_HINDEX_ROUNDS = 30  # H-index fixpoint over-unroll (converges ≪ 30 here)
+
+
+def _sparse_digraph(spark, sf_dir):
+    e = lineitem_edges(spark, sf_dir, n_nodes=N_SPARSE, directed=True)
+    keep = e.filter((F.col("src") * 131 + F.col("dst") * 7) % SCC_MOD == 0)
+    return Graph(keep.select("src", "dst", F.lit(1.0).alias("weight")), directed=True)
+
+
+def _sparse_ugraph(spark, sf_dir):
+    e = lineitem_edges(spark, sf_dir, n_nodes=N_SPARSE, directed=False)
+    keep = e.filter((F.col("src") * 131 + F.col("dst") * 7) % CORE_MOD == 0)
+    return Graph(keep.select("src", "dst", F.lit(1.0).alias("weight")), directed=False)
+
+
+def q_scc(spark, sf_dir):
+    """Strongly connected components (reference
+    cpp/components/StronglyConnectedComponents.cpp:33-164), canonical
+    min-member labels; distributed trim + min-coloring + backward sweep."""
+    from networkit_spark.operators.components import strongly_connected_components
+
+    return strongly_connected_components(_sparse_digraph(spark, sf_dir)).orderBy("node")
+
+
+def q_coreness(spark, sf_dir):
+    """Full core decomposition (reference CoreDecomposition ParK scores):
+    one distributed peel loop with incremental degree maintenance."""
+    from networkit_spark.operators.kcore import coreness
+
+    return coreness(_sparse_ugraph(spark, sf_dir)).orderBy("node")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "graph_edges": q_edges,
@@ -766,6 +804,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "local_similarity": q_local_similarity,
         "events_rollup": q_events_rollup,
         "pagerank_topk": q_pagerank_topk,
+        # third wave — round 2
+        "scc": q_scc,
+        "coreness": q_coreness,
         # rows-only (no SQL-expressible oracle)
         "matching": q_matching,
         "linkpred_eval": q_linkpred_eval,
@@ -1756,6 +1797,59 @@ FROM documents
 """
 
 
+def _scc_sql() -> str:
+    """Mutual-reachability closure: 6 doublings cover paths ≤ 64 steps —
+    over-unrolled far past the sparse subgraph's diameter. component =
+    MIN node with reach both ways (identity included → min member)."""
+    ctes = [
+        edges_sql(N_SPARSE, directed=True),
+        f"sedges AS MATERIALIZED (SELECT src, dst FROM edges"
+        f" WHERE (src*131 + dst*7) % {SCC_MOD} = 0)",
+        "snodes AS MATERIALIZED (SELECT DISTINCT node FROM ("
+        "SELECT src AS node FROM sedges UNION ALL SELECT dst AS node FROM sedges) u)",
+        "p0 AS MATERIALIZED (SELECT src, dst FROM sedges "
+        "UNION SELECT node AS src, node AS dst FROM snodes)",
+    ]
+    for i in range(6):
+        ctes.append(
+            f"p{i + 1} AS MATERIALIZED (SELECT DISTINCT a.src, b.dst "
+            f"FROM p{i} a JOIN p{i} b ON a.dst = b.src)"
+        )
+    return _with(
+        *ctes,
+        select=(
+            "SELECT f.src AS node, MIN(f.dst) AS component FROM p6 f "
+            "JOIN p6 b ON f.dst = b.src AND b.dst = f.src GROUP BY f.src"
+        ),
+    )
+
+
+def _coreness_sql() -> str:
+    """Coreness as the H-index fixpoint (c0 = degree; c_{t+1}(v) = H-index of
+    neighbors' c_t — converges exactly to the core number, Lü et al. 2016),
+    over-unrolled to CORE_HINDEX_ROUNDS rounds."""
+    ctes = [
+        edges_sql(N_SPARSE, directed=False),
+        f"sedges AS MATERIALIZED (SELECT src, dst FROM edges"
+        f" WHERE (src*131 + dst*7) % {CORE_MOD} = 0)",
+        "ssym AS MATERIALIZED (SELECT src, dst FROM sedges "
+        "UNION ALL SELECT dst AS src, src AS dst FROM sedges)",
+        "h0 AS MATERIALIZED (SELECT src AS node, COUNT(*) AS c FROM ssym GROUP BY src)",
+    ]
+    for i in range(CORE_HINDEX_ROUNDS):
+        ctes.append(f"""h{i + 1} AS MATERIALIZED (
+  SELECT src AS node, MAX(LEAST(rnk, cv)) AS c FROM (
+    SELECT s.src, h.c AS cv,
+           ROW_NUMBER() OVER (PARTITION BY s.src ORDER BY h.c DESC, s.dst) AS rnk
+    FROM ssym s JOIN h{i} h ON s.dst = h.node
+  ) t GROUP BY src
+)""")
+    return _with(
+        *ctes,
+        select=f"SELECT node, CAST(c AS INT) AS core FROM h{CORE_HINDEX_ROUNDS}",
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     E = edges_sql(N_NODES)
     return {
@@ -1845,4 +1939,6 @@ def oracle_sql() -> dict[str, str]:
         "local_similarity": _local_similarity_sql(),
         "events_rollup": _EVENTS_ROLLUP_SQL,
         "pagerank_topk": _pagerank_topk_sql(),
+        "scc": _scc_sql(),
+        "coreness": _coreness_sql(),
     }

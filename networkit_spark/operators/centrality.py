@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 from ..graph import Graph
+from ..plans.order import zip_with_rank
 from .distance import bfs_distances
 
 
@@ -118,13 +119,20 @@ def betweenness_sampled(graph: Graph, sources: list[int]) -> DataFrame:
     )
 
 
-def ranking(scores: DataFrame, score_col: str = "score") -> DataFrame:
+def ranking(scores: DataFrame, score_col: str = "score", k: int | None = None) -> DataFrame:
     """Centrality::ranking (_NetworKit.pyx:5492-5495): (rank, node, score)
-    ordered by score desc, node asc."""
-    w = Window.orderBy(F.desc(score_col), F.asc("node"))
-    return scores.select(
-        F.row_number().over(w).alias("rank"), "node", F.col(score_col)
-    )
+    ordered by score desc, node asc.
+
+    ``k`` set → distributed TakeOrdered (orderBy().limit(k)) — the scale path
+    for top-k. Full ranking uses the distributed range-partition rank
+    (plans/order.py), never a single-task global window."""
+    if k is not None:
+        top = scores.orderBy(F.desc(score_col), F.asc("node")).limit(k)
+        # k rows: a single-partition window over the limited result is fine
+        w = Window.orderBy(F.desc(score_col), F.asc("node"))
+        return top.select(F.row_number().over(w).alias("rank"), "node", F.col(score_col))
+    ranked = zip_with_rank(scores, [F.desc(score_col), F.asc("node")], rank_col="rank")
+    return ranked.select("rank", "node", F.col(score_col))
 
 
 def centralization(scores: DataFrame, score_col: str = "score") -> float:

@@ -85,6 +85,123 @@ def connected_components(
     return out
 
 
+def strongly_connected_components(graph: Graph, max_outer: int = 100) -> DataFrame:
+    """(node, component) on a DIRECTED graph; component = MIN member id of the
+    SCC (deterministic canonical labels — the reference's
+    StronglyConnectedComponents.cpp:33-164 iterative Tarjan emits
+    discovery-order ids; canonicalize both to min-member to compare).
+
+    Distributed trim + min-coloring + backward sweep (the FW-BW-Trim family —
+    sequential Tarjan does not distribute):
+      1. TRIM to fixpoint: a node with in- or out-degree 0 inside the
+         remaining subgraph is its own SCC (peels tendrils/chains — on web
+         graphs this clears most of the node set in a few rounds).
+      2. COLOR: propagate ``color[v] = min(v, color of in-neighbors)`` to
+         fixpoint inside the remaining subgraph — color[v] is the min node id
+         that reaches v.
+      3. SWEEP: every root r (color[r] == r) is the MIN member of its SCC;
+         multi-source backward BFS from all roots along in-edges restricted
+         to equal color collects each root's SCC in parallel.
+      4. Remove resolved SCCs, repeat — each outer round resolves every
+         source-SCC of the remaining condensation, so outer rounds are
+         bounded by the condensation's level depth.
+
+    Every superstep is a frontier semi-join + groupBy — the same shuffle
+    shape as connected_components; nothing is collected to the driver except
+    per-round convergence counters.
+    """
+    if not graph.directed:
+        return connected_components(graph)
+    edges_all = graph.edges.select("src", "dst").distinct().persist()
+    edges_all.count()
+    remaining = graph.nodes().select("node").localCheckpoint(eager=True)
+    done: DataFrame | None = None
+
+    def _accum(acc, part):
+        part = part.select("node", F.col("component").cast("long").alias("component"))
+        return part if acc is None else acc.unionByName(part).localCheckpoint(eager=True)
+
+    for _ in range(max_outer):
+        if remaining.isEmpty():
+            break
+        # -- 1. trim loop ---------------------------------------------------
+        while True:
+            e = (
+                edges_all.join(remaining.withColumnRenamed("node", "src"), "src", "left_semi")
+                .join(remaining.withColumnRenamed("node", "dst"), "dst", "left_semi")
+                .filter(F.col("src") != F.col("dst"))
+            )
+            has_out = e.select(F.col("src").alias("node")).distinct()
+            has_in = e.select(F.col("dst").alias("node")).distinct()
+            keep = (
+                remaining.join(has_out, "node", "left_semi")
+                .join(has_in, "node", "left_semi")
+                .localCheckpoint(eager=True)
+            )
+            trimmed = remaining.join(keep, "node", "left_anti")
+            if trimmed.isEmpty():
+                break
+            done = _accum(done, trimmed.select("node", F.col("node").alias("component")))
+            remaining = keep
+        if remaining.isEmpty():
+            break
+        e = (
+            edges_all.join(remaining.withColumnRenamed("node", "src"), "src", "left_semi")
+            .join(remaining.withColumnRenamed("node", "dst"), "dst", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        # -- 2. forward min-color propagation to fixpoint --------------------
+        color = remaining.select("node", F.col("node").alias("color")).localCheckpoint(
+            eager=True
+        )
+        while True:
+            nbr = (
+                e.join(color.withColumnRenamed("node", "src"), "src")
+                .select(F.col("dst").alias("node"), "color")
+            )
+            new = (
+                color.unionByName(nbr)
+                .groupBy("node")
+                .agg(F.min("color").alias("color"))
+                .localCheckpoint(eager=True)
+            )
+            changed = (
+                new.alias("a")
+                .join(color.alias("b"), "node")
+                .filter(F.col("a.color") != F.col("b.color"))
+                .count()
+            )
+            color = new
+            if changed == 0:
+                break
+        # -- 3. backward sweep from roots within equal color -----------------
+        visited = (
+            color.filter(F.col("color") == F.col("node"))
+            .select("node", F.col("node").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        frontier = visited
+        src_color = color.select(F.col("node").alias("src"), F.col("color").alias("c_src"))
+        while not frontier.isEmpty():
+            cand = (
+                e.join(frontier.withColumnRenamed("node", "dst"), "dst")
+                .join(src_color, "src")
+                .filter(F.col("c_src") == F.col("component"))
+                .select(F.col("src").alias("node"), "component")
+                .distinct()
+            )
+            frontier = cand.join(visited, "node", "left_anti").localCheckpoint(eager=True)
+            if frontier.isEmpty():
+                break
+            visited = visited.unionByName(frontier).localCheckpoint(eager=True)
+        done = _accum(done, visited)
+        remaining = remaining.join(visited, "node", "left_anti").localCheckpoint(eager=True)
+    edges_all.unpersist()
+    if done is None:
+        return graph.nodes().select("node", F.col("node").alias("component"))
+    return done
+
+
 def num_components(labels: DataFrame) -> int:
     return labels.select("component").distinct().count()
 

@@ -41,26 +41,55 @@ def k_core(graph: Graph, k: int, max_iter: int = 100) -> DataFrame:
 
 def coreness(graph: Graph, k_max: int | None = None) -> DataFrame:
     """(node, core): max k such that node is in the k-core
-    (CoreDecomposition scores). Peels level by level — O(k_max) fixpoint
-    loops; fine for web graphs whose degeneracy ≪ max degree."""
-    nodes = graph.nodes()
-    result = nodes.select("node", F.lit(0).alias("core"))
+    (CoreDecomposition scores, reference ParK semantics).
+
+    ONE peel loop with incremental degree maintenance (distributed
+    Batagelj–Zaveršnik): each round removes every node whose surviving degree
+    is < the current level k, records ``core = k-1`` for it, and decrements
+    its surviving neighbors' degrees — each node is removed exactly once and
+    each edge is decremented at most twice across the WHOLE decomposition, so
+    total cost matches a single k_core fixpoint run (the old per-k restart
+    was O(k_max · rounds) full-graph jobs). When a level drains, k jumps
+    straight to (min surviving degree)+1, skipping empty levels."""
+    sym = graph.sym().select("src", "dst").filter(F.col("src") != F.col("dst")).persist()
+    sym.count()
+    deg0 = sym.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("deg"))
+    state = (
+        graph.nodes()
+        .join(deg0, "node", "left")
+        .select("node", F.coalesce("deg", F.lit(0)).cast("long").alias("deg"))
+        .localCheckpoint(eager=True)
+    )
+    cores: DataFrame | None = None
     k = 1
-    current = graph
     while True:
-        core_nodes = k_core(current, k)
-        cnt = core_nodes.count()
-        if cnt == 0:
+        if state.isEmpty():
             break
-        result = (
-            result.join(core_nodes.withColumn("ink", F.lit(1)), "node", "left")
-            .select(
-                "node",
-                F.when(F.col("ink").isNotNull(), F.lit(k)).otherwise(F.col("core")).alias("core"),
-            )
-        ).localCheckpoint(eager=True)
-        current = current.subgraph_from_nodes(core_nodes)
-        k += 1
         if k_max is not None and k > k_max:
+            # report the cap for everything still alive (old behavior)
+            rem = state.select("node", F.lit(k_max).alias("core"))
+            cores = rem if cores is None else cores.unionByName(rem)
             break
-    return result
+        to_remove = state.filter(F.col("deg") < k).select("node").localCheckpoint(eager=True)
+        if to_remove.isEmpty():
+            kmin = state.agg(F.min("deg")).collect()[0][0]
+            k = int(kmin) + 1
+            continue
+        rem = to_remove.select("node", F.lit(k - 1).alias("core"))
+        cores = rem if cores is None else cores.unionByName(rem).localCheckpoint(eager=True)
+        dec = (
+            sym.join(to_remove.withColumnRenamed("node", "src"), "src", "left_semi")
+            .groupBy("dst")
+            .agg(F.count("*").alias("c"))
+            .select(F.col("dst").alias("node"), "c")
+        )
+        state = (
+            state.join(to_remove, "node", "left_anti")
+            .join(dec, "node", "left")
+            .select("node", (F.col("deg") - F.coalesce("c", F.lit(0))).alias("deg"))
+            .localCheckpoint(eager=True)
+        )
+    sym.unpersist()
+    if cores is None:
+        return graph.nodes().select("node", F.lit(0).alias("core"))
+    return cores.select("node", F.col("core").cast("int").alias("core"))

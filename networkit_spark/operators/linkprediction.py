@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from ..graph import Graph
+from ..plans.order import zip_with_rank
 
 
 def _common_neighbor_stats(graph: Graph, pairs: DataFrame) -> DataFrame:
@@ -52,10 +53,18 @@ def link_prediction_scores(graph: Graph, pairs: DataFrame) -> DataFrame:
     common_neighbors, jaccard, adamic_adar, resource_allocation,
     preferential_attachment, total_neighbors, u_degree, v_degree."""
     deg = graph.degrees()
+    # left-join + coalesce 0: a pair endpoint absent from the (train) graph
+    # still gets a zero-score row instead of being silently dropped — matters
+    # for held-out evaluation where a node may lose all its edges.
     base = (
         pairs.select("u", "v")
-        .join(deg.withColumnRenamed("node", "u").withColumnRenamed("degree", "du"), "u")
-        .join(deg.withColumnRenamed("node", "v").withColumnRenamed("degree", "dv"), "v")
+        .join(deg.withColumnRenamed("node", "u").withColumnRenamed("degree", "du"), "u", "left")
+        .join(deg.withColumnRenamed("node", "v").withColumnRenamed("degree", "dv"), "v", "left")
+        .select(
+            "u", "v",
+            F.coalesce("du", F.lit(0)).alias("du"),
+            F.coalesce("dv", F.lit(0)).alias("dv"),
+        )
     )
     cn = _common_neighbor_stats(graph, pairs.select("u", "v"))
     out = base.join(cn, ["u", "v"])
@@ -93,10 +102,12 @@ def evaluate_predictions(
     """ROCMetric / PrecisionRecallMetric analog
     (reference cpp/linkprediction/EvaluationMetric.h): ranks predictions by
     score desc and returns AUC-ROC and average precision against a truth set
-    of (u, v) positive pairs. Distributed: one window pass over the ranked
-    predictions; only the two scalar integrals come back to the driver."""
-    from pyspark.sql import Window
+    of (u, v) positive pairs.
 
+    Distributed: exact global rank + running positive count come from the
+    range-partitioned rank (plans/order.py) — each task sorts only its score
+    range, no single-task global window. Only the two scalar integrals come
+    back to the driver."""
     t = truth.select("u", "v", F.lit(1).alias("pos"))
     ranked = (
         scores.join(t, ["u", "v"], "left")
@@ -107,21 +118,18 @@ def evaluate_predictions(
     n_neg = n_tot - n_pos
     if n_pos == 0 or n_neg == 0:
         return {"auc_roc": 0.0, "average_precision": 0.0}
-    w = Window.orderBy(F.desc(score_col), F.asc("u"), F.asc("v"))
-    cum = ranked.select(
-        "pos",
-        F.row_number().over(w).alias("rank"),
-        F.sum("pos").over(w).alias("tp"),
-    )
+    cum = zip_with_rank(
+        ranked,
+        [F.desc(score_col), F.asc("u"), F.asc("v")],
+        rank_col="rank",
+        cum_cols=["pos"],
+    ).select("pos", "rank", F.col("cum_pos").alias("tp"))
     # AUC via rank-sum (Mann-Whitney U): deterministic given the tie-break
-    rank_sum_pos = cum.filter(F.col("pos") == 1).agg(F.sum("rank")).collect()[0][0]
-    auc = 1.0 - (rank_sum_pos - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg)
-    ap = (
-        cum.filter(F.col("pos") == 1)
-        .agg(F.avg(F.col("tp") / F.col("rank")))
-        .collect()[0][0]
-    )
-    return {"auc_roc": float(auc), "average_precision": float(ap or 0.0)}
+    agg = cum.filter(F.col("pos") == 1).agg(
+        F.sum("rank").alias("rs"), F.avg(F.col("tp") / F.col("rank")).alias("ap")
+    ).collect()[0]
+    auc = 1.0 - (agg["rs"] - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg)
+    return {"auc_roc": float(auc), "average_precision": float(agg["ap"] or 0.0)}
 
 
 def missing_links(graph: Graph, k_hop: int = 2, limit_nodes: DataFrame | None = None) -> DataFrame:

@@ -36,7 +36,14 @@ def _transition(graph: Graph, num_partitions: Optional[int] = None) -> DataFrame
     """Edge transition matrix rows ``(src, dst, p)`` with
     ``p = w(src,dst)/wdeg(src)``, pre-partitioned by src and cached: the
     adjacency never re-shuffles across supersteps — only the rank vector does.
+
+    ``num_partitions`` defaults to the session's default parallelism so the
+    scale-safe layout is the DEFAULT: above the rank-broadcast threshold the
+    superstep hash-join on src reuses this partitioning and only the O(n)
+    rank vector moves. Pass an explicit value to size for cluster memory.
     """
+    if num_partitions is None:
+        num_partitions = graph.edges.sparkSession.sparkContext.defaultParallelism
     out = graph.sym()
     wdeg = out.groupBy("src").agg(F.sum("weight").alias("wdeg"))
     trans = (

@@ -18,7 +18,9 @@ deterministic and partitioning-independent.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..plans.order import zip_with_index
 
 
 def read_edge_list(
@@ -63,9 +65,8 @@ def read_edge_list(
             .unionByName(raw.select(F.col("vs").alias("tok")))
             .distinct()
         )
-        idmap = ids.select(
-            "tok",
-            (F.row_number().over(Window.orderBy("tok")) - 1).cast("long").alias("id"),
+        idmap = zip_with_index(ids, ["tok"], index_col="id").select(
+            "tok", F.col("id").cast("long").alias("id")
         )
         edges = (
             raw.join(idmap.withColumnRenamed("tok", "us").withColumnRenamed("id", "src"), "us")
@@ -117,8 +118,8 @@ def read_metis(spark: SparkSession, path: str):
     )
     first = df.orderBy("lineno").limit(1)
     body = df.join(first.select("lineno"), "lineno", "left_anti")
-    numbered = body.select(
-        (F.row_number().over(Window.orderBy("lineno")) - 1).cast("long").alias("src"),
+    numbered = zip_with_index(body, ["lineno"], index_col="src").select(
+        F.col("src").cast("long").alias("src"),
         F.split(F.trim("line"), r"\s+").alias("nbrs"),
     )
     edges = (

@@ -17,10 +17,11 @@ import re
 from typing import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import ArrayType, StringType
 
 from ..graph import Graph
+from ..plans.order import zip_with_index
 
 _EPOCH = "2020-01-01 00:00:00"
 
@@ -138,12 +139,13 @@ def synthesize_pages(graph: Graph, filler_words: int = 12) -> DataFrame:
 
 def assign_node_ids(pages: DataFrame) -> DataFrame:
     """Dense 0-based ids by sorted url (Globals.h:23 dense-id requirement;
-    deterministic, partitioning-independent). At 10^12 rows a global
-    row_number is a single total-order sort — acceptable once at ingest;
-    the id table is then a persistent artifact."""
-    return pages.select("url").distinct().select(
-        "url", (F.row_number().over(Window.orderBy("url")) - 1).cast("long").alias("node")
-    )
+    deterministic, partitioning-independent). Distributed: range-partition by
+    url, per-partition row_number, cumulative partition offsets
+    (plans/order.py) — no single-task global sort; at 10^12 rows each task
+    sorts only its url range and the driver sees one row per partition."""
+    return zip_with_index(
+        pages.select("url").distinct(), ["url"], index_col="node"
+    ).select("url", F.col("node").cast("long").alias("node"))
 
 
 def pages_to_edges(pages: DataFrame, id_map: DataFrame | None = None) -> DataFrame:

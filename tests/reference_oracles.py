@@ -97,3 +97,87 @@ def numpy_triangle_counts(edges, n):
                 if A[nb[i], nb[j]]:
                     tri[u] += 1
     return tri
+
+
+def python_scc(edges, n):
+    """Iterative Tarjan (mirrors reference
+    cpp/components/StronglyConnectedComponents.cpp:33-164), canonicalized to
+    min-member labels: returns {node: min id of its SCC}."""
+    adj = [[] for _ in range(n)]
+    for u, v in edges:
+        adj[u].append(v)
+    index = {}
+    low = {}
+    on_stack = [False] * n
+    stack = []
+    comp = {}
+    counter = [0]
+
+    def strongconnect(root):
+        work = [(root, 0)]
+        while work:
+            v, pi = work[-1]
+            if pi == 0:
+                index[v] = low[v] = counter[0]
+                counter[0] += 1
+                stack.append(v)
+                on_stack[v] = True
+            recurse = False
+            for i in range(pi, len(adj[v])):
+                w = adj[v][i]
+                if w not in index:
+                    work[-1] = (v, i + 1)
+                    work.append((w, 0))
+                    recurse = True
+                    break
+                elif on_stack[w]:
+                    low[v] = min(low[v], index[w])
+            if recurse:
+                continue
+            if low[v] == index[v]:
+                members = []
+                while True:
+                    w = stack.pop()
+                    on_stack[w] = False
+                    members.append(w)
+                    if w == v:
+                        break
+                m = min(members)
+                for w in members:
+                    comp[w] = m
+            work.pop()
+            if work:
+                p, _ = work[-1]
+                low[p] = min(low[p], low[v])
+
+    for v in range(n):
+        if v not in index:
+            strongconnect(v)
+    return comp
+
+
+def python_coreness(edges, n):
+    """Sequential Batagelj–Zaveršnik peel (reference CoreDecomposition ParK
+    semantics): returns {node: core number}."""
+    nbrs = [set() for _ in range(n)]
+    for u, v in edges:
+        if u != v:
+            nbrs[u].add(v)
+            nbrs[v].add(u)
+    deg = {v: len(nbrs[v]) for v in range(n)}
+    core = {}
+    alive = set(range(n))
+    k = 0
+    while alive:
+        k += 1
+        while True:
+            drop = [v for v in alive if deg[v] < k]
+            if not drop:
+                break
+            for v in drop:
+                core[v] = k - 1
+                alive.discard(v)
+                for w in nbrs[v]:
+                    if w in alive:
+                        deg[w] -= 1
+    return core

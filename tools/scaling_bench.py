@@ -106,16 +106,35 @@ def main():
     # each level's MINIMUM steady-state superstep across all rounds: noise is
     # strictly additive, so the min approximates the uncontended cost.
     lo_runs, hi_runs = [], []
-    # accumulate across invocations: prior rounds for the SAME graph params
-    # keep contributing their best windows (host contention is transient)
+    # accumulate across invocations: prior rounds for the SAME graph params AND
+    # the same job config keep contributing their best windows (host contention
+    # is transient). The config fingerprint guards against pooling windows from
+    # runs with different iters / driver memory / spark conf.
+    config_fp = {
+        "iters": ITERS,
+        "driver_mem": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"),
+        "aqe": "false",
+        "gc_interval": "30s",
+        "job": "pagerank-sql-v1",
+    }
     prior_lo, prior_hi = [], []
     if os.path.exists("BENCH/scaling.json"):
         try:
             with open("BENCH/scaling.json") as f:
                 prev = json.load(f)
-            if prev.get("graph", {}).get("scale") == SCALE and prev["graph"].get(
-                "edge_factor"
-            ) == EDGE_FACTOR:
+            graph_ok = (
+                prev.get("graph", {}).get("scale") == SCALE
+                and prev["graph"].get("edge_factor") == EDGE_FACTOR
+            )
+            # legacy files (round 1) predate the fingerprint but were recorded
+            # with these exact defaults; treat a missing key with iters match
+            # as the same config.
+            prev_fp = prev.get("config_fingerprint")
+            fp_ok = prev_fp == config_fp or (
+                prev_fp is None
+                and prev.get(f"local{N_LO}", {}).get("iters") == ITERS
+            )
+            if graph_ok and fp_ok:
                 prior_lo = prev.get(f"local{N_LO}", {}).get("step_times_all_rounds", [])
                 prior_hi = prev.get(f"local{N_HI}", {}).get("step_times_all_rounds", [])
         except Exception:
@@ -140,6 +159,7 @@ def main():
     result = {
         "graph": {"kind": "rmat", "scale": SCALE, "edge_factor": EDGE_FACTOR,
                   "nodes": r_lo["nodes"], "edges_sym": r_lo["edges_sym"]},
+        "config_fingerprint": config_fp,
         f"local{N_LO}": r_lo,
         f"local{N_HI}": r_hi,
         f"scaling_efficiency_{N_LO}_to_{N_HI}": round(eff, 3),
