@@ -254,11 +254,33 @@ def _emb_with_clones(spark, sf_dir):
     return emb.unionByName(clones)
 
 
+ND_BANDS = 4       # banded hyperplane LSH: 4 independent 12-bit sign codes
+ND_BAND_BITS = 12  # (candidate iff any band's code matches; exact verify)
+SH_PAIR_BITS = 48  # simhash pair-finder fingerprint width
+SH_MAX_HAMMING = 3  # → 4 bands of 12 bits; pigeonhole-exact candidates
+
+
 def q_embedding_neardup(spark, sf_dir):
     from networkit_spark.functions.dedup import embedding_neardup_pairs
 
     return embedding_neardup_pairs(
-        _emb_with_clones(spark, sf_dir), threshold=ND_THRESHOLD, lsh_bits=8
+        _emb_with_clones(spark, sf_dir),
+        threshold=ND_THRESHOLD,
+        bands=ND_BANDS,
+        band_bits=ND_BAND_BITS,
+        dim=64,
+    )
+
+
+def q_simhash_pairs(spark, sf_dir):
+    """SimHash Hamming-radius near-dup pairs over the near-dup-clone corpus
+    (banded pigeonhole candidates + XOR popcount verify)."""
+    from networkit_spark.functions.dedup import simhash_hamming_pairs
+
+    return simhash_hamming_pairs(
+        _docs_with_neardup_clones(spark, sf_dir),
+        bits=SH_PAIR_BITS,
+        max_hamming=SH_MAX_HAMMING,
     )
 
 
@@ -631,9 +653,12 @@ def q_matching(spark, sf_dir):
 
 
 def q_linkpred_eval(spark, sf_dir):
-    """Hold out a hash-sampled 20% of edges, score held-out pairs + an equal
-    set of non-edges with Adamic-Adar on the remaining graph, report
-    AUC-ROC / average precision. Deterministic but not SQL-oracle-friendly."""
+    """Hold out a hash-sampled ~20% of edges, score held-out pairs + the
+    <LP_MAX_NODE non-edge candidate set with Adamic-Adar on the remaining
+    graph, report AUC-ROC / average precision. The split uses the portable
+    md5-based hash60 and ranking uses the ROUNDED score, so the whole
+    pipeline is reproducible as a DuckDB oracle."""
+    from networkit_spark.functions.dedup import hash60
     from networkit_spark.graph import Graph
     from networkit_spark.operators.linkprediction import (
         evaluate_predictions,
@@ -641,7 +666,15 @@ def q_linkpred_eval(spark, sf_dir):
     )
 
     g = _g(spark, sf_dir)
-    keep = g.edges.filter((F.abs(F.xxhash64("src", "dst", F.lit(7))) % 100) >= 20)
+    split = F.pmod(
+        hash60(
+            F.concat_ws(
+                "|", F.col("src").cast("string"), F.col("dst").cast("string"), F.lit("7")
+            )
+        ),
+        F.lit(100),
+    )
+    keep = g.edges.filter(split >= 20)
     held = g.edges.join(keep.select("src", "dst"), ["src", "dst"], "left_anti")
     train = Graph(keep, directed=False, weighted=True)
     pos = held.select(F.col("src").alias("u"), F.col("dst").alias("v"))
@@ -654,7 +687,7 @@ def q_linkpred_eval(spark, sf_dir):
     )
     pairs = pos.unionByName(cand).distinct()
     scored = link_prediction_scores(train, pairs).select(
-        "u", "v", F.col("adamic_adar").alias("score")
+        "u", "v", F.round("adamic_adar", 6).alias("score")
     )
     m = evaluate_predictions(scored, pos, "score")
     return spark.range(1).select(
@@ -703,12 +736,18 @@ def q_algebraic_distance(spark, sf_dir):
     )
 
 
+NIB_ITERS = 15   # fixed PPR iterations inside pagerank_nibble (oracle parity)
+NIB_ROUND = 9    # sweep key/conductance rounding for cross-engine ordering
+
+
 def q_pagerank_nibble(spark, sf_dir):
     from networkit_spark.operators.misc import pagerank_nibble
 
     g = _g(spark, sf_dir)
     seed = int(g.nodes().agg(F.min("node")).collect()[0][0])
-    return pagerank_nibble(g, seed, tol=1e-4).orderBy("node")
+    return pagerank_nibble(
+        g, seed, tol=-1.0, max_iter=NIB_ITERS, round_digits=NIB_ROUND
+    ).orderBy("node")
 
 
 # -- round-2: SCC + coreness over hash-sparsified subgraphs (keeps the
@@ -807,16 +846,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # third wave — round 2
         "scc": q_scc,
         "coreness": q_coreness,
-        # rows-only (no SQL-expressible oracle)
-        "matching": q_matching,
-        "linkpred_eval": q_linkpred_eval,
+        "simhash_pairs": q_simhash_pairs,
         "betweenness": q_betweenness,
-        "anf_diameter": q_anf_diameter,
+        "matching": q_matching,
         "luby_mis": q_luby_mis,
         "spanning_forest": q_spanning_forest,
-        "plm": q_plm,
-        "algebraic_distance": q_algebraic_distance,
+        "linkpred_eval": q_linkpred_eval,
         "pagerank_nibble": q_pagerank_nibble,
+        "algebraic_distance": q_algebraic_distance,
+        # rows-only (no SQL-expressible oracle: FM sketches / multilevel
+        # Louvain are not fixed-unroll reproducible in ANSI SQL)
+        "anf_diameter": q_anf_diameter,
+        "plm": q_plm,
     }
 
 
@@ -1142,9 +1183,26 @@ SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM sums
 
 
 def _neardup_sql() -> str:
-    bits = 8
-    bucket = " + ".join(
-        f"(CASE WHEN v[{b + 1}] >= 0 THEN {2 ** b} ELSE 0 END)" for b in range(bits)
+    """Banded hyperplane LSH mirror: the same md5-derived ±1 hyperplanes as
+    dedup.hyperplane_signs, inlined as DuckDB list literals."""
+    from networkit_spark.functions.dedup import hyperplane_signs
+
+    signs = hyperplane_signs(ND_BANDS, ND_BAND_BITS, 64)
+
+    def band_expr(c):
+        bits = []
+        for b in range(ND_BAND_BITS):
+            lst = "[" + ", ".join(str(x) for x in signs[c][b]) + "]"
+            bits.append(
+                f"(CASE WHEN list_dot_product(v, {lst}) >= 0 THEN {2 ** b} ELSE 0 END)"
+            )
+        return " + ".join(bits)
+
+    band_cols = ", ".join(f"{band_expr(c)} AS bk{c}" for c in range(ND_BANDS))
+    cand_union = " UNION ".join(
+        f"SELECT x.doc AS a, y.doc AS b FROM base x JOIN base y "
+        f"ON x.bk{c} = y.bk{c} AND x.doc < y.doc"
+        for c in range(ND_BANDS)
     )
     return f"""
 WITH src AS MATERIALIZED (
@@ -1155,14 +1213,52 @@ WITH src AS MATERIALIZED (
   FROM embeddings WHERE vec_id % 50 = 0
 ),
 base AS MATERIALIZED (
-  SELECT vec_id AS doc, v, sqrt(list_dot_product(v, v)) AS nrm, {bucket} AS bucket
+  SELECT vec_id AS doc, v, sqrt(list_dot_product(v, v)) AS nrm, {band_cols}
   FROM src WHERE list_dot_product(v, v) > 0
-)
+),
+cand AS MATERIALIZED ({cand_union})
 SELECT a, b, ROUND(c, 6) AS cos FROM (
-  SELECT x.doc AS a, y.doc AS b,
-         list_dot_product(x.v, y.v) / (x.nrm * y.nrm) AS c
-  FROM base x JOIN base y ON x.bucket = y.bucket AND x.doc < y.doc
-) p WHERE c >= {ND_THRESHOLD}
+  SELECT p.a, p.b, list_dot_product(x.v, y.v) / (x.nrm * y.nrm) AS c
+  FROM cand p JOIN base x ON p.a = x.doc JOIN base y ON p.b = y.doc
+) s WHERE c >= {ND_THRESHOLD}
+"""
+
+
+def _simhash_pairs_sql() -> str:
+    """SimHash Hamming pair-finder mirror: 48-bit fingerprints over the
+    near-dup-clone corpus, 4 12-bit bands, XOR popcount verify <= 3."""
+    bits = SH_PAIR_BITS
+    n_bands = SH_MAX_HAMMING + 1
+    width = bits // n_bands
+    sums = ", ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(bits)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN CAST({2 ** b} AS BIGINT) ELSE 0 END)"
+        for b in range(bits)
+    )
+    bands = ", ".join(
+        f"(simhash >> {c * width}) & {2 ** (width if c < n_bands - 1 else bits - width * (n_bands - 1)) - 1} AS b{c}"
+        for c in range(n_bands)
+    )
+    cand_union = " UNION ".join(
+        f"SELECT x.doc_id AS a, y.doc_id AS b, x.simhash AS fa, y.simhash AS fb "
+        f"FROM banded x JOIN banded y ON x.b{c} = y.b{c} AND x.doc_id < y.doc_id"
+        for c in range(n_bands)
+    )
+    return f"""
+WITH {_DOCS_NEARDUP.strip().rstrip(',')},
+toks AS MATERIALIZED (
+  SELECT doc AS doc_id, unnest(string_split(text, ' ')) AS tok FROM docsrc
+),
+h AS MATERIALIZED (SELECT doc_id, {_H60.format(x='tok')} AS h FROM toks),
+sums AS MATERIALIZED (SELECT doc_id, {sums} FROM h GROUP BY doc_id),
+fps AS MATERIALIZED (SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM sums),
+banded AS MATERIALIZED (SELECT doc_id, simhash, {bands} FROM fps),
+cand AS MATERIALIZED ({cand_union})
+SELECT a, b, CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(fa, fb)) <= {SH_MAX_HAMMING}
 """
 
 
@@ -1797,6 +1893,360 @@ FROM documents
 """
 
 
+BW_ROUNDS = 8  # betweenness oracle BFS/sigma/delta level unroll (ecc(0|1) ≪ 8)
+
+
+def _betweenness_sql() -> str:
+    """Exact Brandes from BETW_SOURCES, unrolled level-synchronously: BFS
+    distances (multi-source), forward sigma per level, backward delta per
+    level — the same level sweeps the batched Spark implementation runs."""
+    src_values = ", ".join(f"({s})" for s in BETW_SOURCES)
+    ctes = [
+        edges_sql(N_NODES),
+        f"srcs AS MATERIALIZED (SELECT * FROM (VALUES {src_values}) AS t(s))",
+        "d0 AS MATERIALIZED (SELECT s, s AS node, 0 AS dist FROM srcs)",
+    ]
+    for i in range(BW_ROUNDS):
+        ctes.append(f"""d{i + 1} AS MATERIALIZED (
+  SELECT s, node, MIN(dist) AS dist FROM (
+    SELECT s, node, dist FROM d{i}
+    UNION ALL
+    SELECT m.s, e.dst AS node, m.dist + 1 AS dist FROM sym e JOIN d{i} m ON e.src = m.node
+  ) x GROUP BY s, node
+)""")
+    D = f"d{BW_ROUNDS}"
+    ctes.append(f"sg0 AS MATERIALIZED (SELECT s, s AS node, 0 AS dist, 1.0 AS sigma FROM srcs)")
+    for l in range(1, BW_ROUNDS + 1):
+        ctes.append(f"""sg{l} AS MATERIALIZED (
+  SELECT * FROM sg{l - 1}
+  UNION ALL
+  SELECT d.s, d.node, d.dist, x.sigma FROM (
+    SELECT p.s, e.dst AS node, SUM(p.sigma) AS sigma
+    FROM sg{l - 1} p JOIN sym e ON e.src = p.node
+    WHERE p.dist = {l - 1}
+    GROUP BY p.s, e.dst
+  ) x JOIN {D} d ON d.s = x.s AND d.node = x.node AND d.dist = {l}
+)""")
+    ctes.append(
+        f"bk0 AS MATERIALIZED (SELECT s, node, dist, sigma, 0.0 AS delta FROM sg{BW_ROUNDS})"
+    )
+    for i in range(1, BW_ROUNDS + 1):
+        lvl = BW_ROUNDS - i + 1
+        ctes.append(f"""bk{i} AS MATERIALIZED (
+  SELECT b.s, b.node, b.dist, b.sigma, b.delta + COALESCE(c.c, 0.0) AS delta
+  FROM bk{i - 1} b LEFT JOIN (
+    SELECT w.s, e.src AS node, SUM(v.sigma / w.sigma * (1.0 + w.delta)) AS c
+    FROM bk{i - 1} w
+    JOIN sym e ON e.dst = w.node
+    JOIN bk{i - 1} v ON v.s = w.s AND v.node = e.src AND v.dist = w.dist - 1
+    WHERE w.dist = {lvl}
+    GROUP BY w.s, e.src
+  ) c ON c.s = b.s AND c.node = b.node
+)""")
+    return _with(
+        *ctes,
+        select=(
+            f"SELECT n.node, ROUND(COALESCE(a.score, 0.0), 6) AS score "
+            f"FROM nodes n LEFT JOIN ("
+            f"SELECT node, SUM(delta) AS score FROM bk{BW_ROUNDS} "
+            f"WHERE node <> s GROUP BY node) a ON n.node = a.node"
+        ),
+    )
+
+
+MATCH_ROUNDS = 28  # local-max matching round unroll (converges ≪ 28 here)
+
+
+def _matching_sql() -> str:
+    """LocalMaxMatcher (ref cpp/matching/LocalMaxMatcher.cpp): mutual
+    heaviest-incident-edge rounds, tie-break (weight DESC, src, dst) — the
+    rule is order-independent, so the unrolled rounds reproduce the
+    distributed handshake exactly."""
+    ctes = [
+        edges_sql(N_NODES),
+        "e0 AS MATERIALIZED (SELECT src, dst, weight FROM edges)",
+    ]
+    for r in range(MATCH_ROUNDS):
+        ctes.append(f"""b{r} AS MATERIALIZED (
+  SELECT src, dst, weight FROM (
+    SELECT node, src, dst, weight,
+           ROW_NUMBER() OVER (PARTITION BY node ORDER BY weight DESC, src, dst) AS rn
+    FROM (
+      SELECT src AS node, src, dst, weight FROM e{r}
+      UNION ALL
+      SELECT dst AS node, src, dst, weight FROM e{r}
+    ) i
+  ) t WHERE rn = 1
+)""")
+        ctes.append(f"""p{r} AS MATERIALIZED (
+  SELECT src, dst, weight FROM b{r} GROUP BY src, dst, weight HAVING COUNT(*) = 2
+)""")
+        ctes.append(f"""e{r + 1} AS MATERIALIZED (
+  SELECT e.src, e.dst, e.weight FROM e{r} e
+  WHERE e.src NOT IN (SELECT src FROM p{r} UNION SELECT dst FROM p{r})
+    AND e.dst NOT IN (SELECT src FROM p{r} UNION SELECT dst FROM p{r})
+)""")
+    union = " UNION ALL ".join(f"SELECT * FROM p{r}" for r in range(MATCH_ROUNDS))
+    return _with(*ctes, select=f"SELECT src, dst, weight FROM ({union}) m")
+
+
+LUBY_ROUNDS = 10  # MIS round unroll (dense graph resolves in ~3 rounds)
+
+
+def _luby_sql() -> str:
+    """Luby MIS (ref cpp/independentset/Luby.cpp): per round, undecided nodes
+    beating every undecided neighbor's hash-priority join the set; neighbors
+    drop out. Priorities are the portable md5-based hash60 of
+    'node|seed|round', identical to the Spark side."""
+
+    def pri(expr):
+        return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+    ctes = [
+        edges_sql(N_NODES),
+        "u0 AS MATERIALIZED (SELECT node FROM nodes)",
+    ]
+    for r in range(1, LUBY_ROUNDS + 1):
+        p = pri(f"CAST(node AS VARCHAR) || '|42|{r}'")
+        ctes.append(f"pr{r} AS MATERIALIZED (SELECT node, {p} AS pri FROM u{r - 1})")
+        ctes.append(f"""ls{r} AS MATERIALIZED (
+  SELECT DISTINCT e.src AS node FROM sym e
+  JOIN pr{r} p ON e.src = p.node JOIN pr{r} q ON e.dst = q.node
+  WHERE q.pri > p.pri OR (q.pri = p.pri AND e.dst > e.src)
+)""")
+        ctes.append(
+            f"wn{r} AS MATERIALIZED (SELECT node FROM pr{r} "
+            f"WHERE node NOT IN (SELECT node FROM ls{r}))"
+        )
+        ctes.append(f"""u{r} AS MATERIALIZED (
+  SELECT node FROM u{r - 1}
+  WHERE node NOT IN (SELECT node FROM wn{r})
+    AND node NOT IN (SELECT DISTINCT e.dst FROM sym e
+                     WHERE e.src IN (SELECT node FROM wn{r}))
+)""")
+    union = " UNION ALL ".join(f"SELECT node FROM wn{r}" for r in range(1, LUBY_ROUNDS + 1))
+    return _with(*ctes, select=f"SELECT node FROM ({union}) m")
+
+
+SF_OUT_ROUNDS = 10  # Borůvka outer rounds (components at least halve per round)
+SF_IN_ROUNDS = 8    # component-merge min-label rounds w/ pointer jumping (2^8 depth)
+
+
+def _spanning_forest_sql() -> str:
+    """Minimum spanning forest via unrolled Borůvka (SpanningForest analog):
+    per round every component picks its cheapest outgoing edge (tie-break
+    weight, src, dst — a total order, so no pick cycles and the forest is
+    unique), then components merge by min-label with pointer jumping. The
+    Spark side's merge fixpoint is the same unique min-of-group, so the two
+    computations agree edge-for-edge."""
+    ctes = [
+        edges_sql(N_NODES),
+        "cp0 AS MATERIALIZED (SELECT node, node AS comp FROM nodes)",
+    ]
+    for r in range(SF_OUT_ROUNDS):
+        ctes.append(f"""pk{r} AS MATERIALIZED (
+  SELECT DISTINCT src, dst, weight FROM (
+    SELECT c, src, dst, weight,
+           ROW_NUMBER() OVER (PARTITION BY c ORDER BY weight, src, dst) AS rn
+    FROM (
+      SELECT a.comp AS c, e.src, e.dst, e.weight
+      FROM edges e JOIN cp{r} a ON e.src = a.node JOIN cp{r} b ON e.dst = b.node
+      WHERE a.comp <> b.comp
+      UNION ALL
+      SELECT b.comp AS c, e.src, e.dst, e.weight
+      FROM edges e JOIN cp{r} a ON e.src = a.node JOIN cp{r} b ON e.dst = b.node
+      WHERE a.comp <> b.comp
+    ) cand
+  ) t WHERE rn = 1
+)""")
+        ctes.append(f"""pe{r} AS MATERIALIZED (
+  SELECT a.comp AS cs, b.comp AS cd
+  FROM pk{r} e JOIN cp{r} a ON e.src = a.node JOIN cp{r} b ON e.dst = b.node
+  UNION ALL
+  SELECT b.comp AS cs, a.comp AS cd
+  FROM pk{r} e JOIN cp{r} a ON e.src = a.node JOIN cp{r} b ON e.dst = b.node
+)""")
+        ctes.append(
+            f"m{r}_0 AS MATERIALIZED (SELECT DISTINCT comp AS c, comp AS root FROM cp{r})"
+        )
+        for k in range(SF_IN_ROUNDS):
+            ctes.append(f"""m{r}_{k + 1} AS MATERIALIZED (
+  SELECT a.c, LEAST(a.root, COALESCE(nb.mn, a.root), rr.root) AS root
+  FROM m{r}_{k} a
+  LEFT JOIN (SELECT p.cs AS c, MIN(m.root) AS mn
+             FROM pe{r} p JOIN m{r}_{k} m ON p.cd = m.c GROUP BY p.cs) nb
+    ON a.c = nb.c
+  JOIN m{r}_{k} rr ON a.root = rr.c
+)""")
+        ctes.append(f"""cp{r + 1} AS MATERIALIZED (
+  SELECT n.node, m.root AS comp FROM cp{r} n JOIN m{r}_{SF_IN_ROUNDS} m ON n.comp = m.c
+)""")
+    union = " UNION ALL ".join(f"SELECT * FROM pk{r}" for r in range(SF_OUT_ROUNDS))
+    return _with(
+        *ctes, select=f"SELECT DISTINCT src, dst, weight FROM ({union}) f"
+    )
+
+
+def _linkpred_eval_sql() -> str:
+    """AUC-ROC + average precision of Adamic-Adar on a hash60 80/20 edge
+    split — full mirror of q_linkpred_eval: same split hash, same candidate
+    set, ranking on the ROUNDED score with (u, v) tie-break."""
+    h = "CAST(('0x' || substr(md5(CAST(src AS VARCHAR) || '|' || CAST(dst AS VARCHAR) || '|7'), 1, 15)) AS BIGINT)"
+    return _with(
+        edges_sql(N_NODES),
+        f"keep AS MATERIALIZED (SELECT src, dst, weight FROM edges WHERE ({h}) % 100 >= 20)",
+        "held AS MATERIALIZED (SELECT e.src AS u, e.dst AS v FROM edges e "
+        "WHERE NOT EXISTS (SELECT 1 FROM keep k WHERE k.src = e.src AND k.dst = e.dst))",
+        "tsym AS MATERIALIZED (SELECT src, dst FROM keep "
+        "UNION ALL SELECT dst AS src, src AS dst FROM keep)",
+        "tdeg AS MATERIALIZED (SELECT src AS node, COUNT(*) AS degree FROM tsym GROUP BY src)",
+        f"pn AS MATERIALIZED (SELECT node FROM nodes WHERE node < {LP_MAX_NODE})",
+        "cand AS MATERIALIZED (SELECT a.node AS u, b.node AS v FROM pn a JOIN pn b "
+        "ON a.node < b.node WHERE NOT EXISTS "
+        "(SELECT 1 FROM edges e WHERE e.src = a.node AND e.dst = b.node))",
+        "pairs AS MATERIALIZED (SELECT DISTINCT u, v FROM "
+        "(SELECT u, v FROM held UNION ALL SELECT u, v FROM cand) x)",
+        """wed AS MATERIALIZED (
+  SELECT p.u, p.v, SUM(CASE WHEN d.degree > 1 THEN 1.0 / ln(d.degree) ELSE 0.0 END) AS aa
+  FROM pairs p
+  JOIN tsym e1 ON e1.src = p.u
+  JOIN tsym e2 ON e2.src = p.v AND e2.dst = e1.dst
+  JOIN tdeg d ON d.node = e1.dst
+  GROUP BY p.u, p.v
+)""",
+        """scored AS MATERIALIZED (
+  SELECT p.u, p.v, ROUND(COALESCE(w.aa, 0.0), 6) AS score,
+         CASE WHEN EXISTS (SELECT 1 FROM held h WHERE h.u = p.u AND h.v = p.v)
+              THEN 1 ELSE 0 END AS pos
+  FROM pairs p LEFT JOIN wed w ON w.u = p.u AND w.v = p.v
+)""",
+        """rk AS MATERIALIZED (
+  SELECT pos,
+         ROW_NUMBER() OVER (ORDER BY score DESC, u, v) AS rank,
+         SUM(pos) OVER (ORDER BY score DESC, u, v ROWS UNBOUNDED PRECEDING) AS tp
+  FROM scored
+)""",
+        """s AS MATERIALIZED (
+  SELECT CAST(SUM(CASE WHEN pos = 1 THEN rank END) AS DOUBLE) AS rs,
+         CAST(SUM(pos) AS DOUBLE) AS np,
+         CAST(COUNT(*) - SUM(pos) AS DOUBLE) AS nn,
+         AVG(CASE WHEN pos = 1 THEN CAST(tp AS DOUBLE) / rank END) AS ap
+  FROM rk
+)""",
+        select=(
+            "SELECT ROUND(1.0 - (rs - np * (np + 1) / 2.0) / (np * nn), 6) AS auc_roc, "
+            "ROUND(ap, 6) AS average_precision FROM s"
+        ),
+    )
+
+
+def _nibble_sql() -> str:
+    """PageRankNibble sweep cut: unrolled single-seed PPR (NIB_ITERS fixed
+    iterations), order by ROUND(score/wdeg, 9) desc, running volume/cut, min
+    conductance prefix — the exact sweep q_pagerank_nibble runs."""
+    big = 2 ** 62
+    ctes = [
+        edges_sql(N_NODES),
+        "tl AS MATERIALIZED (SELECT node, CASE WHEN node = (SELECT MIN(node) FROM nodes)"
+        " THEN 1.0 ELSE 0.0 END AS tele FROM nodes)",
+        "q0 AS MATERIALIZED (SELECT node, tele AS score FROM tl)",
+    ]
+    for i in range(NIB_ITERS):
+        ctes.append(f"""q{i + 1} AS MATERIALIZED (
+  SELECT t.node, 0.85 * COALESCE(m.mass, 0) + 0.15 * t.tele AS score
+  FROM tl t LEFT JOIN (
+    SELECT s.dst AS node, SUM(s.weight / w.wdeg * p.score) AS mass
+    FROM sym s JOIN wdeg w ON s.src = w.node JOIN q{i} p ON s.src = p.node
+    GROUP BY s.dst
+  ) m ON t.node = m.node
+)""")
+    R = f"q{NIB_ITERS}"
+    ctes += [
+        f"""ordered AS MATERIALIZED (
+  SELECT r.node, ROUND(r.score / w.wdeg, {NIB_ROUND}) AS key, w.wdeg,
+         ROW_NUMBER() OVER (ORDER BY ROUND(r.score / w.wdeg, {NIB_ROUND}) DESC, r.node) AS pos
+  FROM {R} r JOIN wdeg w ON r.node = w.node WHERE r.score > 0
+)""",
+        f"""deltas AS MATERIALIZED (
+  SELECT LEAST(COALESCE(o1.pos, {big}), COALESCE(o2.pos, {big})) AS enter,
+         GREATEST(COALESCE(o1.pos, {big}), COALESCE(o2.pos, {big})) AS leave,
+         e.weight
+  FROM sym e
+  LEFT JOIN ordered o1 ON e.src = o1.node
+  LEFT JOIN ordered o2 ON e.dst = o2.node
+  WHERE COALESCE(o1.pos, {big}) <> COALESCE(o2.pos, {big})
+)""",
+        "ent AS MATERIALIZED (SELECT enter AS pos, SUM(weight) AS w_in FROM deltas GROUP BY enter)",
+        "lv AS MATERIALIZED (SELECT leave AS pos, SUM(weight) AS w_out FROM deltas GROUP BY leave)",
+        f"""sweep AS MATERIALIZED (
+  SELECT o.pos,
+         SUM(o.wdeg) OVER (ORDER BY o.pos) AS vol,
+         SUM(COALESCE(e.w_in, 0)) OVER (ORDER BY o.pos)
+           - SUM(COALESCE(l.w_out, 0)) OVER (ORDER BY o.pos) AS cut
+  FROM ordered o LEFT JOIN ent e ON o.pos = e.pos LEFT JOIN lv l ON o.pos = l.pos
+)""",
+        "tv AS MATERIALIZED (SELECT SUM(wdeg) AS v FROM wdeg)",
+        f"""cond AS MATERIALIZED (
+  SELECT s.pos,
+         ROUND(CASE WHEN LEAST(s.vol, tv.v - s.vol) > 0
+               THEN s.cut / LEAST(s.vol, tv.v - s.vol) ELSE 1e308 END, {NIB_ROUND}) AS c
+  FROM sweep s CROSS JOIN tv
+)""",
+        "best AS MATERIALIZED (SELECT pos FROM cond ORDER BY c, pos LIMIT 1)",
+    ]
+    return _with(
+        *ctes,
+        select="SELECT o.node FROM ordered o CROSS JOIN best b WHERE o.pos <= b.pos",
+    )
+
+
+ALG_SYSTEMS = 4
+ALG_ITERS = 5
+
+
+def _algdist_sql() -> str:
+    """AlgebraicDistance (ref cpp/distance/AlgebraicDistance.cpp): 5 Jacobi
+    over-relaxation rounds over 4 hash60-seeded coordinate systems; per-edge
+    score = max coordinate difference, rounded to 6."""
+    M = 2 ** 52
+
+    def h(s):
+        return (
+            f"(CAST(('0x' || substr(md5(CAST(node AS VARCHAR) || '|{s}|42'), 1, 15)) AS BIGINT)"
+            f" % {M}) / {float(M)}"
+        )
+
+    init = ", ".join(f"{h(s)} AS x{s}" for s in range(ALG_SYSTEMS))
+    ctes = [
+        edges_sql(N_NODES),
+        f"a0 AS MATERIALIZED (SELECT node, {init} FROM nodes)",
+    ]
+    for i in range(ALG_ITERS):
+        upd = ", ".join(
+            f"0.5 * x.x{s} + 0.5 * COALESCE(n.n{s} / w.wdeg, x.x{s}) AS x{s}"
+            for s in range(ALG_SYSTEMS)
+        )
+        sums = ", ".join(f"SUM(x.x{s} * s.weight) AS n{s}" for s in range(ALG_SYSTEMS))
+        ctes.append(f"""a{i + 1} AS MATERIALIZED (
+  SELECT x.node, {upd}
+  FROM a{i} x
+  JOIN wdeg w ON x.node = w.node
+  LEFT JOIN (
+    SELECT s.src AS node, {sums}
+    FROM sym s JOIN a{i} x ON s.dst = x.node GROUP BY s.src
+  ) n ON x.node = n.node
+)""")
+    A = f"a{ALG_ITERS}"
+    diffs = ", ".join(f"ABS(u.x{s} - v.x{s})" for s in range(ALG_SYSTEMS))
+    return _with(
+        *ctes,
+        select=(
+            f"SELECT e.src, e.dst, ROUND(GREATEST({diffs}), 6) AS score "
+            f"FROM edges e JOIN {A} u ON e.src = u.node JOIN {A} v ON e.dst = v.node"
+        ),
+    )
+
+
 def _scc_sql() -> str:
     """Mutual-reachability closure: 6 doublings cover paths ≤ 64 steps —
     over-unrolled far past the sparse subgraph's diameter. component =
@@ -1941,4 +2391,12 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_topk": _pagerank_topk_sql(),
         "scc": _scc_sql(),
         "coreness": _coreness_sql(),
+        "simhash_pairs": _simhash_pairs_sql(),
+        "betweenness": _betweenness_sql(),
+        "matching": _matching_sql(),
+        "luby_mis": _luby_sql(),
+        "spanning_forest": _spanning_forest_sql(),
+        "linkpred_eval": _linkpred_eval_sql(),
+        "pagerank_nibble": _nibble_sql(),
+        "algebraic_distance": _algdist_sql(),
     }

@@ -202,35 +202,134 @@ def simhash_fingerprints(
     return sums.select("doc_id", fp.alias("simhash"))
 
 
+def hyperplane_signs(bands: int, band_bits: int, dim: int, seed: int = 42) -> list:
+    """Deterministic Rademacher (±1) hyperplane components for banded
+    sign-LSH: signs[band][bit] is a ``dim``-length ±1 list derived from md5
+    (portable — the DuckDB oracle inlines the identical constants)."""
+    import hashlib
+
+    out = []
+    for c in range(bands):
+        band = []
+        for b in range(band_bits):
+            row = []
+            for d in range(dim):
+                h = hashlib.md5(f"{seed}|{c}|{b}|{d}".encode()).hexdigest()
+                row.append(1.0 if int(h[:15], 16) % 2 == 1 else -1.0)
+            band.append(row)
+        out.append(band)
+    return out
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.95,
-    lsh_bits: int = 8,
+    bands: int = 8,
+    band_bits: int = 16,
+    dim: int = 64,
+    seed: int = 42,
+    lsh_bits: int | None = None,
 ) -> DataFrame:
-    """(a, b, cos) pairs with cosine >= threshold, candidate-filtered by a
-    sign-bit LSH over the first ``lsh_bits`` dimensions (near-identical
-    vectors share all sign bits with high probability). Exact cosine verify
-    in-bucket. Scale path: bucket count 2^bits bounds each join partition."""
+    """(a, b, cos) pairs with cosine >= threshold via BANDED random-hyperplane
+    LSH: ``bands`` independent ``band_bits``-bit sign codes (bit = sign of a
+    Rademacher-hyperplane dot product); a pair is a candidate iff ANY band's
+    full code matches, then exact cosine verifies in-bucket.
+
+    Scale: each band has 2^band_bits buckets (65k at the defaults), so
+    in-bucket joins stay O((N/2^band_bits)^2) per band — unlike a single
+    short code where every bucket holds N/256 vectors. Recall for
+    near-identical vectors (cos ≈ 0.999) is ~1 - (1 - 0.79)^8 ≈ 1-1e-5;
+    marginal pairs at the 0.95 threshold get ~0.8 and the threshold verify
+    keeps precision exact. ``lsh_bits`` (legacy single-code mode) maps to
+    one band of that many bits.
+    """
+    if lsh_bits is not None:
+        bands, band_bits = 1, lsh_bits
+    signs = hyperplane_signs(bands, band_bits, dim, seed)
     v = F.col(vec_col)
     norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
-    code = None
-    for b in range(lsh_bits):
-        bit = F.when(F.element_at(v, b + 1) >= 0, F.lit(2 ** b)).otherwise(F.lit(0))
-        code = bit if code is None else code + bit
+
+    def band_code(c: int):
+        code = None
+        for b in range(band_bits):
+            s = F.array(*[F.lit(x) for x in signs[c][b]])
+            dot = F.aggregate(
+                F.zip_with(v, s, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+            )
+            bit = F.when(dot >= 0, F.lit(2 ** b)).otherwise(F.lit(0))
+            code = bit if code is None else code + bit
+        return code
+
     base = df.select(
-        F.col(id_col).alias("doc"), v.alias("v"), norm.alias("nrm"), code.alias("bucket")
-    ).filter(F.col("nrm") > 0)
-    a = base.select(F.col("doc").alias("a"), F.col("v").alias("va"), F.col("nrm").alias("na"), "bucket")
-    b_ = base.select(F.col("doc").alias("b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"), "bucket")
+        F.col(id_col).alias("doc"),
+        v.alias("v"),
+        norm.alias("nrm"),
+        *[band_code(c).alias(f"bk{c}") for c in range(bands)],
+    ).filter(F.col("nrm") > 0).persist()
+    cand = None
+    for c in range(bands):
+        x = base.select(F.col("doc").alias("a"), F.col(f"bk{c}").alias("bucket"))
+        y = base.select(F.col("doc").alias("b"), F.col(f"bk{c}").alias("bucket"))
+        p = (
+            x.join(y, "bucket")
+            .filter(F.col("a") < F.col("b"))
+            .select("a", "b")
+        )
+        cand = p if cand is None else cand.unionByName(p)
+    cand = cand.distinct()
+    a = base.select(F.col("doc").alias("a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+    b_ = base.select(F.col("doc").alias("b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
     dot = F.aggregate(
         F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
     return (
-        a.join(b_, "bucket")
-        .filter(F.col("a") < F.col("b"))
+        cand.join(a, "a")
+        .join(b_, "b")
         .select("a", "b", (dot / (F.col("na") * F.col("nb"))).alias("cos"))
         .filter(F.col("cos") >= threshold)
         .select("a", "b", F.round("cos", 6).alias("cos"))
+    )
+
+
+def simhash_hamming_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """(a, b, hamming) pairs of documents whose SimHash fingerprints differ
+    in <= ``max_hamming`` bits — the pair-finder on top of
+    simhash_fingerprints: split the fingerprint into ``max_hamming + 1``
+    bands; by pigeonhole any pair within the Hamming radius agrees exactly
+    on at least one band, so candidates come from per-band exact-match
+    joins (one shuffle per band, keys near-uniform) and the XOR popcount
+    verify is exact. No all-pairs compare at any scale."""
+    n_bands = max_hamming + 1
+    width = bits // n_bands
+    fp = simhash_fingerprints(df, text_col, id_col, bits)
+
+    def band_key(c: int):
+        # bits [c*width, (c+1)*width) — the last band absorbs the remainder
+        w = width if c < n_bands - 1 else bits - width * (n_bands - 1)
+        return F.shiftright(F.col("simhash"), c * width).bitwiseAND(
+            F.lit(2 ** w - 1)
+        )
+
+    banded = fp.select(
+        "doc_id", "simhash", *[band_key(c).alias(f"b{c}") for c in range(n_bands)]
+    ).persist()
+    cand = None
+    for c in range(n_bands):
+        x = banded.select(F.col("doc_id").alias("a"), F.col("simhash").alias("fa"), F.col(f"b{c}").alias("k"))
+        y = banded.select(F.col("doc_id").alias("b"), F.col("simhash").alias("fb"), F.col(f"b{c}").alias("k"))
+        p = x.join(y, "k").filter(F.col("a") < F.col("b")).select("a", "b", "fa", "fb")
+        cand = p if cand is None else cand.unionByName(p)
+    ham = F.bit_count(F.col("fa").bitwiseXOR(F.col("fb")))
+    return (
+        cand.distinct()
+        .select("a", "b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
     )

@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from ..graph import Graph
 from ..plans.order import zip_with_rank
-from .distance import bfs_distances
+from .distance import bfs_distances, multi_source_bfs
 
 
 def degree_centrality(graph: Graph, normalized: bool = False) -> DataFrame:
@@ -47,15 +47,14 @@ def sfigality(graph: Graph) -> DataFrame:
 def closeness_sampled(graph: Graph, sources: list[int]) -> DataFrame:
     """ApproxCloseness-style: closeness estimated from BFS distances of a
     source sample (reference ApproxCloseness.cpp uses sampled pivots).
-    Returns (node, score) with score = (#samples reached) / Σ dist."""
-    acc = None
-    for s in sources:
-        d = bfs_distances(graph, s).select(
-            "node", F.col("dist").cast("double").alias("d")
-        )
-        acc = d if acc is None else acc.unionByName(d)
-    sums = acc.groupBy("node").agg(
-        F.sum("d").alias("total"), F.count("*").alias("reached")
+    Returns (node, score) with score = (#samples reached) / Σ dist.
+
+    Batched: ONE multi-source BFS carries all sources in a (source, node)
+    pair frontier, so 64 samples cost ~one BFS's worth of supersteps."""
+    pairs = multi_source_bfs(graph, sources)
+    sums = pairs.groupBy("node").agg(
+        F.sum(F.col("dist").cast("double")).alias("total"),
+        F.count("*").alias("reached"),
     )
     return sums.select(
         "node",
@@ -64,56 +63,77 @@ def closeness_sampled(graph: Graph, sources: list[int]) -> DataFrame:
 
 
 def betweenness_sampled(graph: Graph, sources: list[int]) -> DataFrame:
-    """Sampled Brandes (ApproxBetweenness2.cpp shape): for each sampled
-    source, BFS shortest-path DAG + dependency accumulation done as
-    DataFrame supersteps backwards over distance levels."""
+    """Sampled Brandes (ApproxBetweenness2.cpp shape): BFS shortest-path DAG
+    + dependency accumulation as DataFrame supersteps over distance levels.
+
+    Batched multi-source: sigma/delta state carries a ``source`` column, so
+    each forward/backward level superstep processes EVERY sampled source at
+    once — total supersteps = 2·max-eccentricity, independent of the number
+    of samples (the old version looped sources serially in the driver)."""
     sym = graph.sym().select("src", "dst").persist()
-    totals = None
-    for s in sources:
-        dist = bfs_distances(graph, s).persist()
-        # shortest-path counts sigma via forward sweep over levels
-        max_d = dist.agg(F.max("dist")).collect()[0][0] or 0
-        sigma = dist.filter(F.col("dist") == 0).select("node", F.lit(1.0).alias("sigma"))
-        sigma = sigma.localCheckpoint(eager=True)
-        for lvl in range(1, max_d + 1):
-            prev = sigma.join(dist, "node").filter(F.col("dist") == lvl - 1)
-            nxt = (
-                sym.join(prev.select(F.col("node").alias("src"), "sigma"), "src")
-                .select(F.col("dst").alias("node"), "sigma")
-                .join(dist, "node")
-                .filter(F.col("dist") == lvl)
-                .groupBy("node")
-                .agg(F.sum("sigma").alias("sigma"))
+    sym.count()
+    dist = multi_source_bfs(graph, sources).persist()
+    max_d = dist.agg(F.max("dist")).collect()[0][0] or 0
+    # forward sweep: sigma(source, v) = # shortest s→v paths
+    sigma = (
+        dist.filter(F.col("dist") == 0)
+        .select("source", "node", F.lit(1.0).alias("sigma"))
+        .localCheckpoint(eager=True)
+    )
+    for lvl in range(1, max_d + 1):
+        prev = sigma.join(dist, ["source", "node"]).filter(F.col("dist") == lvl - 1)
+        nxt = (
+            sym.join(
+                prev.select("source", F.col("node").alias("src"), "sigma"), "src"
             )
-            sigma = sigma.unionByName(nxt.select("node", "sigma")).localCheckpoint(eager=True)
-        # backward dependency accumulation
-        delta = dist.select("node", F.lit(0.0).alias("delta")).localCheckpoint(eager=True)
-        for lvl in range(max_d, 0, -1):
-            w = (
-                delta.join(dist, "node").filter(F.col("dist") == lvl)
-                .join(sigma, "node")
-                .select(F.col("node").alias("wnode"), "delta", F.col("sigma").alias("sw"))
+            .select("source", F.col("dst").alias("node"), "sigma")
+            .join(dist.filter(F.col("dist") == lvl), ["source", "node"], "left_semi")
+            .groupBy("source", "node")
+            .agg(F.sum("sigma").alias("sigma"))
+        )
+        sigma = sigma.unionByName(nxt).localCheckpoint(eager=True)
+    # backward dependency accumulation, all sources per level superstep
+    state = (
+        dist.join(sigma, ["source", "node"])
+        .select("source", "node", "dist", "sigma", F.lit(0.0).alias("delta"))
+        .localCheckpoint(eager=True)
+    )
+    for lvl in range(max_d, 0, -1):
+        w = state.filter(F.col("dist") == lvl).select(
+            "source", F.col("node").alias("dst"),
+            F.col("sigma").alias("sw"), F.col("delta").alias("dw"),
+        )
+        contrib = (
+            sym.join(w, "dst")
+            .select("source", F.col("src").alias("node"), "sw", "dw")
+            .join(
+                state.filter(F.col("dist") == lvl - 1).select(
+                    "source", "node", F.col("sigma").alias("sv")
+                ),
+                ["source", "node"],
             )
-            contrib = (
-                sym.join(w.select(F.col("wnode").alias("dst"), "delta", "sw"), "dst")
-                .select(F.col("src").alias("node"), "delta", "sw", F.col("dst").alias("wn"))
-                .join(dist, "node")
-                .filter(F.col("dist") == lvl - 1)
-                .join(sigma.withColumnRenamed("sigma", "sv"), "node")
-                .select("node", (F.col("sv") / F.col("sw") * (1.0 + F.col("delta"))).alias("c"))
-                .groupBy("node")
-                .agg(F.sum("c").alias("c"))
+            .select(
+                "source", "node",
+                (F.col("sv") / F.col("sw") * (1.0 + F.col("dw"))).alias("c"),
             )
-            delta = (
-                delta.join(contrib, "node", "left")
-                .select("node", (F.col("delta") + F.coalesce("c", F.lit(0.0))).alias("delta"))
-                .localCheckpoint(eager=True)
+            .groupBy("source", "node")
+            .agg(F.sum("c").alias("c"))
+        )
+        state = (
+            state.join(contrib, ["source", "node"], "left")
+            .select(
+                "source", "node", "dist", "sigma",
+                (F.col("delta") + F.coalesce("c", F.lit(0.0))).alias("delta"),
             )
-        part = delta.filter(F.col("node") != s).select("node", F.col("delta").alias("score"))
-        totals = part if totals is None else totals.unionByName(part)
-        dist.unpersist()
+            .localCheckpoint(eager=True)
+        )
+    out = (
+        state.filter(F.col("node") != F.col("source"))
+        .groupBy("node")
+        .agg(F.sum("delta").alias("score"))
+    )
+    dist.unpersist()
     sym.unpersist()
-    out = totals.groupBy("node").agg(F.sum("score").alias("score"))
     return graph.nodes().join(out, "node", "left").select(
         "node", F.coalesce("score", F.lit(0.0)).alias("score")
     )

@@ -167,17 +167,52 @@ def hop_plot_approx(graph: Graph, **kw) -> list:
     return [(h, v / final) for h, v in nf]
 
 
+def multi_source_bfs(graph: Graph, sources: list[int], max_iter: int = 10_000) -> DataFrame:
+    """Batched multi-source BFS: ONE level-synchronous frontier of
+    (source, node) pairs for ALL sources at once — |sources| BFS trees cost
+    one BFS's worth of supersteps (max eccentricity rounds), not
+    |sources| serial loops. Returns (source, node, dist) for reached pairs.
+
+    This is the same pair-frontier shape as effective_diameter_exact; state
+    is O(reachable pairs) = |sources|·n, partitioned like any edge join."""
+    spark = graph.edges.sparkSession
+    if not sources:
+        return spark.createDataFrame([], "source long, node long, dist int")
+    sym = graph.sym().select("src", "dst").persist()
+    sym.count()
+    src_df = spark.createDataFrame(
+        [(int(s),) for s in sources], "source long"
+    )
+    nodes = graph.nodes()
+    dist = (
+        nodes.join(src_df, nodes.node == src_df.source)
+        .select("source", "node", F.lit(0).alias("dist"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = dist
+    hop = 0
+    while max_iter > 0:
+        max_iter -= 1
+        hop += 1
+        reach = (
+            sym.join(frontier, sym.src == frontier.node)
+            .select("source", F.col("dst").alias("node"), F.lit(hop).alias("dist"))
+            .distinct()
+        )
+        new = reach.join(dist, ["source", "node"], "left_anti").localCheckpoint(eager=True)
+        if new.isEmpty():
+            break
+        dist = dist.unionByName(new).localCheckpoint(eager=True)
+        frontier = new
+    sym.unpersist()
+    return dist
+
+
 def apsp_sampled(graph: Graph, sources: list[int]) -> DataFrame:
     """APSP analog restricted to sampled sources (n× BFS is the reference
     APSP.cpp; at scale only source samples are meaningful). Returns
-    (source, node, dist)."""
-    acc = None
-    for s in sources:
-        d = bfs_distances(graph, s).select(
-            F.lit(int(s)).alias("source"), "node", "dist"
-        )
-        acc = d if acc is None else acc.unionByName(d)
-    return acc
+    (source, node, dist) via ONE batched multi-source BFS."""
+    return multi_source_bfs(graph, sources)
 
 
 def effective_diameter_exact(graph: Graph, ratio: float = 0.9) -> float:

@@ -19,6 +19,7 @@ from typing import Optional
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from ..functions.dedup import hash60
 from ..graph import Graph
 from .distance import bfs_distances
 
@@ -46,9 +47,15 @@ def algebraic_distance(
     nodes = graph.nodes()
     cols = []
     for s in range(num_systems):
-        u = (F.abs(F.xxhash64("node", F.lit(s), F.lit(seed))) % F.lit(2 ** 52)).cast(
-            "double"
-        ) / F.lit(float(2 ** 52))
+        # portable md5-based hash60 init (reproducible in any engine)
+        u = F.pmod(
+            hash60(
+                F.concat_ws(
+                    "|", F.col("node").cast("string"), F.lit(str(s)), F.lit(str(seed))
+                )
+            ),
+            F.lit(2 ** 52),
+        ).cast("double") / F.lit(float(2 ** 52))
         cols.append(u.alias(f"x{s}"))
     x = nodes.select("node", *cols).localCheckpoint(eager=True)
     sym = graph.sym().persist()
@@ -96,8 +103,15 @@ def luby_independent_set(graph: Graph, seed: int = 42, max_iter: int = 100) -> D
     rnd = 0
     while rnd < max_iter:
         rnd += 1
+        # portable 60-bit md5 hash (functions/dedup.hash60) so the priority
+        # sequence is reproducible in any engine (DuckDB oracle parity)
         pri = undecided.select(
-            "node", F.xxhash64("node", F.lit(seed), F.lit(rnd)).alias("pri")
+            "node",
+            hash60(
+                F.concat_ws(
+                    "|", F.col("node").cast("string"), F.lit(str(seed)), F.lit(str(rnd))
+                )
+            ).alias("pri"),
         )
         e = (
             sym.join(pri.withColumnRenamed("node", "src").withColumnRenamed("pri", "ps"), "src")
@@ -249,19 +263,31 @@ def personalized_pagerank(
 
 
 def pagerank_nibble(
-    graph: Graph, seed: int, damp: float = 0.85, tol: float = 1e-6
+    graph: Graph,
+    seed: int,
+    damp: float = 0.85,
+    tol: float = 1e-6,
+    max_iter: int = 100,
+    round_digits: int | None = None,
 ) -> DataFrame:
     """PageRankNibble (cpp/scd/PageRankNibble.{h,cpp}): personalized PR from
     the seed, order nodes by score/degree, take the prefix with minimum
     conductance (sweep cut via running window aggregates). Returns (node)
-    of the detected community."""
-    ppr = personalized_pagerank(graph, [seed], damp=damp, tol=tol)
+    of the detected community.
+
+    ``round_digits`` rounds the sweep key and conductance before ordering so
+    the sweep order is reproducible across float-summation orders (oracle
+    parity); ``tol < 0`` runs exactly ``max_iter`` PPR iterations."""
+    ppr = personalized_pagerank(graph, [seed], damp=damp, tol=tol, max_iter=max_iter)
     deg = graph.weighted_degrees()
     total_vol = deg.agg(F.sum("wdeg")).collect()[0][0] or 0.0
+    key = F.col("score") / F.col("wdeg")
+    if round_digits is not None:
+        key = F.round(key, round_digits)
     ordered = (
         ppr.filter(F.col("score") > 0)
         .join(deg, "node")
-        .select("node", (F.col("score") / F.col("wdeg")).alias("key"), "wdeg")
+        .select("node", key.alias("key"), "wdeg")
         .orderBy(F.desc("key"), F.asc("node"))
         .withColumn("pos", F.row_number().over(Window.orderBy(F.desc("key"), F.asc("node"))))
     ).persist()
@@ -307,6 +333,8 @@ def pagerank_nibble(
             ).otherwise(F.lit(float("inf"))),
         )
     )
+    if round_digits is not None:
+        sweep = sweep.withColumn("cond", F.round("cond", round_digits))
     best = sweep.orderBy(F.asc("cond"), F.asc("pos")).limit(1).collect()
     if not best:
         ordered.unpersist()
