@@ -772,6 +772,72 @@ def _sparse_ugraph(spark, sf_dir):
     return Graph(keep.select("src", "dst", F.lit(1.0).alias("weight")), directed=False)
 
 
+PJ_K = 5          # prefix-Jaccard neighbor prefix size
+KATZ_BETA = 0.05  # pairwise Katz damping
+KATZ_LEN = 4      # pairwise Katz max path length
+PERM_MOD = 8      # permanence test partition: label = node % PERM_MOD
+TOPC_K = 10       # top-closeness k
+
+
+def q_prefix_jaccard(spark, sf_dir):
+    """PrefixJaccardScore (ref cpp/edgescores/PrefixJaccardScore.cpp): edge
+    score = Jaccard of the two endpoints' top-PJ_K degree-ranked neighbor
+    prefixes."""
+    from networkit_spark.operators.sparsification import prefix_jaccard_score
+
+    out = prefix_jaccard_score(_g(spark, sf_dir), k=PJ_K)
+    return out.select("src", "dst", F.round("score", 6).alias("score"))
+
+
+def q_quadrangle_score(spark, sf_dir):
+    """ChibaNishizeki quadrangle (4-cycle) count per edge (ref
+    cpp/edgescores/ChibaNishizekiQuadrangleEdgeScore.cpp) on the sparse
+    subgraph (the dense 1000-node graph has ~10^8 quadrangles; counting is
+    still exact there but the fixture keeps the oracle cheap)."""
+    from networkit_spark.operators.sparsification import quadrangle_edge_score
+
+    return quadrangle_edge_score(_sparse_ugraph(spark, sf_dir)).orderBy("src", "dst")
+
+
+def q_katz_pairs(spark, sf_dir):
+    """Pairwise KatzIndex (ref cpp/linkprediction/KatzIndex.cpp): bounded
+    path-count score for the same candidate pair set link_prediction uses."""
+    from networkit_spark.operators.linkprediction import katz_index
+
+    g = _g(spark, sf_dir)
+    nodes = g.nodes().filter(F.col("node") < LP_MAX_NODE)
+    pairs = (
+        nodes.select(F.col("node").alias("u"))
+        .crossJoin(nodes.select(F.col("node").alias("v")))
+        .filter(F.col("u") < F.col("v"))
+    )
+    out = katz_index(g, pairs, beta=KATZ_BETA, max_len=KATZ_LEN)
+    return out.select("u", "v", F.round("score", 6).alias("score"))
+
+
+def q_permanence(spark, sf_dir):
+    """PermanenceCentrality (ref cpp/centrality/PermanenceCentrality.cpp:
+    140-158) against the deterministic node%PERM_MOD partition."""
+    from networkit_spark.operators.community import permanence_centrality
+
+    g = _g(spark, sf_dir)
+    labels = g.nodes().select("node", (F.col("node") % PERM_MOD).alias("label"))
+    out = permanence_centrality(g, labels)
+    return out.select("node", F.round("score", 6).alias("score"))
+
+
+def q_top_closeness(spark, sf_dir):
+    """TopCloseness (ref cpp/centrality/TopCloseness.cpp): exact top-k
+    closeness via bound-pruned batched BFS on the sparse subgraph; re-ranked
+    on the ROUNDED score for cross-engine ordering."""
+    from networkit_spark.operators.centrality import top_closeness
+
+    top = top_closeness(_sparse_ugraph(spark, sf_dir), k=TOPC_K)
+    # rank comes from the RAW score ((r-1)/far on exact integers — identical
+    # IEEE754 on both engines); rounding is display-only
+    return top.select("rank", "node", F.round("score", 6).alias("score"))
+
+
 def q_scc(spark, sf_dir):
     """Strongly connected components (reference
     cpp/components/StronglyConnectedComponents.cpp:33-164), canonical
@@ -846,6 +912,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # third wave — round 2
         "scc": q_scc,
         "coreness": q_coreness,
+        "prefix_jaccard": q_prefix_jaccard,
+        "quadrangle_score": q_quadrangle_score,
+        "katz_pairs": q_katz_pairs,
+        "permanence": q_permanence,
+        "top_closeness": q_top_closeness,
         "simhash_pairs": q_simhash_pairs,
         "betweenness": q_betweenness,
         "matching": q_matching,
@@ -2300,6 +2371,176 @@ def _coreness_sql() -> str:
     )
 
 
+def _prefix_jaccard_sql() -> str:
+    """Top-PJ_K degree-ranked neighbor prefixes + one intersection join —
+    the exact plan prefix_jaccard_score runs (window is per-node there too)."""
+    return _with(
+        edges_sql(N_NODES),
+        f"""pfx AS MATERIALIZED (
+  SELECT src AS node, dst AS nbr FROM (
+    SELECT s.src, s.dst,
+           ROW_NUMBER() OVER (PARTITION BY s.src ORDER BY d.degree DESC, s.dst) AS rn
+    FROM sym s JOIN deg d ON s.dst = d.node
+  ) t WHERE rn <= {PJ_K}
+)""",
+        "sz AS MATERIALIZED (SELECT node, COUNT(*) AS sz FROM pfx GROUP BY node)",
+        """ix AS MATERIALIZED (
+  SELECT e.src, e.dst, COUNT(*) AS ix
+  FROM edges e
+  JOIN pfx p ON p.node = e.src
+  JOIN pfx q ON q.node = e.dst AND q.nbr = p.nbr
+  GROUP BY e.src, e.dst
+)""",
+        select=(
+            "SELECT e.src, e.dst, ROUND(CASE WHEN COALESCE(su.sz,0)+COALESCE(sv.sz,0)-COALESCE(i.ix,0) > 0 "
+            "THEN CAST(COALESCE(i.ix,0) AS DOUBLE) / (COALESCE(su.sz,0)+COALESCE(sv.sz,0)-COALESCE(i.ix,0)) "
+            "ELSE 0.0 END, 6) AS score "
+            "FROM edges e LEFT JOIN ix i ON e.src = i.src AND e.dst = i.dst "
+            "LEFT JOIN sz su ON su.node = e.src LEFT JOIN sz sv ON sv.node = e.dst"
+        ),
+    )
+
+
+def _quadrangle_sql() -> str:
+    """4-cycles per edge on the sparse subgraph: cn(a,b) wedge counts, then
+    per edge (u,v): sum over w ~ v, w != u of (cn(u,w) - 1)."""
+    return _with(
+        edges_sql(N_SPARSE, directed=False),
+        f"sedges AS MATERIALIZED (SELECT src, dst FROM edges"
+        f" WHERE (src*131 + dst*7) % {CORE_MOD} = 0)",
+        "ssym AS MATERIALIZED (SELECT src, dst FROM sedges "
+        "UNION ALL SELECT dst AS src, src AS dst FROM sedges)",
+        """cn AS MATERIALIZED (
+  SELECT a, b, COUNT(*) AS cn FROM (
+    SELECT s1.src AS a, s2.dst AS b
+    FROM ssym s1 JOIN ssym s2 ON s1.dst = s2.src
+    WHERE s1.src < s2.dst
+  ) w GROUP BY a, b
+)""",
+        """per AS MATERIALIZED (
+  SELECT e.src, e.dst, SUM(COALESCE(c.cn, 0) - 1) AS q
+  FROM sedges e
+  JOIN ssym s ON s.src = e.dst AND s.dst <> e.src
+  LEFT JOIN cn c ON c.a = LEAST(e.src, s.dst) AND c.b = GREATEST(e.src, s.dst)
+  GROUP BY e.src, e.dst
+)""",
+        select=(
+            "SELECT e.src, e.dst, CAST(COALESCE(p.q, 0) AS BIGINT) AS score "
+            "FROM sedges e LEFT JOIN per p ON e.src = p.src AND e.dst = p.dst "
+            "ORDER BY e.src, e.dst"
+        ),
+    )
+
+
+def _katz_pairs_sql() -> str:
+    """Unrolled bounded path counts from the LP_MAX_NODE sources: KATZ_LEN
+    sparse-multiply rounds over the unweighted symmetric adjacency."""
+    ctes = [
+        edges_sql(N_NODES),
+        f"srcs AS MATERIALIZED (SELECT node AS s FROM nodes WHERE node < {LP_MAX_NODE})",
+        "w0 AS MATERIALIZED (SELECT s, s AS node, CAST(1 AS DOUBLE) AS cnt FROM srcs)",
+    ]
+    terms = []
+    for l in range(1, KATZ_LEN + 1):
+        ctes.append(f"""w{l} AS MATERIALIZED (
+  SELECT w.s, e.dst AS node, SUM(w.cnt) AS cnt
+  FROM sym e JOIN w{l - 1} w ON e.src = w.node
+  GROUP BY w.s, e.dst
+)""")
+        terms.append(f"SELECT s, node, {KATZ_BETA} ^ {l} * cnt AS v FROM w{l}")
+    ctes.append(f"acc AS MATERIALIZED ({' UNION ALL '.join(terms)})")
+    ctes.append(
+        "sc AS MATERIALIZED (SELECT s, node, SUM(v) AS score FROM acc GROUP BY s, node)"
+    )
+    return _with(
+        *ctes,
+        select=(
+            "SELECT a.s AS u, b.s AS v, ROUND(COALESCE(sc.score, 0.0), 6) AS score "
+            "FROM srcs a JOIN srcs b ON a.s < b.s "
+            "LEFT JOIN sc ON sc.s = a.s AND sc.node = b.s"
+        ),
+    )
+
+
+def _permanence_sql() -> str:
+    """PermanenceCentrality formula against the node%PERM_MOD partition:
+    labeled-neighbor counts for I/E_max, wedge join for internal-neighbor
+    edge density (counted twice, halved)."""
+    return _with(
+        edges_sql(N_NODES),
+        f"lab AS MATERIALIZED (SELECT node, node % {PERM_MOD} AS label FROM nodes)",
+        """nb AS MATERIALIZED (
+  SELECT s.src, s.dst, lu.label AS lu, lv.label AS lv
+  FROM sym s JOIN lab lu ON s.src = lu.node JOIN lab lv ON s.dst = lv.node
+)""",
+        """st AS MATERIALIZED (
+  SELECT src,
+         SUM(CASE WHEN lu = lv THEN c ELSE 0 END) AS i,
+         MAX(CASE WHEN lu <> lv THEN c ELSE 0 END) AS emax,
+         SUM(c) AS deg
+  FROM (SELECT src, lu, lv, COUNT(*) AS c FROM nb GROUP BY src, lu, lv) g
+  GROUP BY src
+)""",
+        "inb AS MATERIALIZED (SELECT src AS v, dst AS y FROM nb WHERE lu = lv)",
+        """tri AS MATERIALIZED (
+  SELECT i1.v, COUNT(*) / 2.0 AS t
+  FROM inb i1
+  JOIN sym s ON s.src = i1.y
+  JOIN inb i2 ON i2.v = i1.v AND i2.y = s.dst
+  GROUP BY i1.v
+)""",
+        select=(
+            "SELECT n.node, ROUND(CASE WHEN st.src IS NULL THEN 0.0 ELSE "
+            "CAST(st.i AS DOUBLE) / GREATEST(st.emax, 1) / st.deg "
+            "- (1.0 - CASE WHEN st.i >= 2 THEN COALESCE(tri.t, 0.0) / (0.5 * st.i * (st.i - 1)) ELSE 0.0 END) "
+            "END, 6) AS score "
+            "FROM nodes n LEFT JOIN st ON n.node = st.src LEFT JOIN tri ON n.node = tri.v"
+        ),
+    )
+
+
+TOPC_DOUBLINGS = 5  # min-plus doubling: covers shortest paths up to 32 hops
+
+
+def _top_closeness_sql() -> str:
+    """Exact all-pairs BFS distances on the sparse subgraph via min-plus
+    doubling, then closeness (r-1)/farness per source, top-TOPC_K by raw
+    score with node tie-break."""
+    ctes = [
+        edges_sql(N_SPARSE, directed=False),
+        f"sedges AS MATERIALIZED (SELECT src, dst FROM edges"
+        f" WHERE (src*131 + dst*7) % {CORE_MOD} = 0)",
+        "ssym AS MATERIALIZED (SELECT src, dst FROM sedges "
+        "UNION ALL SELECT dst AS src, src AS dst FROM sedges)",
+        "snodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM ssym)",
+        "d0 AS MATERIALIZED (SELECT node AS s, node AS t, 0 AS dist FROM snodes "
+        "UNION ALL SELECT src AS s, dst AS t, 1 AS dist FROM ssym)",
+    ]
+    for i in range(TOPC_DOUBLINGS):
+        ctes.append(f"""d{i + 1} AS MATERIALIZED (
+  SELECT s, t, MIN(dist) AS dist FROM (
+    SELECT s, t, dist FROM d{i}
+    UNION ALL
+    SELECT a.s, b.t, a.dist + b.dist AS dist FROM d{i} a JOIN d{i} b ON a.t = b.s
+  ) x GROUP BY s, t
+)""")
+    D = f"d{TOPC_DOUBLINGS}"
+    return _with(
+        *ctes,
+        f"""clo AS MATERIALIZED (
+  SELECT s AS node,
+         CASE WHEN SUM(dist) > 0
+              THEN CAST(COUNT(*) - 1 AS DOUBLE) / SUM(dist) ELSE 0.0 END AS score
+  FROM {D} GROUP BY s
+)""",
+        select=(
+            f"SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, node) AS INT) AS rank, "
+            f"node, ROUND(score, 6) AS score FROM clo "
+            f"ORDER BY score DESC, node LIMIT {TOPC_K}"
+        ),
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     E = edges_sql(N_NODES)
     return {
@@ -2391,6 +2632,11 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_topk": _pagerank_topk_sql(),
         "scc": _scc_sql(),
         "coreness": _coreness_sql(),
+        "prefix_jaccard": _prefix_jaccard_sql(),
+        "quadrangle_score": _quadrangle_sql(),
+        "katz_pairs": _katz_pairs_sql(),
+        "permanence": _permanence_sql(),
+        "top_closeness": _top_closeness_sql(),
         "simhash_pairs": _simhash_pairs_sql(),
         "betweenness": _betweenness_sql(),
         "matching": _matching_sql(),

@@ -179,3 +179,150 @@ def degree_assortativity(graph: Graph) -> float:
         .collect()[0]
     )
     return float(row["r"] or 0.0)
+
+
+def top_closeness(graph: Graph, k: int = 10, batch: int | None = None) -> DataFrame:
+    """Exact top-k closeness with upper-bound pruning
+    (cpp/centrality/TopCloseness.cpp — the NBcut/NBbound scheme reduced to
+    its distributed essence): candidates are examined in decreasing order of
+    a degree-based closeness upper bound and BFS'd in BATCHES through the
+    batched multi-source frontier; the loop stops when the k-th best exact
+    score beats every remaining node's bound, which certifies exactness
+    without touching the rest of the graph.
+
+    Closeness here is the per-component form c(v) = (r_v - 1) / farness(v)
+    with r_v = v's component size; the bound is farness(v) >=
+    deg(v) + 2 (r_v - 1 - deg(v)) (neighbors at distance 1, everything else
+    at >= 2). Returns (rank, node, score), rank 1 = highest.
+    """
+    from .components import connected_components
+
+    if batch is None:
+        batch = max(2 * k, 16)
+    comp = connected_components(graph)
+    csize = comp.groupBy("component").agg(F.count("*").alias("r"))
+    deg = graph.degrees()
+    bound = (
+        comp.join(csize, "component")
+        .join(deg, "node", "left")
+        .select(
+            "node", "r",
+            F.coalesce("degree", F.lit(0)).alias("deg"),
+        )
+        .withColumn(
+            "ub",
+            F.when(
+                F.col("r") > 1,
+                (F.col("r") - 1)
+                / (2.0 * (F.col("r") - 1) - F.least(F.col("deg"), F.col("r") - 1)),
+            ).otherwise(F.lit(0.0)),
+        )
+        .select("node", "ub")
+        .persist()
+    )
+    exact_rows: list = []
+    remaining = bound
+    while True:
+        cand = [
+            (r["node"], r["ub"])
+            for r in remaining.orderBy(F.desc("ub"), F.asc("node")).limit(batch).collect()
+        ]
+        if not cand:
+            break
+        sources = [c[0] for c in cand]
+        d = multi_source_bfs(graph, sources)
+        ex = (
+            d.groupBy("source")
+            .agg(F.sum("dist").alias("far"), F.count("*").alias("r"))
+            .select(
+                F.col("source").alias("node"),
+                F.when(F.col("far") > 0, (F.col("r") - 1) / F.col("far"))
+                .otherwise(0.0)
+                .alias("score"),
+            )
+            .collect()
+        )
+        exact_rows.extend((r["node"], float(r["score"])) for r in ex)
+        remaining = remaining.join(
+            graph.edges.sparkSession.createDataFrame(
+                [(s,) for s in sources], "node long"
+            ),
+            "node",
+            "left_anti",
+        ).persist()
+        if len(exact_rows) >= k:
+            kth = sorted((s for _, s in exact_rows), reverse=True)[k - 1]
+            mx = remaining.agg(F.max("ub")).collect()[0][0]
+            if mx is None or mx <= kth:
+                break
+    bound.unpersist()
+    top = sorted(exact_rows, key=lambda t: (-t[1], t[0]))[:k]
+    spark = graph.edges.sparkSession
+    return spark.createDataFrame(
+        [(i + 1, n, s) for i, (n, s) in enumerate(top)],
+        "rank int, node long, score double",
+    )
+
+
+def kpath_centrality(
+    graph: Graph, k: int = 8, walks_per_node: int = 4, seed: int = 42
+) -> DataFrame:
+    """K-path centrality (cpp/centrality/KPathCentrality.cpp): randomized —
+    count how often each node sits on random simple paths of length <= k.
+    The reference runs sequential random walks; the distributed analog runs
+    ALL walks as one (walk, position) frontier: each step joins the frontier
+    to the adjacency, picks each walk's next hop as the min-hash neighbor
+    (uniform over neighbors, deterministic in seed), and drops revisits via
+    the carried path array (k is small). Score = visit count / #walks,
+    node 0 of each walk excluded like the reference."""
+    spark = graph.edges.sparkSession
+    n = graph.num_nodes()
+    walks = (
+        graph.nodes()
+        .select(
+            F.col("node").alias("start"),
+            F.explode(F.sequence(F.lit(0), F.lit(walks_per_node - 1))).alias("w"),
+        )
+        .select(
+            F.concat_ws("#", F.col("start").cast("string"), F.col("w").cast("string")).alias("walk"),
+            F.col("start").alias("cur"),
+            F.array(F.col("start")).alias("path"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    sym = graph.sym().select("src", "dst").persist()
+    visits = None
+    frontier = walks
+    for step in range(1, k + 1):
+        nxt = (
+            sym.join(frontier, sym.src == frontier.cur)
+            .filter(~F.array_contains(F.col("path"), F.col("dst")))
+            .groupBy("walk")
+            .agg(
+                F.min_by(
+                    F.struct(F.col("dst").alias("cur"), F.col("path")),
+                    F.xxhash64("walk", "dst", F.lit(seed), F.lit(step)),
+                ).alias("pick")
+            )
+            .select(
+                "walk",
+                F.col("pick.cur").alias("cur"),
+                F.array_append(F.col("pick.path"), F.col("pick.cur")).alias("path"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        v = nxt.select(F.col("cur").alias("node"))
+        visits = v if visits is None else visits.unionByName(v)
+        frontier = nxt
+        if frontier.isEmpty():
+            break
+    sym.unpersist()
+    total_walks = float(n * walks_per_node)
+    counts = (
+        visits.groupBy("node").agg((F.count("*") / F.lit(total_walks)).alias("score"))
+        if visits is not None
+        else spark.createDataFrame([], "node long, score double")
+    )
+    return graph.nodes().join(counts, "node", "left").select(
+        "node", F.coalesce("score", F.lit(0.0)).alias("score")
+    )

@@ -242,3 +242,135 @@ def local_partition_coverage(graph: Graph, labels: DataFrame) -> DataFrame:
     return graph.nodes().join(per, "node", "left").select(
         "node", F.coalesce("coverage", F.lit(0.0)).alias("coverage")
     )
+
+
+def permanence_centrality(graph: Graph, labels: DataFrame) -> DataFrame:
+    """PermanenceCentrality (cpp/centrality/PermanenceCentrality.cpp:140-158,
+    Chakraborty et al. KDD'14): for node v with community C,
+    perm(v) = I(v) / (E_max(v) · deg(v)) − (1 − c_in(v)) where I = number of
+    neighbors inside C, E_max = the largest neighbor count in any single
+    OTHER community (0 → 1, per the reference), and c_in = edge density
+    among v's internal neighbors (0 when I < 2,
+    PermanenceCentrality.cpp:135).
+
+    Relational plan: one labeled-neighbor self-join for I/E_max, one wedge
+    join for the internal-neighbor triangle counts (same arboricity cost
+    class as triangle counting; orient by degree at scale). Returns
+    (node, score)."""
+    lab = labels.select("node", "label")
+    nb = (
+        graph.sym().select("src", "dst")
+        .join(lab.select(F.col("node").alias("src"), F.col("label").alias("lu")), "src")
+        .join(lab.select(F.col("node").alias("dst"), F.col("label").alias("lv")), "dst")
+        .persist()
+    )
+    per_comm = nb.groupBy("src", "lu", "lv").agg(F.count("*").alias("c"))
+    stats = per_comm.groupBy("src").agg(
+        F.sum(F.when(F.col("lu") == F.col("lv"), F.col("c")).otherwise(0)).alias("i"),
+        F.max(F.when(F.col("lu") != F.col("lv"), F.col("c")).otherwise(0)).alias("emax"),
+        F.sum("c").alias("deg"),
+    )
+    # internal-neighbor pair edges: v-y, v-z internal wedges closed by y~z
+    internal = nb.filter(F.col("lu") == F.col("lv")).select(
+        F.col("src").alias("v"), F.col("dst").alias("y")
+    )
+    tri = (
+        internal.join(
+            graph.sym().select(F.col("src").alias("y"), F.col("dst").alias("z")), "y"
+        )
+        .join(
+            internal.select(F.col("v").alias("v"), F.col("y").alias("z")),
+            ["v", "z"],
+            "left_semi",
+        )
+        .groupBy("v")
+        .agg((F.count("*") / 2).alias("t"))
+        .select(F.col("v").alias("src"), "t")
+    )
+    out = (
+        stats.join(tri, "src", "left")
+        .select(
+            F.col("src").alias("node"),
+            F.col("i"), F.col("deg"),
+            F.greatest(F.col("emax"), F.lit(1)).alias("emax"),
+            F.when(
+                F.col("i") >= 2,
+                F.coalesce("t", F.lit(0.0)) / (0.5 * F.col("i") * (F.col("i") - 1)),
+            ).otherwise(F.lit(0.0)).alias("cin"),
+        )
+        .select(
+            "node",
+            (
+                F.col("i") / F.col("emax") / F.col("deg") - (1.0 - F.col("cin"))
+            ).alias("score"),
+        )
+    )
+    res = graph.nodes().join(out, "node", "left").select(
+        "node", F.coalesce("score", F.lit(0.0)).alias("score")
+    )
+    return res
+
+
+def agglomerative_clusterer(
+    graph: Graph,
+    max_rounds: int = 20,
+    min_communities: int = 2,
+    rel_threshold: float = 5e-3,
+) -> DataFrame:
+    """ParallelAgglomerativeClusterer
+    (cpp/community/ParallelAgglomerativeClusterer.cpp:38-72): repeat
+    { score edges by modularity gain, compute a heavy matching, contract
+    matched pairs } until the graph stops shrinking (matched fraction ≤
+    rel_threshold or fewer than min_communities supernodes), then project
+    the coarsest supernodes back to the finest graph as communities.
+
+    Spark mapping: scoring is one join-aggregate, the matching is the
+    existing local-max handshake (matching.py — the distributed stand-in
+    for the reference's PathGrowingMatcher), contraction reuses
+    coarsen(); the fine→coarse hierarchy is folded into one (node, label)
+    mapping by a join per level. Returns (node, label)."""
+    from .matching import local_max_matching
+
+    mapping = graph.nodes().select("node", F.col("node").alias("label"))
+    g = graph
+    for _ in range(max_rounds):
+        n = g.num_nodes()
+        if n < min_communities:
+            break
+        m2 = g.edges.agg(F.sum("weight")).collect()[0][0] or 1.0  # = m (undirected sum)
+        wdeg = g.weighted_degrees()
+        scored = (
+            g.edges.filter(F.col("src") != F.col("dst"))
+            .join(wdeg.select(F.col("node").alias("src"), F.col("wdeg").alias("wu")), "src")
+            .join(wdeg.select(F.col("node").alias("dst"), F.col("wdeg").alias("wv")), "dst")
+            .select(
+                "src", "dst",
+                (
+                    F.col("weight") / F.lit(m2)
+                    - F.col("wu") * F.col("wv") / F.lit(2.0 * m2 * m2)
+                ).alias("weight"),
+            )
+            .filter(F.col("weight") > 0)
+        )
+        matching = local_max_matching(Graph(scored, directed=False, weighted=True))
+        diff = matching.count()
+        if diff == 0 or (n - diff) < min_communities or diff / n <= rel_threshold:
+            break
+        pair = matching.select(
+            F.col("src").alias("node"), F.least("src", "dst").alias("to")
+        ).unionByName(
+            matching.select(F.col("dst").alias("node"), F.least("src", "dst").alias("to"))
+        )
+        rl = g.nodes().join(pair, "node", "left").select(
+            "node", F.coalesce("to", F.col("node")).alias("label")
+        ).localCheckpoint(eager=True)
+        g = coarsen(g, rl)
+        mapping = (
+            mapping.join(
+                rl.select(F.col("node").alias("label"), F.col("label").alias("nl")),
+                "label",
+            )
+            .select("node", F.col("nl").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+    return mapping

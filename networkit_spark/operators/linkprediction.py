@@ -170,3 +170,48 @@ def link_thresholder(scores: DataFrame, score_col: str, threshold: float) -> Dat
 def top_predictions(scores: DataFrame, score_col: str, k: int) -> DataFrame:
     """PredictionsSorter: global top-k by (score desc, u, v) — deterministic."""
     return scores.orderBy(F.desc(score_col), F.asc("u"), F.asc("v")).limit(k)
+
+
+def katz_index(
+    graph: Graph,
+    pairs: DataFrame,
+    beta: float = 0.005,
+    max_len: int = 5,
+) -> DataFrame:
+    """KatzIndex (cpp/linkprediction/KatzIndex.cpp): score(u, v) =
+    Σ_{l=1..max_len} beta^l · |paths of length l between u and v|.
+
+    The reference runs a bounded BFS per query pair; the distributed analog
+    batches EVERY distinct source u of the pair set into one walk-count
+    state (source, node, count) and does max_len sparse-multiply supersteps
+    against the adjacency — the same (source, node) pair-frontier shape as
+    multi_source_bfs, so 10^4 query pairs cost max_len supersteps total,
+    not per pair. Returns (u, v, score)."""
+    sym = graph.sym().select("src", "dst").persist()
+    srcs = pairs.select(F.col("u").alias("source")).distinct()
+    walks = srcs.select(
+        "source", F.col("source").alias("node"), F.lit(1.0).alias("cnt")
+    ).localCheckpoint(eager=True)
+    acc = None
+    for l in range(1, max_len + 1):
+        walks = (
+            sym.join(walks, sym.src == walks.node)
+            .groupBy("source", "dst")
+            .agg(F.sum("cnt").alias("cnt"))
+            .select("source", F.col("dst").alias("node"), "cnt")
+            .localCheckpoint(eager=True)
+        )
+        lvl = walks.select(
+            "source", "node", (F.lit(beta ** l) * F.col("cnt")).alias("s")
+        )
+        acc = lvl if acc is None else acc.unionByName(lvl)
+    sym.unpersist()
+    scores = acc.groupBy("source", "node").agg(F.sum("s").alias("score"))
+    return (
+        pairs.join(
+            scores,
+            (pairs.u == scores.source) & (pairs.v == scores.node),
+            "left",
+        )
+        .select("u", "v", F.coalesce("score", F.lit(0.0)).alias("score"))
+    )

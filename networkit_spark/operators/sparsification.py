@@ -212,3 +212,109 @@ def sparsify_to_ratio(
     approx-quantile threshold (single pass, no global sort)."""
     t = scores.stat.approxQuantile("score", [1.0 - target_ratio], 0.001)[0]
     return global_threshold_filter(graph, scores, t)
+
+
+def prefix_jaccard_score(graph: Graph, k: int = 10, attr: DataFrame | None = None) -> DataFrame:
+    """PrefixJaccardScore (cpp/edgescores/PrefixJaccardScore.cpp): per edge
+    (u, v), the Jaccard overlap of u's and v's TOP-k neighbor prefixes,
+    neighbors ranked by ``attr`` (node, rank_value; default = degree)
+    descending with node-id tie-break.
+
+    The per-node prefix is a Window PARTITIONED BY the node (each task ranks
+    one adjacency list — never a global sort); the intersection is one
+    equi-join on the shared neighbor. Returns (src, dst, score)."""
+    if attr is None:
+        attr = graph.degrees().select("node", F.col("degree").cast("double").alias("rv"))
+    else:
+        attr = attr.select("node", F.col(attr.columns[1]).cast("double").alias("rv"))
+    nb = graph.sym().select("src", "dst").join(
+        attr.select(F.col("node").alias("dst"), "rv"), "dst"
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("rv"), F.asc("dst"))
+    prefix = (
+        nb.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(F.col("src").alias("node"), F.col("dst").alias("nbr"))
+        .persist()
+    )
+    sizes = prefix.groupBy("node").agg(F.count("*").alias("sz"))
+    e = graph.edges.select("src", "dst")
+    inter = (
+        e.join(prefix.select(F.col("node").alias("src"), "nbr"), "src")
+        .join(
+            prefix.select(F.col("node").alias("dst"), F.col("nbr").alias("nbr")),
+            ["dst", "nbr"],
+            "left_semi",
+        )
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("ix"))
+    )
+    out = (
+        e.join(inter, ["src", "dst"], "left")
+        .join(sizes.select(F.col("node").alias("src"), F.col("sz").alias("su")), "src", "left")
+        .join(sizes.select(F.col("node").alias("dst"), F.col("sz").alias("sv")), "dst", "left")
+        .select(
+            "src", "dst",
+            F.coalesce("ix", F.lit(0)).alias("ix"),
+            (F.coalesce("su", F.lit(0)) + F.coalesce("sv", F.lit(0))).alias("tot"),
+        )
+        .select(
+            "src", "dst",
+            F.when(
+                F.col("tot") - F.col("ix") > 0,
+                F.col("ix") / (F.col("tot") - F.col("ix")),
+            ).otherwise(0.0).alias("score"),
+        )
+    )
+    return out
+
+
+def quadrangle_edge_score(graph: Graph) -> DataFrame:
+    """ChibaNishizekiQuadrangleEdgeScore
+    (cpp/edgescores/ChibaNishizekiQuadrangleEdgeScore.cpp): number of
+    4-cycles each edge participates in.
+
+    Relational identity: a 4-cycle through edge (u, v) is a neighbor
+    w ∈ N(v)\\{u} plus a common neighbor x of u and w with x ≠ v; since
+    v itself is always one common neighbor of (u, w) when w ~ v, the count
+    is Σ_{w ∈ N(v), w≠u} (cn(u, w) − 1) with cn = common-neighbor counts
+    from one wedge join (the same distance-2 aggregation class as triangle
+    counting; orient by degree at scale to bound the wedge side).
+    Returns (src, dst, score) over the undirected edge list."""
+    sym = graph.sym().select("src", "dst").persist()
+    # cn(a, b): # common neighbors, for unordered pairs reachable in 2 hops
+    wedge = (
+        sym.select(F.col("src").alias("a"), F.col("dst").alias("x"))
+        .join(sym.select(F.col("src").alias("x"), F.col("dst").alias("b")), "x")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("cn"))
+        .persist()
+    )
+    # per directed edge (u, v): sum over w ~ v of (cn(u, w) - 1), w != u
+    uvw = (
+        sym.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .join(sym.select(F.col("src").alias("v"), F.col("dst").alias("w")), "v")
+        .filter(F.col("w") != F.col("u"))
+        .select(
+            "u", "v",
+            F.least("u", "w").alias("a"), F.greatest("u", "w").alias("b"),
+        )
+    )
+    per_dir = (
+        uvw.join(wedge, ["a", "b"], "left")
+        .select("u", "v", (F.coalesce("cn", F.lit(0)) - 1).alias("q"))
+        .groupBy("u", "v")
+        .agg(F.sum("q").alias("quads"))
+    )
+    e = graph.edges.select("src", "dst")
+    out = (
+        e.join(
+            per_dir.select(F.col("u").alias("src"), F.col("v").alias("dst"), "quads"),
+            ["src", "dst"],
+            "left",
+        )
+        .select("src", "dst", F.coalesce("quads", F.lit(0)).cast("long").alias("score"))
+    )
+    sym.unpersist()
+    return out
