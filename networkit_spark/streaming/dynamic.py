@@ -1,0 +1,194 @@
+"""Incremental single-source shortest paths under edge events — the
+reference's DynBFS / DynDijkstra / DynSSSP surface.
+
+Reference: /root/reference/networkit/cpp/graph/DynBFS.cpp (BFS distances
+maintained under GraphEvent batches), cpp/graph/DynDijkstra.cpp (weighted,
+priority-queue re-relaxation of the affected cone), cpp/graph/DynSSSP.h
+(the shared update(events) contract).
+
+Distributed mapping (Ramalingam–Reps style, expressed relationally):
+
+* state is the ``(node, dist)`` DataFrame of the previous answer;
+* EDGE_ADDITIONS can only *improve* distances → seed a relax frontier with
+  every addition head whose tentative distance drops;
+* EDGE_REMOVALS can only *worsen* distances, and only for nodes whose
+  shortest-path tree used a removed edge → compute the affected cone as the
+  forward closure of the removed edges' heads over the OLD shortest-path
+  DAG (edges u→v with dist[u] + w == dist[v]), drop those entries, and
+  re-relax from the intact boundary.
+
+Both phases are frontier joins: total cost is proportional to the affected
+region's size and hop-radius, not the graph — the same asymptotic win the
+reference gets from its affected-vertex coloring (DynBFS.cpp's mod-growth
+queue), and the whole point of the Dyn* family versus recompute.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..graph import Graph
+from .graph_events import apply_events
+
+
+def _relax_loop(
+    sym: DataFrame, dist: DataFrame, frontier: DataFrame, max_iter: int = 10_000
+) -> DataFrame:
+    """Bellman-Ford supersteps restricted to a seed frontier: repeatedly
+    relax out-edges of changed nodes; only improvements propagate. ``dist``
+    must already be correct for every node outside the frontier's cone."""
+    dist = dist.localCheckpoint(eager=True)
+    frontier = frontier.localCheckpoint(eager=True)
+    while max_iter > 0 and not frontier.isEmpty():
+        max_iter -= 1
+        cand = (
+            sym.join(frontier, sym.src == frontier.node)
+            .select(F.col("dst").alias("node"),
+                    (F.col("dist") + F.col("weight")).alias("dist"))
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+        improved = (
+            cand.join(dist.withColumnRenamed("dist", "old"), "node", "left")
+            .filter(F.col("old").isNull() | (F.col("dist") < F.col("old")))
+            .select("node", "dist")
+            .localCheckpoint(eager=True)
+        )
+        if improved.isEmpty():
+            break
+        dist = (
+            dist.join(improved.select("node"), "node", "left_anti")
+            .unionByName(improved)
+            .localCheckpoint(eager=True)
+        )
+        frontier = improved
+    return dist
+
+
+class DynSSSP:
+    """DynDijkstra/DynBFS analog: exact single-source distances maintained
+    incrementally under event batches.  ``weighted=False`` gives DynBFS hop
+    counts (every weight treated as 1), ``weighted=True`` DynDijkstra.
+
+    Usage::
+
+        d = DynSSSP(graph, source=0, weighted=False)
+        d.update(event_batch_df)   # GraphEvent rows, EVENT_SCHEMA
+        d.distances                # (node, dist) DataFrame
+    """
+
+    def __init__(self, graph: Graph, source: int, weighted: bool | None = None):
+        self.weighted = graph.weighted if weighted is None else weighted
+        self.source = source
+        self.graph = graph
+        self.distances = self._from_scratch(graph)
+
+    def _sym(self, graph: Graph) -> DataFrame:
+        s = graph.sym().select("src", "dst", "weight")
+        if not self.weighted:
+            s = s.select("src", "dst", F.lit(1.0).alias("weight"))
+        return s
+
+    def _from_scratch(self, graph: Graph) -> DataFrame:
+        spark = graph.edges.sparkSession
+        seed = spark.createDataFrame(
+            [(int(self.source), 0.0)], "node long, dist double"
+        )
+        return _relax_loop(self._sym(graph), seed, seed)
+
+    def update(self, events: DataFrame) -> DataFrame:
+        """Fold an event batch into the graph and repair distances
+        incrementally.  Returns the new (node, dist) DataFrame."""
+        old_edges = self.graph.edges
+        new_edges = apply_events(
+            old_edges.select("src", "dst", "weight"), events
+        ).localCheckpoint(eager=True)
+        new_graph = Graph(
+            new_edges, directed=self.graph.directed, weighted=self.graph.weighted
+        )
+        old_sym = self._sym(self.graph)
+        new_sym = self._sym(new_graph).persist()
+        dist = self.distances
+
+        # --- removal phase: invalidate the affected cone -------------------
+        removed = old_sym.join(new_sym, ["src", "dst", "weight"], "left_anti")
+        du = dist.select(F.col("node").alias("src"), F.col("dist").alias("du"))
+        dv = dist.select(F.col("node").alias("dst"), F.col("dist").alias("dv"))
+        # heads of removed edges that the old SP-DAG actually used
+        broken = (
+            removed.join(du, "src").join(dv, "dst")
+            .filter(F.col("du") + F.col("weight") == F.col("dv"))
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        if not broken.isEmpty():
+            # forward closure over the OLD SP-DAG (conservative over-
+            # invalidation is fine; each round is one frontier join)
+            sp_dag = (
+                old_sym.join(du, "src").join(dv, "dst")
+                .filter(F.col("du") + F.col("weight") == F.col("dv"))
+                .select("src", "dst")
+                .persist()
+            )
+            affected = broken.localCheckpoint(eager=True)
+            frontier = affected
+            while not frontier.isEmpty():
+                nxt = (
+                    sp_dag.join(frontier, sp_dag.src == frontier.node)
+                    .select(F.col("dst").alias("node"))
+                    .distinct()
+                    .join(affected, "node", "left_anti")
+                    .localCheckpoint(eager=True)
+                )
+                affected = affected.unionByName(nxt).localCheckpoint(eager=True)
+                frontier = nxt
+            sp_dag.unpersist()
+            affected = affected.filter(F.col("node") != self.source)
+            dist = dist.join(affected, "node", "left_anti")
+            # boundary: intact nodes with an edge into the affected cone
+            boundary = (
+                new_sym.join(affected.withColumnRenamed("node", "dst"), "dst",
+                             "left_semi")
+                .select(F.col("src").alias("node"))
+                .distinct()
+                .join(dist, "node")  # keeps only still-valid nodes + their dist
+            )
+            dist = _relax_loop(new_sym, dist, boundary)
+
+        # --- addition phase: relax from improved heads ---------------------
+        added = new_sym.join(old_sym, ["src", "dst", "weight"], "left_anti")
+        du = dist.select(F.col("node").alias("src"), F.col("dist").alias("du"))
+        dv = dist.select(F.col("node").alias("dst"), F.col("dist").alias("dv"))
+        improved = (
+            added.join(du, "src").join(dv, "dst", "left")
+            .filter(F.col("dv").isNull()
+                    | (F.col("du") + F.col("weight") < F.col("dv")))
+            .groupBy("dst")
+            .agg(F.min(F.col("du") + F.col("weight")).alias("dist"))
+            .select(F.col("dst").alias("node"), "dist")
+        )
+        if not improved.isEmpty():
+            dist = (
+                dist.join(improved.select("node"), "node", "left_anti")
+                .unionByName(improved)
+            )
+            dist = _relax_loop(new_sym, dist, improved)
+
+        new_sym.unpersist()
+        self.graph = new_graph
+        self.distances = dist.localCheckpoint(eager=True)
+        return self.distances
+
+
+class DynBFS(DynSSSP):
+    """DynBFS (cpp/graph/DynBFS.cpp): hop-count specialization."""
+
+    def __init__(self, graph: Graph, source: int):
+        super().__init__(graph, source, weighted=False)
+
+
+class DynDijkstra(DynSSSP):
+    """DynDijkstra (cpp/graph/DynDijkstra.cpp): weighted specialization."""
+
+    def __init__(self, graph: Graph, source: int):
+        super().__init__(graph, source, weighted=True)
