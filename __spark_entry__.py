@@ -855,6 +855,76 @@ def q_coreness(spark, sf_dir):
     return coreness(_sparse_ugraph(spark, sf_dir)).orderBy("node")
 
 
+DYN_REM_MOD = 17   # dynbfs event batch: remove edges with (src*31+dst)%17==0
+DYN_ADD_K = 20     # dynbfs event batch: add shortcuts (0, (97*i) % N_NODES)
+
+
+def q_dynbfs(spark, sf_dir):
+    """Incremental DynBFS (ref cpp/graph/DynBFS.cpp): hop distances from the
+    min node maintained under a deterministic event batch (removals +
+    shortcut additions) by affected-cone invalidation + frontier
+    re-relaxation — NOT a recompute.  The oracle is a from-scratch BFS on
+    the post-event edge set, so any repair bug fails the gate."""
+    from networkit_spark.streaming.dynamic import DynBFS
+    from networkit_spark.streaming.graph_events import EVENT_SCHEMA  # noqa: F401
+
+    g = _g(spark, sf_dir)
+    src = int(g.nodes().agg(F.min("node")).collect()[0][0])
+    d = DynBFS(g, source=src)
+    rem = g.edges.select(
+        (F.col("src") * 1000 + F.col("dst")).alias("seq"),
+        F.lit("EDGE_REMOVAL").alias("type"),
+        F.col("src").alias("u"), F.col("dst").alias("v"),
+        F.lit(1.0).alias("w"), F.lit(None).cast("timestamp").alias("ts"),
+    ).filter((F.col("u") * 31 + F.col("v")) % DYN_REM_MOD == 0)
+    add = (
+        spark.range(1, DYN_ADD_K + 1)
+        .select(
+            (F.lit(10_000_000) + F.col("id")).alias("seq"),
+            F.lit("EDGE_ADDITION").alias("type"),
+            F.lit(0).cast("long").alias("u"),
+            ((F.col("id") * 97) % N_NODES).cast("long").alias("v"),
+            F.lit(1.0).alias("w"), F.lit(None).cast("timestamp").alias("ts"),
+        )
+        .filter(F.col("v") != 0)
+    )
+    d.update(rem.unionByName(add))
+    return d.distances.select(
+        "node", F.col("dist").cast("bigint").alias("dist")
+    ).orderBy("node")
+
+
+def _interchange_roundtrip(spark, sf_dir, fmt: str):
+    """Write the sparse subgraph to a driver-side interchange file, read it
+    back, and return the dense-remapped edge set (reader remaps document
+    order = sorted node order; the oracle replicates that remap in SQL)."""
+    import os
+    import tempfile
+
+    from networkit_spark.sources import formats as io_formats
+
+    g = _sparse_ugraph(spark, sf_dir)
+    path = os.path.join(tempfile.gettempdir(), f"nk_gate_{os.getpid()}.{fmt}")
+    getattr(io_formats, f"write_{fmt}")(g, path)
+    g2 = getattr(io_formats, f"read_{fmt}")(spark, path)
+    try:
+        os.unlink(path)
+    except OSError:
+        pass
+    return g2.edges.select("src", "dst").orderBy("src", "dst")
+
+
+def q_gml_roundtrip(spark, sf_dir):
+    """GML writer∘reader identity (ref cpp/io/GMLGraphReader.cpp /
+    GMLGraphWriter.cpp) over a real subgraph."""
+    return _interchange_roundtrip(spark, sf_dir, "gml")
+
+
+def q_graphml_roundtrip(spark, sf_dir):
+    """GraphML writer∘reader identity (ref networkit/GraphMLIO.py)."""
+    return _interchange_roundtrip(spark, sf_dir, "graphml")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "graph_edges": q_edges,
@@ -925,6 +995,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "linkpred_eval": q_linkpred_eval,
         "pagerank_nibble": q_pagerank_nibble,
         "algebraic_distance": q_algebraic_distance,
+        "dynbfs_update": q_dynbfs,
+        "gml_roundtrip": q_gml_roundtrip,
+        "graphml_roundtrip": q_graphml_roundtrip,
         # rows-only (no SQL-expressible oracle: FM sketches / multilevel
         # Louvain are not fixed-unroll reproducible in ANSI SQL)
         "anf_diameter": q_anf_diameter,
@@ -2499,6 +2572,66 @@ def _permanence_sql() -> str:
     )
 
 
+DYN_ROUNDS = 14  # dynbfs oracle BFS unroll on the post-event graph
+
+
+def _dynbfs_sql() -> str:
+    """From-scratch BFS on the post-event edge set: (edges − removed) ∪
+    added shortcuts, matching apply_events' seq-order fold (additions carry
+    the higher seq, so a removed-then-re-added edge exists)."""
+    ctes = [
+        edges_sql(N_NODES),
+        f"rem AS MATERIALIZED (SELECT src, dst FROM edges "
+        f"WHERE (src * 31 + dst) % {DYN_REM_MOD} = 0)",
+        f"""addp AS MATERIALIZED (
+  SELECT LEAST(0, (i * 97) % {N_NODES}) AS src,
+         GREATEST(0, (i * 97) % {N_NODES}) AS dst
+  FROM range(1, {DYN_ADD_K + 1}) t(i) WHERE (i * 97) % {N_NODES} <> 0
+)""",
+        """fedges AS MATERIALIZED (
+  SELECT src, dst FROM (SELECT src, dst FROM edges EXCEPT SELECT src, dst FROM rem) k
+  UNION SELECT src, dst FROM addp
+)""",
+        "fsym AS MATERIALIZED (SELECT src, dst FROM fedges "
+        "UNION ALL SELECT dst AS src, src AS dst FROM fedges)",
+        "y0 AS MATERIALIZED (SELECT MIN(node) AS node, 0 AS dist FROM nodes)",
+    ]
+    for i in range(DYN_ROUNDS):
+        ctes.append(f"""y{i + 1} AS MATERIALIZED (
+  SELECT node, MIN(dist) AS dist FROM (
+    SELECT node, dist FROM y{i}
+    UNION ALL
+    SELECT s.dst AS node, c.dist + 1 AS dist FROM fsym s JOIN y{i} c ON s.src = c.node
+  ) x GROUP BY node
+)""")
+    return _with(
+        *ctes,
+        select=f"SELECT node, CAST(dist AS BIGINT) AS dist FROM y{DYN_ROUNDS}",
+    )
+
+
+def _roundtrip_sql() -> str:
+    """Interchange writer∘reader identity: the reader densely remaps node
+    tokens in document order = sorted node order, so the oracle is the
+    sparse edge set translated through the rank-among-sorted-nodes map."""
+    return _with(
+        edges_sql(N_SPARSE, directed=False),
+        f"sedges AS MATERIALIZED (SELECT src, dst FROM edges"
+        f" WHERE (src*131 + dst*7) % {CORE_MOD} = 0)",
+        """snodes AS MATERIALIZED (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM sedges UNION ALL SELECT dst AS node FROM sedges
+  ) u
+)""",
+        "map AS MATERIALIZED (SELECT node, ROW_NUMBER() OVER (ORDER BY node) - 1 AS id FROM snodes)",
+        select=(
+            "SELECT mu.id AS src, mv.id AS dst FROM sedges e "
+            "JOIN map mu ON e.src = mu.node JOIN map mv ON e.dst = mv.node "
+            "ORDER BY src, dst"
+        ),
+    )
+
+
 TOPC_DOUBLINGS = 5  # min-plus doubling: covers shortest paths up to 32 hops
 
 
@@ -2645,4 +2778,7 @@ def oracle_sql() -> dict[str, str]:
         "linkpred_eval": _linkpred_eval_sql(),
         "pagerank_nibble": _nibble_sql(),
         "algebraic_distance": _algdist_sql(),
+        "dynbfs_update": _dynbfs_sql(),
+        "gml_roundtrip": _roundtrip_sql(),
+        "graphml_roundtrip": _roundtrip_sql(),
     }

@@ -82,24 +82,36 @@ def jaccard_measure(a: DataFrame, b: DataFrame) -> float:
 
 
 def nmi_distance(a: DataFrame, b: DataFrame) -> float:
-    """NMIDistance.cpp: 1 - NMI (normalized by max entropy)."""
+    """NMIDistance.cpp: 1 - NMI (normalized by max entropy).
+
+    Fully distributed: the contingency table stays a DataFrame; marginals
+    come from two small re-aggregations joined back on the label, and the
+    MI / entropy sums are single scalar aggregations — only three scalars
+    ever reach the driver (no contingency collect)."""
     ct = _contingency(a, b).persist()
     n = int(ct.agg(F.sum("nij")).collect()[0][0] or 0)
     if n == 0:
         return 0.0
-    rows = ct.collect()
-    ni: dict = {}
-    nj: dict = {}
-    for r in rows:
-        ni[r["la"]] = ni.get(r["la"], 0) + r["nij"]
-        nj[r["lb"]] = nj.get(r["lb"], 0) + r["nij"]
-    mi = 0.0
-    for r in rows:
-        p = r["nij"] / n
-        mi += p * math.log(p / ((ni[r["la"]] / n) * (nj[r["lb"]] / n)))
-    ha = -sum((c / n) * math.log(c / n) for c in ni.values())
-    hb = -sum((c / n) * math.log(c / n) for c in nj.values())
+    ni = ct.groupBy("la").agg(F.sum("nij").alias("ni"))
+    nj = ct.groupBy("lb").agg(F.sum("nij").alias("nj"))
+    row = (
+        ct.join(ni, "la").join(nj, "lb")
+        .agg(
+            F.sum(
+                (F.col("nij") / n)
+                * F.log((F.col("nij") / n) / ((F.col("ni") / n) * (F.col("nj") / n)))
+            ).alias("mi")
+        )
+        .collect()[0]
+    )
+    ha = -float(
+        ni.agg(F.sum((F.col("ni") / n) * F.log(F.col("ni") / n))).collect()[0][0] or 0.0
+    )
+    hb = -float(
+        nj.agg(F.sum((F.col("nj") / n) * F.log(F.col("nj") / n))).collect()[0][0] or 0.0
+    )
     ct.unpersist()
+    mi = float(row["mi"] or 0.0)
     hmax = max(ha, hb)
     if hmax == 0:
         return 0.0

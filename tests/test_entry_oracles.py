@@ -36,6 +36,7 @@ UNROLLED = [
     ("luby_mis", "LUBY_ROUNDS"),
     ("spanning_forest", "SF_OUT_ROUNDS"),
     ("top_closeness", "TOPC_DOUBLINGS"),
+    ("dynbfs_update", "DYN_ROUNDS"),
 ]
 
 
