@@ -925,6 +925,66 @@ def q_graphml_roundtrip(spark, sf_dir):
     return _interchange_roundtrip(spark, sf_dir, "graphml")
 
 
+# -- Laplacian-solve operators (algebraic.py) --------------------------------
+# Fixed Jacobi sweep counts: the Spark side runs the SAME fixed iteration
+# count as the unrolled SQL oracle (like PR_ITERS), so no convergence margin
+# is involved — both sides compute the identical deterministic recurrence.
+CT_ITERS = 24
+CT_OMEGA = 0.5
+CT_PAIRS = [(0, 1), (2, 3), (4, 5), (6, 7), (8, 9), (10, 11), (12, 13), (14, 15)]
+SEC_Q = 2
+SEC_ITERS = 16
+
+
+ANF_SKETCHES = 4
+ANF_HOPS = 8
+
+
+def q_anf_nf(spark, sf_dir):
+    """Integer-exact ANF sketch propagation (per-hop FM lowest-zero-bit
+    totals with the portable md5 hash): hard-verifies the distributed
+    sketch machinery behind anf_diameter, whose float 2^b/0.77351 estimate
+    is libm-dependent and therefore stays rows-only."""
+    from networkit_spark.operators.distance import anf_sketch_stats
+
+    return anf_sketch_stats(
+        _g(spark, sf_dir),
+        num_sketches=ANF_SKETCHES,
+        hops=ANF_HOPS,
+        seed=42,
+        hash_fn="md5",
+    )
+
+
+def q_commute_time(spark, sf_dir):
+    """Batched effective-resistance / commute-time distance for 8 fixed node
+    pairs: one damped-Jacobi smoothing run solves all 8 Laplacian systems
+    together (reference cpp/distance/CommuteTimeDistance.cpp:48-59)."""
+    from networkit_spark.operators.algebraic import commute_time_distance
+
+    out = commute_time_distance(
+        _g(spark, sf_dir), CT_PAIRS, iters=CT_ITERS, omega=CT_OMEGA
+    )
+    return out.select(
+        "u",
+        "v",
+        F.round("resistance", 6).alias("resistance"),
+        F.round("commute_time", 3).alias("commute_time"),
+    )
+
+
+def q_spanning_edge(spark, sf_dir):
+    """JL-sketched spanning-edge centrality (per-edge effective resistance,
+    reference cpp/centrality/SpanningEdgeCentrality.cpp:69-110) with
+    portable md5-hash sign vectors so the SQL oracle reproduces it exactly."""
+    from networkit_spark.operators.algebraic import spanning_edge_centrality
+
+    out = spanning_edge_centrality(
+        _g(spark, sf_dir), q=SEC_Q, iters=SEC_ITERS, omega=CT_OMEGA
+    )
+    return out.select("src", "dst", F.round("score", 6).alias("score"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "graph_edges": q_edges,
@@ -998,6 +1058,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dynbfs_update": q_dynbfs,
         "gml_roundtrip": q_gml_roundtrip,
         "graphml_roundtrip": q_graphml_roundtrip,
+        "commute_time": q_commute_time,
+        "spanning_edge": q_spanning_edge,
+        "anf_nf": q_anf_nf,
         # rows-only (no SQL-expressible oracle: FM sketches / multilevel
         # Louvain are not fixed-unroll reproducible in ANSI SQL)
         "anf_diameter": q_anf_diameter,
@@ -2674,6 +2737,141 @@ def _top_closeness_sql() -> str:
     )
 
 
+def _jacobi_ctes(iters: int, omega: float) -> list[str]:
+    """Unrolled damped-Jacobi sweeps ``s0..s{iters}`` over state
+    ``(sys, node, b, d, x)``; requires CTEs ``nodes``, ``wdeg``, ``sym`` and
+    a ``rhs(sys, node, b)`` CTE to exist. Mirrors
+    networkit_spark/operators/algebraic.py laplacian_smooth exactly."""
+    ctes = [
+        """s0 AS MATERIALIZED (
+  SELECT r.sys, n.node, COALESCE(b.b, 0) AS b, COALESCE(w.wdeg, 0) AS d,
+         CAST(0 AS DOUBLE) AS x
+  FROM nodes n
+  CROSS JOIN (SELECT DISTINCT sys FROM rhs) r
+  LEFT JOIN wdeg w ON n.node = w.node
+  LEFT JOIN rhs b ON b.sys = r.sys AND b.node = n.node
+)"""
+    ]
+    for i in range(iters):
+        ctes.append(
+            f"""s{i + 1} AS MATERIALIZED (
+  SELECT s.sys, s.node, s.b, s.d,
+    CASE WHEN s.d > 0
+         THEN {1.0 - omega!r} * s.x + {omega!r} * (s.b + COALESCE(m.ax, 0)) / s.d
+         ELSE s.x END AS x
+  FROM s{i} s LEFT JOIN (
+    SELECT r.sys, t.dst AS node, SUM(t.weight * r.x) AS ax
+    FROM sym t JOIN s{i} r ON t.src = r.node
+    GROUP BY r.sys, t.dst
+  ) m ON s.sys = m.sys AND s.node = m.node
+)"""
+        )
+    return ctes
+
+
+def _commute_time_sql() -> str:
+    pairs_vals = ", ".join(f"({i}, {u}, {v})" for i, (u, v) in enumerate(CT_PAIRS))
+    rhs = f"""pairs AS MATERIALIZED (
+  SELECT * FROM (VALUES {pairs_vals}) t(sys, u, v)
+),
+rhs AS MATERIALIZED (
+  SELECT sys, u AS node, CAST(1 AS DOUBLE) AS b FROM pairs
+  UNION ALL SELECT sys, v AS node, CAST(-1 AS DOUBLE) AS b FROM pairs
+)"""
+    last = f"s{CT_ITERS}"
+    return _with(
+        edges_sql(N_NODES),
+        rhs,
+        *_jacobi_ctes(CT_ITERS, CT_OMEGA),
+        "vol AS MATERIALIZED (SELECT SUM(weight) AS vol FROM sym)",
+        select=(
+            f"SELECT p.u, p.v, ROUND(ABS(xu.x - xv.x), 6) AS resistance, "
+            f"ROUND(vol.vol * ABS(xu.x - xv.x), 3) AS commute_time "
+            f"FROM pairs p CROSS JOIN vol "
+            f"JOIN {last} xu ON xu.sys = p.sys AND xu.node = p.u "
+            f"JOIN {last} xv ON xv.sys = p.sys AND xv.node = p.v"
+        ),
+    )
+
+
+def _spanning_edge_sql() -> str:
+    from networkit_spark.functions.dedup import hash60_sql
+
+    sign_arg = (
+        "CAST(e.src AS VARCHAR) || ':' || CAST(e.dst AS VARCHAR) "
+        "|| ':' || CAST(s.sys AS VARCHAR)"
+    )
+    sys_vals = ", ".join(f"({i})" for i in range(SEC_Q))
+    rhs = f"""sysids AS MATERIALIZED (
+  SELECT * FROM (VALUES {sys_vals}) t(sys)
+),
+signed AS MATERIALIZED (
+  SELECT s.sys, e.src, e.dst,
+    (CASE WHEN ({hash60_sql(sign_arg)}) % 2 = 0 THEN 1.0 ELSE -1.0 END)
+      * SQRT(e.weight) / SQRT({float(SEC_Q)!r}) AS r
+  FROM edges e CROSS JOIN sysids s
+),
+rhs AS MATERIALIZED (
+  SELECT sys, node, SUM(b) AS b FROM (
+    SELECT sys, src AS node, r AS b FROM signed
+    UNION ALL SELECT sys, dst AS node, -r AS b FROM signed
+  ) u GROUP BY sys, node
+)"""
+    last = f"s{SEC_ITERS}"
+    return _with(
+        edges_sql(N_NODES),
+        rhs,
+        *_jacobi_ctes(SEC_ITERS, CT_OMEGA),
+        select=(
+            f"SELECT e.src, e.dst, "
+            f"ROUND(SUM((zu.x - zv.x) * (zu.x - zv.x)), 6) AS score "
+            f"FROM edges e "
+            f"JOIN {last} zu ON zu.node = e.src "
+            f"JOIN {last} zv ON zv.sys = zu.sys AND zv.node = e.dst "
+            f"GROUP BY e.src, e.dst"
+        ),
+    )
+
+
+def _anf_nf_sql() -> str:
+    from networkit_spark.functions.dedup import hash60_sql
+
+    S = ANF_SKETCHES
+
+    def mask0(s: int) -> str:
+        arg = f"CAST(n.node AS VARCHAR) || ':{s}:42'"
+        u = (
+            f"GREATEST(CAST(({hash60_sql(arg)}) % 4503599627370496 AS DOUBLE)"
+            f" / 4503599627370496.0, 1e-15)"
+        )
+        pos = f"LEAST(CAST(FLOOR(-LOG2({u})) AS INT), 61)"
+        return f"CAST(POWER(2.0, CAST({pos} AS DOUBLE)) AS BIGINT) AS m{s}"
+
+    m0_cols = ", ".join(mask0(s) for s in range(S))
+    ctes = [
+        edges_sql(N_NODES),
+        f"h0 AS MATERIALIZED (SELECT n.node, {m0_cols} FROM nodes n)",
+    ]
+    for k in range(1, ANF_HOPS + 1):
+        ors = ", ".join(f"c.m{s} | COALESCE(x.n{s}, 0) AS m{s}" for s in range(S))
+        aggs = ", ".join(f"bit_or(r.m{s}) AS n{s}" for s in range(S))
+        ctes.append(
+            f"""h{k} AS MATERIALIZED (
+  SELECT c.node, {ors}
+  FROM h{k - 1} c LEFT JOIN (
+    SELECT t.dst AS node, {aggs}
+    FROM sym t JOIN h{k - 1} r ON t.src = r.node GROUP BY t.dst
+  ) x ON c.node = x.node
+)"""
+        )
+    lzb = " + ".join(f"(bit_count(xor(m{s}, m{s} + 1)) - 1)" for s in range(S))
+    hop_selects = " UNION ALL ".join(
+        f"SELECT CAST({k} AS INT) AS hop, CAST(SUM({lzb}) AS BIGINT) AS lzb_total FROM h{k}"
+        for k in range(1, ANF_HOPS + 1)
+    )
+    return _with(*ctes, select=hop_selects)
+
+
 def oracle_sql() -> dict[str, str]:
     E = edges_sql(N_NODES)
     return {
@@ -2781,4 +2979,7 @@ def oracle_sql() -> dict[str, str]:
         "dynbfs_update": _dynbfs_sql(),
         "gml_roundtrip": _roundtrip_sql(),
         "graphml_roundtrip": _roundtrip_sql(),
+        "commute_time": _commute_time_sql(),
+        "spanning_edge": _spanning_edge_sql(),
+        "anf_nf": _anf_nf_sql(),
     }

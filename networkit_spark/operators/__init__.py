@@ -32,6 +32,12 @@ from .linkprediction import (
     link_thresholder,
     top_predictions,
 )
+from .algebraic import (
+    laplacian_smooth,
+    effective_resistance,
+    commute_time_distance,
+    spanning_edge_centrality,
+)
 from .sparsification import (
     jaccard_similarity_score,
     local_degree_score,

@@ -33,25 +33,37 @@ def connected_components(
     checkpoint_dir: Optional[str] = None,
     broadcast_threshold: int = 2_000_000,
 ) -> DataFrame:
-    """Returns (node, component) with component = min node id in component."""
+    """Returns (node, component) with component = min node id in component.
+
+    Active-set frontier (ParallelConnectedComponents.cpp:41-42,67-74): only
+    labels that CHANGED last round propagate — a node's min can only improve
+    via a neighbor whose label just dropped (labels are monotone decreasing,
+    and an unchanged label was already sent the round it last changed). Late
+    rounds therefore shuffle only the frontier's edges, not all m — on web
+    graphs the frontier collapses to the few deep chains after ~3 rounds.
+    """
     nodes = graph.nodes().persist()
     sym = graph.sym().select("src", "dst").persist()
     sym.count()
     n = nodes.count()
     bcast = (lambda d: F.broadcast(d)) if n <= broadcast_threshold else (lambda d: d)
-    init = nodes.select("node", F.col("node").alias("component"))
+    # state carries the frontier flag: (node, component, changed)
+    init = nodes.select(
+        "node", F.col("node").alias("component"), F.lit(True).alias("changed")
+    )
 
-    def step(labels: DataFrame, i: int):
+    def step(state: DataFrame, i: int):
+        frontier = state.filter("changed").select("node", "component")
         nbr_min = (
-            sym.join(bcast(labels), sym.src == labels.node)
+            sym.join(bcast(frontier), sym.src == frontier.node)
             .groupBy("dst")
-            .agg(F.min("component").alias("component"))
-            .select(F.col("dst").alias("node"), "component")
+            .agg(F.min("component").alias("nc"))
+            .select(F.col("dst").alias("node"), "nc")
         )
-        new = (
-            labels.unionByName(nbr_min)
-            .groupBy("node")
-            .agg(F.min("component").alias("component"))
+        new = state.select("node", "component").join(nbr_min, "node", "left").select(
+            "node",
+            F.col("component").alias("old"),
+            F.least("component", F.coalesce("nc", "component")).alias("component"),
         )
         if pointer_jumping:
             # label[v] ← label[label[v]]: treat the label as a parent pointer
@@ -60,16 +72,21 @@ def connected_components(
             )
             new = (
                 new.join(bcast(parents), new.component == parents.pnode, "left")
-                .select("node", F.coalesce("pcomp", "component").alias("component"))
+                .select(
+                    "node",
+                    "old",
+                    F.coalesce("pcomp", "component").alias("component"),
+                )
             )
+        new = new.select(
+            "node",
+            "component",
+            (F.col("component") != F.col("old")).alias("changed"),
+        )
         if fixed_iters is not None:
             return new, None
-        changed = (
-            new.alias("a")
-            .join(labels.alias("b"), "node")
-            .filter(F.col("a.component") != F.col("b.component"))
-            .count()
-        )
+        new = new.localCheckpoint(eager=True)
+        changed = new.filter("changed").count()
         return new, float(changed)
 
     driver = SuperstepDriver(
@@ -80,7 +97,7 @@ def connected_components(
     state = driver.run(init, step)
     sym.unpersist()
     nodes.unpersist()
-    out = state.df
+    out = state.df.select("node", "component")
     out._iterations = state.iteration
     return out
 

@@ -90,6 +90,90 @@ def eccentricity(graph: Graph, source: int) -> int:
     return int(d.agg(F.max("dist")).collect()[0][0] or 0)
 
 
+def _anf_init(graph: Graph, num_sketches: int, seed: int, hash_fn: str = "xxhash"):
+    """Per-node FM bitmask columns m0..m{k-1}; geometric bit position from a
+    deterministic hash (no task-order rand): u ~ Uniform(0,1) from
+    hash(node, sketch, seed); pos = floor(-log2 u); bit i set with prob
+    2^-(i+1) per EffectiveDiameterApproximation.cpp:46-56.
+
+    ``hash_fn="md5"`` uses the portable md5-based hash60 (same value in
+    DuckDB) so the sketch propagation is exactly reproducible by the SQL
+    oracle; ``"xxhash"`` is the cheaper JVM-side default.
+    """
+    from ..functions.dedup import hash60
+
+    nodes = graph.nodes()
+    masks = []
+    for s in range(num_sketches):
+        if hash_fn == "md5":
+            h = hash60(F.concat_ws(":", F.col("node"), F.lit(s), F.lit(seed)))
+        else:
+            h = F.abs(F.xxhash64("node", F.lit(s), F.lit(seed)))
+        u = (h % F.lit(2**52)).cast("double") / F.lit(float(2**52))
+        pos = F.least(
+            F.floor(-F.log2(F.greatest(u, F.lit(1e-15)))).cast("int"), F.lit(61)
+        )
+        # 2^pos with a column exponent (shiftleft needs a literal); powers of
+        # two are exact in double up to 2^61
+        masks.append(F.pow(F.lit(2.0), pos.cast("double")).cast("long").alias(f"m{s}"))
+    return nodes.select("node", *masks).localCheckpoint(eager=True)
+
+
+def _anf_or_step(sym, cur, num_sketches: int):
+    """One ANF hop: OR each node's masks with its neighbors' (per-hop
+    ``groupBy(node).agg(bit_or)`` — the distributed analog of the
+    reference's per-hop neighbor OR, EffectiveDiameterApproximation.cpp)."""
+    nbr = sym.join(cur, sym.src == cur.node).groupBy(F.col("dst").alias("node")).agg(
+        *[F.bit_or(f"m{s}").alias(f"n{s}") for s in range(num_sketches)]
+    )
+    return (
+        cur.join(nbr, "node", "left")
+        .select(
+            "node",
+            *[
+                F.col(f"m{s}").bitwiseOR(F.coalesce(F.col(f"n{s}"), F.lit(0))).alias(f"m{s}")
+                for s in range(num_sketches)
+            ],
+        )
+        .localCheckpoint(eager=True)
+    )
+
+
+def anf_sketch_stats(
+    graph: Graph,
+    num_sketches: int = 4,
+    hops: int = 8,
+    seed: int = 42,
+    hash_fn: str = "md5",
+) -> "DataFrame":
+    """Integer-exact view of the ANF propagation: per hop, the total FM
+    lowest-zero-bit count ``Σ_nodes Σ_sketches lzb(mask)`` — a pure-integer
+    statistic of the same distributed sketch state that
+    :func:`neighborhood_function_anf` estimates |N_h| from, so it is
+    hash-exact reproducible by an unrolled SQL oracle (the float
+    ``2^b/0.77351`` estimate is libm-dependent; the sketches are not).
+    Returns (hop, lzb_total) for hops 1..``hops``, fixed, no early break.
+    """
+    spark = graph.edges.sparkSession
+    sym = graph.sym().select("src", "dst").persist()
+    sym.count()
+    cur = _anf_init(graph, num_sketches, seed, hash_fn=hash_fn)
+    lzb = sum(
+        (
+            F.bit_count(F.col(f"m{s}").bitwiseXOR(F.col(f"m{s}") + 1)) - 1
+            for s in range(num_sketches)
+        ),
+        F.lit(0),
+    ).cast("long")
+    rows = []
+    for hop in range(1, hops + 1):
+        cur = _anf_or_step(sym, cur, num_sketches)
+        total = cur.agg(F.sum(lzb).alias("t")).collect()[0]["t"]
+        rows.append((hop, int(total)))
+    sym.unpersist()
+    return spark.createDataFrame(rows, "hop int, lzb_total long")
+
+
 def neighborhood_function_anf(
     graph: Graph, num_sketches: int = 8, max_hops: int = 32, seed: int = 42
 ) -> list:
@@ -101,21 +185,8 @@ def neighborhood_function_anf(
     Deterministic: the random bit comes from xxhash64(node, sketch) — no
     task-order dependence. Returns [(hop, estimated_reachable_pairs)].
     """
+    cur = _anf_init(graph, num_sketches, seed, hash_fn="xxhash")
     sym = graph.sym().select("src", "dst").persist()
-    nodes = graph.nodes()
-    # geometric bit position from a deterministic hash (no task-order rand):
-    # u ~ Uniform(0,1) from xxhash64(node, sketch, seed); pos = floor(-log2 u)
-    masks = []
-    for s in range(num_sketches):
-        h = F.abs(F.xxhash64("node", F.lit(s), F.lit(seed)))
-        u = (h % F.lit(2**52)).cast("double") / F.lit(float(2**52))
-        pos = F.least(
-            F.floor(-F.log2(F.greatest(u, F.lit(1e-15)))).cast("int"), F.lit(61)
-        )
-        # 2^pos with a column exponent (shiftleft needs a literal); powers of
-        # two are exact in double up to 2^61
-        masks.append(F.pow(F.lit(2.0), pos.cast("double")).cast("long").alias(f"m{s}"))
-    cur = nodes.select("node", *masks).localCheckpoint(eager=True)
 
     # per-node reach estimate: b = mean lowest-zero-bit over sketches,
     # est(u) = 2^b / 0.77351; lowest-zero-bit = #trailing ones =
@@ -131,20 +202,7 @@ def neighborhood_function_anf(
     results = []
     est_prev = None
     for hop in range(1, max_hops + 1):
-        nbr = sym.join(cur, sym.src == cur.node).groupBy(F.col("dst").alias("node")).agg(
-            *[F.bit_or(f"m{s}").alias(f"n{s}") for s in range(num_sketches)]
-        )
-        cur = (
-            cur.join(nbr, "node", "left")
-            .select(
-                "node",
-                *[
-                    F.col(f"m{s}").bitwiseOR(F.coalesce(F.col(f"n{s}"), F.lit(0))).alias(f"m{s}")
-                    for s in range(num_sketches)
-                ],
-            )
-            .localCheckpoint(eager=True)
-        )
+        cur = _anf_or_step(sym, cur, num_sketches)
         est = cur.select(est_col().alias("e")).agg(F.sum("e")).collect()[0][0]
         results.append((hop, float(est)))
         if est_prev is not None and abs(est - est_prev) < 1e-9 * max(est, 1.0):
