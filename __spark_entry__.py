@@ -985,6 +985,20 @@ def q_spanning_edge(spark, sf_dir):
     return out.select("src", "dst", F.round("score", 6).alias("score"))
 
 
+GCE_SEEDS = [11, 222, 333, 444]
+GCE_STEPS = 8
+
+
+def q_gce(spark, sf_dir):
+    """GCE greedy community expansion (reference cpp/scd/GCE.cpp:27-195,
+    objective M), all seeds batched into one (seed, node) state; GCE_STEPS
+    exact greedy rounds, argmax tie-break = highest node id as in the
+    reference's ascending std::set scan (GCE.cpp:168-177)."""
+    from networkit_spark.operators.scd import gce_expand
+
+    return gce_expand(_g(spark, sf_dir), GCE_SEEDS, max_steps=GCE_STEPS)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "graph_edges": q_edges,
@@ -1040,6 +1054,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rollup": q_events_rollup,
         "pagerank_topk": q_pagerank_topk,
         # third wave — round 2
+        "gce": q_gce,
         "scc": q_scc,
         "coreness": q_coreness,
         "prefix_jaccard": q_prefix_jaccard,
@@ -2454,6 +2469,70 @@ def _algdist_sql() -> str:
     )
 
 
+def _gce_sql() -> str:
+    """GCE objective-M greedy expansion, GCE_STEPS exact unrolled rounds.
+    Mirrors operators/scd.py: per round, degInt for every node adjacent to a
+    community, int/ext edge totals per community, best ``dQ >= 0`` shell move
+    with (absorb, dQ, v) descending tie-break (= the reference's ascending
+    std::set scan keeping the last maximum, GCE.cpp:168-177). All arithmetic
+    is integer counts plus one double division on each side, so the two
+    engines agree bitwise; the output (seed, node) is pure integers."""
+    seeds = ", ".join(f"({s})" for s in GCE_SEEDS)
+    ctes = [
+        edges_sql(N_NODES, directed=False),
+        f"c0 AS MATERIALIZED (SELECT CAST(seed AS BIGINT) AS seed,"
+        f" CAST(seed AS BIGINT) AS node FROM (VALUES {seeds}) s(seed))",
+    ]
+    for i in range(GCE_STEPS):
+        ctes.append(
+            f"""d{i} AS MATERIALIZED (
+  SELECT c.seed, s.src AS v, COUNT(*) AS di
+  FROM sym s JOIN c{i} c ON s.dst = c.node GROUP BY c.seed, s.src
+)"""
+        )
+        ctes.append(
+            f"""st{i} AS MATERIALIZED (
+  SELECT c.seed,
+         SUM(COALESCE(d.di, 0)) / 2.0 AS ie,
+         CAST(SUM(g.degree) - SUM(COALESCE(d.di, 0)) AS DOUBLE) AS ee
+  FROM c{i} c JOIN deg g ON c.node = g.node
+  LEFT JOIN d{i} d ON d.seed = c.seed AND d.v = c.node
+  GROUP BY c.seed
+)"""
+        )
+        ctes.append(
+            f"""b{i} AS MATERIALIZED (
+  SELECT seed, v FROM (
+    SELECT seed, v, absorb, dq,
+           ROW_NUMBER() OVER (PARTITION BY seed
+                              ORDER BY absorb DESC, dq DESC, v DESC) AS rn
+    FROM (
+      SELECT d.seed, d.v,
+             (t.ee - d.di + (g.degree - d.di)) = 0 AS absorb,
+             CASE WHEN (t.ee - d.di + (g.degree - d.di)) > 0
+                  THEN (t.ie + d.di)
+                       / CAST(t.ee - d.di + (g.degree - d.di) AS DOUBLE)
+                       - t.ie / t.ee
+                  ELSE 0.0 END AS dq
+      FROM d{i} d
+      JOIN deg g ON d.v = g.node
+      JOIN st{i} t ON d.seed = t.seed
+      WHERE NOT EXISTS (
+        SELECT 1 FROM c{i} c WHERE c.seed = d.seed AND c.node = d.v
+      )
+    ) q WHERE absorb OR dq >= 0
+  ) r WHERE rn = 1
+)"""
+        )
+        ctes.append(
+            f"c{i + 1} AS MATERIALIZED (SELECT seed, node FROM c{i} "
+            f"UNION ALL SELECT seed, v AS node FROM b{i})"
+        )
+    return _with(
+        *ctes, select=f"SELECT seed, node FROM c{GCE_STEPS}"
+    )
+
+
 def _scc_sql() -> str:
     """Mutual-reachability closure: 6 doublings cover paths ≤ 64 steps —
     over-unrolled far past the sparse subgraph's diameter. component =
@@ -2961,6 +3040,7 @@ def oracle_sql() -> dict[str, str]:
         "local_similarity": _local_similarity_sql(),
         "events_rollup": _EVENTS_ROLLUP_SQL,
         "pagerank_topk": _pagerank_topk_sql(),
+        "gce": _gce_sql(),
         "scc": _scc_sql(),
         "coreness": _coreness_sql(),
         "prefix_jaccard": _prefix_jaccard_sql(),

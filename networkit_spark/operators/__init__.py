@@ -32,6 +32,7 @@ from .linkprediction import (
     link_thresholder,
     top_predictions,
 )
+from .scd import gce_expand
 from .algebraic import (
     laplacian_smooth,
     effective_resistance,
