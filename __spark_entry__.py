@@ -302,6 +302,28 @@ def q_ann_ivf(spark, sf_dir):
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+IVF_NLIST = 16
+IVF_ITERS = 3
+IVF_NPROBE = 4
+EMB_DIM = 64  # testdata embeddings are 64-dim at every SF
+
+
+def q_ann_ivf_trained(spark, sf_dir):
+    """Trained IVF (deterministic spherical k-means, IVF_ITERS Lloyd
+    iterations, IVF_NLIST cells) + multi-probe search over the IVF_NPROBE
+    nearest lists. The FAISS IVF recipe expressed relationally; centroids,
+    assignments, and probes all reproduce exactly in the SQL oracle
+    (rounded means + rounded-dot argmax, hash-seeded init)."""
+    from networkit_spark.functions.similarity import cosine_topk_ivf_trained
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter("vec_id < 8").withColumnRenamed("vec_id", "query_id")
+    out = cosine_topk_ivf_trained(
+        emb, q, k=ANN_K, nlist=IVF_NLIST, iters=IVF_ITERS, nprobe=IVF_NPROBE
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
 def q_events_window(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return ev.groupBy(
@@ -1054,6 +1076,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rollup": q_events_rollup,
         "pagerank_topk": q_pagerank_topk,
         # third wave — round 2
+        "ann_ivf_trained": q_ann_ivf_trained,
         "gce": q_gce,
         "scc": q_scc,
         "coreness": q_coreness,
@@ -1526,6 +1549,102 @@ SELECT query_id, vec_id, ROUND(cos, 6) AS cos, rank FROM (
   FROM scored
 ) r WHERE rank <= {ANN_K}
 """
+
+
+def _ann_ivf_trained_sql() -> str:
+    """Mirror of functions/similarity.py ivf_train + cosine_topk_ivf_trained:
+    hash-seeded init, IVF_ITERS unrolled Lloyd iterations (argmax of
+    ROUND(dot, 9) with min-cid tie-break; element-wise means ROUND 6 so
+    reduction order cannot diverge), multi-probe search. Unit coords are
+    exact element-wise divisions — bitwise identical across engines."""
+    h60 = "CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+    ctes = [
+        """units AS MATERIALIZED (
+  SELECT vec_id, v, nv, list_transform(v, x -> x / nv) AS u FROM (
+    SELECT vec_id, embedding::DOUBLE[] AS v,
+           sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nv
+    FROM embeddings
+  ) b WHERE nv > 0
+)""",
+        f"""cent0 AS MATERIALIZED (
+  SELECT ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS cid, u AS cv FROM (
+    SELECT vec_id, u, {h60} AS h FROM units ORDER BY h, vec_id LIMIT {IVF_NLIST}
+  ) s
+)""",
+    ]
+    for i in range(IVF_ITERS):
+        ctes.append(
+            f"""a{i} AS MATERIALIZED (
+  SELECT vec_id, cid FROM (
+    SELECT u.vec_id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY u.vec_id
+                              ORDER BY ROUND(list_dot_product(u.u, c.cv), 9) DESC,
+                                       c.cid ASC) AS rn
+    FROM units u CROSS JOIN cent{i} c
+  ) r WHERE rn = 1
+)"""
+        )
+        ctes.append(
+            f"""m{i} AS MATERIALIZED (
+  SELECT a.cid, p.pos, ROUND(AVG(u.u[p.pos]), 6) AS m
+  FROM a{i} a JOIN units u USING (vec_id)
+  CROSS JOIN (SELECT unnest(generate_series(1, {EMB_DIM})) AS pos) p
+  GROUP BY a.cid, p.pos
+)"""
+        )
+        ctes.append(
+            f"""cent{i + 1} AS MATERIALIZED (
+  SELECT c.cid, COALESCE(n.cv, c.cv) AS cv FROM cent{i} c
+  LEFT JOIN (SELECT cid, list(m ORDER BY pos) AS cv FROM m{i} GROUP BY cid) n
+  USING (cid)
+)"""
+        )
+    ct = f"cent{IVF_ITERS}"
+    ctes.append(
+        f"""inv AS MATERIALIZED (
+  SELECT vec_id, cid FROM (
+    SELECT u.vec_id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY u.vec_id
+                              ORDER BY ROUND(list_dot_product(u.u, c.cv), 9) DESC,
+                                       c.cid ASC) AS rn
+    FROM units u CROSS JOIN {ct} c
+  ) r WHERE rn = 1
+)"""
+    )
+    ctes.append(
+        "qs AS MATERIALIZED (SELECT vec_id AS query_id, v AS qv, nv AS nq, u AS qu "
+        "FROM units WHERE vec_id < 8)"
+    )
+    ctes.append(
+        f"""probes AS MATERIALIZED (
+  SELECT query_id, cid FROM (
+    SELECT q.query_id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+                              ORDER BY ROUND(list_dot_product(q.qu, c.cv), 9) DESC,
+                                       c.cid ASC) AS pr
+    FROM qs q CROSS JOIN {ct} c
+  ) r WHERE pr <= {IVF_NPROBE}
+)"""
+    )
+    ctes.append(
+        """scored AS MATERIALIZED (
+  SELECT q.query_id, i.vec_id,
+         list_dot_product(q.qv, u.v) / (q.nq * u.nv) AS cos
+  FROM probes p
+  JOIN inv i USING (cid)
+  JOIN units u ON u.vec_id = i.vec_id
+  JOIN qs q ON q.query_id = p.query_id
+  WHERE i.vec_id <> q.query_id
+)"""
+    )
+    return _with(
+        *ctes,
+        select=f"""SELECT query_id, vec_id, ROUND(cos, 6) AS cos, rank FROM (
+  SELECT query_id, vec_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM scored
+) r WHERE rank <= {ANN_K}""",
+    )
 
 
 def _linkpred_sql() -> str:
@@ -3040,6 +3159,7 @@ def oracle_sql() -> dict[str, str]:
         "local_similarity": _local_similarity_sql(),
         "events_rollup": _EVENTS_ROLLUP_SQL,
         "pagerank_topk": _pagerank_topk_sql(),
+        "ann_ivf_trained": _ann_ivf_trained_sql(),
         "gce": _gce_sql(),
         "scc": _scc_sql(),
         "coreness": _coreness_sql(),

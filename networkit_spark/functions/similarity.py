@@ -3,10 +3,16 @@
 - brute-force cosine top-k: broadcast the (small) query set, JVM-side
   zip_with/aggregate dot products, per-query window top-k. At 100 TB the
   scan side stays fully distributed; only the query set broadcasts.
-- IVF-style variant: deterministic sign-bit coarse quantizer buckets the
-  corpus; queries probe only matching buckets (single-probe) — the scale
-  path that turns an O(N·Q) scan into O(N·Q / 2^bits) with recall traded
-  for bucket count.
+- IVF-style sign-bit variant: deterministic coarse quantizer buckets the
+  corpus; queries probe only matching buckets (single-probe) — cheap but
+  recall-weak (untrained cells).
+- trained IVF (:func:`ivf_train` + :func:`cosine_topk_ivf_trained`): proper
+  inverted-file index — deterministic spherical k-means centroids trained
+  distributed (Lloyd iterations: broadcast-centroid argmax assignment +
+  element-wise mean update), multi-probe search over the ``nprobe`` nearest
+  lists. The FAISS IVF recipe re-expressed relationally: training touches
+  each vector ``iters`` times with NO shuffle wider than (cid, pos); search
+  scores only ``nprobe/nlist`` of the corpus per query.
 """
 
 from __future__ import annotations
@@ -108,3 +114,151 @@ def cosine_topk_ivf(
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", F.round("cos", 6).alias("cos"), "rank")
     )
+
+
+def _units(df: DataFrame, vec_col: str, id_col: str, out_id: str) -> DataFrame:
+    """(id, v, nv, u): raw double vector, its norm, and the unit vector.
+    Unit coords are exact elementwise divisions — bitwise reproducible by
+    any engine (no reduction-order dependence)."""
+    v = F.col(vec_col).cast("array<double>")
+    return (
+        df.select(
+            F.col(id_col).alias(out_id),
+            v.alias("v"),
+            _norm(v).alias("nv"),
+        )
+        .filter(F.col("nv") > 0)
+        .withColumn("u", F.transform("v", lambda x: x / F.col("nv")))
+    )
+
+
+def _assign_expr(units: DataFrame, cents: DataFrame, id_name: str) -> DataFrame:
+    """(id, cid): nearest centroid by max dot (unit vectors → cosine), dot
+    rounded to 9 decimals before the argmax so near-ties resolve identically
+    across engines; tie-break = smallest cid. Broadcast join + one
+    map-side-combinable aggregation keyed by the vector id."""
+    dots = units.select(id_name, "u").crossJoin(F.broadcast(cents)).select(
+        id_name,
+        "cid",
+        F.round(_dot(F.col("u"), F.col("cv")), 9).alias("dot"),
+    )
+    return (
+        dots.groupBy(id_name)
+        .agg(F.min(F.struct((-F.col("dot")).alias("nd"), F.col("cid"))).alias("b"))
+        .select(id_name, F.col("b.cid").alias("cid"))
+    )
+
+
+def ivf_train(
+    corpus: DataFrame,
+    nlist: int = 16,
+    iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Deterministic spherical k-means: returns ``(cid, cv)`` centroids.
+
+    - init: the ``nlist`` corpus vectors with the smallest
+      ``(md5-hash60(id), id)`` — a deterministic, order-independent sample
+      (no host RNG, no task-order dependence).
+    - each Lloyd iteration: argmax-dot assignment against broadcast
+      centroids, then element-wise mean per (cid, position) — the only
+      shuffle is the (cid, pos) aggregation, whose key space is
+      ``nlist × dim`` regardless of corpus size. Means are rounded to 6
+      decimals so reduction order cannot leak into the trained model.
+    - empty cells keep their previous centroid.
+    """
+    from .dedup import hash60
+
+    spark = corpus.sparkSession
+    units = _units(corpus, vec_col, id_col, "vec_id").persist()
+    seed_rows = (
+        units.select(
+            "vec_id", "u", hash60(F.col("vec_id").cast("string")).alias("h")
+        )
+        .orderBy("h", "vec_id")
+        .limit(nlist)
+        .collect()
+    )
+    cents = spark.createDataFrame(
+        [(i, list(r["u"])) for i, r in enumerate(seed_rows)],
+        "cid int, cv array<double>",
+    )
+    for _ in range(iters):
+        assign = _assign_expr(units, cents, "vec_id")
+        means = (
+            assign.join(units, "vec_id")
+            .select("cid", F.posexplode("u").alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(F.round(F.avg("x"), 6).alias("m"))
+        )
+        newc = means.groupBy("cid").agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"],
+            ).alias("ncv")
+        )
+        cents = (
+            cents.join(newc, "cid", "left")
+            .select("cid", F.coalesce("ncv", "cv").alias("cv"))
+            .localCheckpoint(eager=True)
+        )
+    units.unpersist()
+    return cents
+
+
+def cosine_topk_ivf_trained(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nlist: int = 16,
+    iters: int = 3,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """Trained-IVF approximate top-k (same output schema as brute force):
+    every corpus vector lives in exactly one inverted list (its nearest
+    trained centroid); each query scores only the ``nprobe`` nearest lists.
+    Scored fraction ≈ nprobe/nlist of the corpus — the 100-TB path where
+    brute force is O(N·Q). Pass ``centroids`` to reuse a trained model."""
+    if centroids is None:
+        centroids = ivf_train(corpus, nlist=nlist, iters=iters, vec_col=vec_col, id_col=id_col)
+    c = _units(corpus, vec_col, id_col, "vec_id").persist()
+    inv = _assign_expr(c, centroids, "vec_id")
+    q = _units(queries, vec_col, query_id_col, "query_id")
+    qd = q.select("query_id", "u").crossJoin(F.broadcast(centroids)).select(
+        "query_id",
+        "cid",
+        F.round(_dot(F.col("u"), F.col("cv")), 9).alias("dot"),
+    )
+    wp = Window.partitionBy("query_id").orderBy(F.desc("dot"), F.asc("cid"))
+    probes = (
+        qd.withColumn("pr", F.row_number().over(wp))
+        .filter(F.col("pr") <= nprobe)
+        .select("query_id", "cid")
+    )
+    scored = (
+        inv.join(F.broadcast(probes), "cid")
+        .join(c, "vec_id")
+        .join(
+            F.broadcast(q.select("query_id", F.col("v").alias("qv"), F.col("nv").alias("nq"))),
+            "query_id",
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            (_dot(F.col("qv"), F.col("v")) / (F.col("nq") * F.col("nv"))).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    out = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", F.round("cos", 6).alias("cos"), "rank")
+    )
+    c.unpersist()
+    return out

@@ -136,3 +136,68 @@ def test_multimodal_decode_deterministic(spark, docs):
     vids = media.withColumn("media_type", F.lit("video"))
     frames = sample_video_frames(vids, every_n=16).collect()
     assert len(frames) > len(a)  # multiple frames per video
+
+
+def test_ivf_train_deterministic_partition(spark, embeddings):
+    from networkit_spark.functions.similarity import ivf_train, _assign_expr, _units
+
+    cents = ivf_train(embeddings, nlist=4, iters=2)
+    got = {r["cid"]: r["cv"] for r in cents.collect()}
+    assert sorted(got) == [0, 1, 2, 3]
+    assert all(len(v) == 16 for v in got.values())
+    # training is deterministic: a second run is identical
+    again = {r["cid"]: r["cv"] for r in ivf_train(embeddings, nlist=4, iters=2).collect()}
+    assert got == again
+    # every vector lands in exactly one cell
+    units = _units(embeddings, "embedding", "vec_id", "vec_id")
+    inv = _assign_expr(units, cents, "vec_id").collect()
+    assert len(inv) == 20
+    assert len({r["vec_id"] for r in inv}) == 20
+
+
+def test_ivf_trained_scores_match_bruteforce(spark, embeddings):
+    """Trained IVF is a PRUNED brute force: every returned (query, hit)
+    cosine must equal the brute-force cosine for the same pair, and the
+    planted near-dup (same cell with high probability at nlist=2) ranks 1."""
+    from networkit_spark.functions.similarity import (
+        cosine_topk_bruteforce,
+        cosine_topk_ivf_trained,
+    )
+
+    q = embeddings.filter("vec_id < 2").withColumnRenamed("vec_id", "query_id")
+    bf = {
+        (r["query_id"], r["vec_id"]): r["cos"]
+        for r in cosine_topk_bruteforce(embeddings, q, k=20).collect()
+    }
+    out = cosine_topk_ivf_trained(
+        embeddings, q, k=5, nlist=4, iters=2, nprobe=2
+    ).collect()
+    assert out
+    for r in out:
+        assert bf[(r["query_id"], r["vec_id"])] == r["cos"]
+    # ranks are dense from 1 within each query
+    ranks = {}
+    for r in out:
+        ranks.setdefault(r["query_id"], []).append(r["rank"])
+    for rs in ranks.values():
+        assert sorted(rs) == list(range(1, len(rs) + 1))
+
+
+def test_ivf_trained_full_probe_equals_bruteforce(spark, embeddings):
+    """nprobe = nlist scores the whole corpus → exactly brute force."""
+    from networkit_spark.functions.similarity import (
+        cosine_topk_bruteforce,
+        cosine_topk_ivf_trained,
+    )
+
+    q = embeddings.filter("vec_id < 2").withColumnRenamed("vec_id", "query_id")
+    bf = sorted(
+        tuple(r) for r in cosine_topk_bruteforce(embeddings, q, k=5).collect()
+    )
+    ivf = sorted(
+        tuple(r)
+        for r in cosine_topk_ivf_trained(
+            embeddings, q, k=5, nlist=4, iters=2, nprobe=4
+        ).collect()
+    )
+    assert bf == ivf
