@@ -222,6 +222,25 @@ def _docs_with_neardup_clones(spark, sf_dir):
     return docs.unionByName(clones)
 
 
+DEDUP_CLUSTER_ROUNDS = 6
+
+
+def q_dedup_clusters(spark, sf_dir):
+    """End-to-end near-dup clustering: MinHash-LSH pairs -> connected
+    components (fixed min-label sweeps) -> canonical survivor per cluster.
+    The consumable shape of a dedup pipeline (keep doc = canonical)."""
+    from networkit_spark.functions.dedup import dedup_clusters
+
+    return dedup_clusters(
+        _docs_with_neardup_clones(spark, sf_dir),
+        threshold=MH_THRESHOLD,
+        rounds=DEDUP_CLUSTER_ROUNDS,
+        k=MINHASH_K,
+        num_perms=MH_PERMS,
+        bands=MH_BANDS,
+    )
+
+
 def q_ngram_jaccard_pairs(spark, sf_dir):
     from networkit_spark.functions.dedup import minhash_lsh_pairs
 
@@ -1077,6 +1096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_topk": q_pagerank_topk,
         # third wave — round 2
         "ann_ivf_trained": q_ann_ivf_trained,
+        "dedup_clusters": q_dedup_clusters,
         "gce": q_gce,
         "scc": q_scc,
         "coreness": q_coreness,
@@ -1549,6 +1569,41 @@ SELECT query_id, vec_id, ROUND(cos, 6) AS cos, rank FROM (
   FROM scored
 ) r WHERE rank <= {ANN_K}
 """
+
+
+def _dedup_clusters_sql() -> str:
+    """Mirror of functions/dedup.py dedup_clusters: the minhash_pairs oracle
+    nested as a CTE, then DEDUP_CLUSTER_ROUNDS unrolled min-label sweeps over
+    the symmetrized pair graph (singletons keep their own id). Pure-integer
+    recurrence — both engines compute it identically round by round."""
+    inner = _minhash_sql(_DOCS_NEARDUP, MH_THRESHOLD)
+    ctes = [
+        # same universe as _DOCS_NEARDUP's docsrc, renamed: the nested pairs
+        # query re-declares docsrc and DuckDB forbids duplicate CTE aliases
+        """allsrc AS MATERIALIZED (
+  SELECT doc_id AS doc FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc FROM documents WHERE doc_id % 11 = 0
+)""",
+        f"pairs AS MATERIALIZED ({inner})",
+        "symp AS MATERIALIZED (SELECT a AS s, b AS d FROM pairs "
+        "UNION ALL SELECT b AS s, a AS d FROM pairs)",
+        "l0 AS MATERIALIZED (SELECT doc, doc AS canonical FROM allsrc)",
+    ]
+    for i in range(DEDUP_CLUSTER_ROUNDS):
+        ctes.append(
+            f"""l{i + 1} AS MATERIALIZED (
+  SELECT l.doc, LEAST(l.canonical, COALESCE(m.nc, l.canonical)) AS canonical
+  FROM l{i} l LEFT JOIN (
+    SELECT s.s AS doc, MIN(x.canonical) AS nc
+    FROM symp s JOIN l{i} x ON s.d = x.doc GROUP BY s.s
+  ) m USING (doc)
+)"""
+        )
+    return _with(
+        *ctes,
+        select=f"SELECT doc, canonical FROM l{DEDUP_CLUSTER_ROUNDS}",
+    )
 
 
 def _ann_ivf_trained_sql() -> str:
@@ -3160,6 +3215,7 @@ def oracle_sql() -> dict[str, str]:
         "events_rollup": _EVENTS_ROLLUP_SQL,
         "pagerank_topk": _pagerank_topk_sql(),
         "ann_ivf_trained": _ann_ivf_trained_sql(),
+        "dedup_clusters": _dedup_clusters_sql(),
         "gce": _gce_sql(),
         "scc": _scc_sql(),
         "coreness": _coreness_sql(),

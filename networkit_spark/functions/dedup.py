@@ -333,3 +333,53 @@ def simhash_hamming_pairs(
         .select("a", "b", ham.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def dedup_clusters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    rounds: int = 6,
+    **lsh_kwargs,
+) -> DataFrame:
+    """End-to-end near-dup clustering: ``(doc, canonical)`` where canonical =
+    the smallest doc id in the document's near-duplicate cluster (connected
+    component of the :func:`minhash_lsh_pairs` graph); singletons map to
+    themselves. This is the shape real dedup pipelines consume — keep rows
+    where ``doc = canonical``, drop the rest.
+
+    ``rounds`` fixed min-label-propagation sweeps over the pair graph (no
+    pointer jumping): near-dup clusters are near-cliques of mutually-similar
+    documents (LSH links most pairs directly), so the component diameter is
+    tiny and ``rounds=6`` over-covers; the fixed recurrence is exactly
+    reproducible by an unrolled SQL oracle. Each sweep shuffles only the
+    pair-graph edges plus one label row per doc — the LSH candidate
+    generation dominates, as it should.
+    """
+    pairs = minhash_lsh_pairs(
+        df, text_col=text_col, id_col=id_col, threshold=threshold, **lsh_kwargs
+    )
+    sym = pairs.select(F.col("a").alias("s"), F.col("b").alias("d")).unionByName(
+        pairs.select(F.col("b").alias("s"), F.col("a").alias("d"))
+    ).persist()
+    labels = df.select(
+        F.col(id_col).alias("doc"), F.col(id_col).alias("canonical")
+    ).localCheckpoint(eager=True)
+    for _ in range(rounds):
+        nbr = (
+            sym.join(labels, sym.d == labels.doc)
+            .groupBy("s")
+            .agg(F.min("canonical").alias("nc"))
+            .withColumnRenamed("s", "doc")
+        )
+        labels = (
+            labels.join(nbr, "doc", "left")
+            .select(
+                "doc",
+                F.least("canonical", F.coalesce("nc", "canonical")).alias("canonical"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    sym.unpersist()
+    return labels

@@ -37,6 +37,7 @@ UNROLLED = [
     ("spanning_forest", "SF_OUT_ROUNDS"),
     ("top_closeness", "TOPC_DOUBLINGS"),
     ("dynbfs_update", "DYN_ROUNDS"),
+    ("dedup_clusters", "DEDUP_CLUSTER_ROUNDS"),
 ]
 
 

@@ -201,3 +201,18 @@ def test_ivf_trained_full_probe_equals_bruteforce(spark, embeddings):
         ).collect()
     )
     assert bf == ivf
+
+
+def test_dedup_clusters_transitive_canonical(spark, docs):
+    """0–1 exact dup, 1–2 near dup: the cluster is transitive — all three
+    canonicalize to 0 even if LSH never paired (0,2) directly; everything
+    else is a singleton mapped to itself."""
+    from networkit_spark.functions.dedup import dedup_clusters
+
+    got = {
+        r["doc"]: r["canonical"]
+        for r in dedup_clusters(docs, threshold=0.5, rounds=4).collect()
+    }
+    assert got[0] == got[1] == got[2] == 0
+    assert got[3] == 3 and got[4] == 4 and got[5] == 5
+    assert len(got) == 6
