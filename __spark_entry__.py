@@ -1040,6 +1040,39 @@ def q_gce(spark, sf_dir):
     return gce_expand(_g(spark, sf_dir), GCE_SEEDS, max_steps=GCE_STEPS)
 
 
+def q_repetition_profile(spark, sf_dir):
+    """Gopher-style repetition metrics + keep flag over documents
+    (functions/text.py repetition_profile/gopher_keep; Rae et al. 2021 A1.1)."""
+    from networkit_spark.functions.text import gopher_keep, repetition_profile
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return gopher_keep(repetition_profile(docs))
+
+
+def q_chunks(spark, sf_dir):
+    """Token-window chunking (chunk=32, overlap=4) — LLM pre-tokenization
+    sharding (functions/text.py chunk_documents)."""
+    from networkit_spark.functions.text import chunk_documents
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return chunk_documents(docs, chunk_tokens=32, overlap=4)
+
+
+def q_contamination(spark, sf_dir):
+    """Train/test decontamination: 5-gram collision join of the corpus
+    against a probe set carved deterministically out of it (docs with
+    doc_id %% 97 == 3, tokens 11..30) — GPT-3 appendix-C style
+    (functions/text.py ngram_contamination)."""
+    from networkit_spark.functions.text import ngram_contamination, tokens
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    probes = docs.filter(F.col("doc_id") % 97 == 3).select(
+        F.col("doc_id").alias("probe_id"),
+        F.array_join(F.slice(tokens("text"), 11, 20), " ").alias("text"),
+    )
+    return ngram_contamination(docs, probes, n=5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "graph_edges": q_edges,
@@ -1119,6 +1152,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "commute_time": q_commute_time,
         "spanning_edge": q_spanning_edge,
         "anf_nf": q_anf_nf,
+        # fourth wave — training-pipeline depth
+        "repetition_profile": q_repetition_profile,
+        "chunks": q_chunks,
+        "contamination": q_contamination,
         # rows-only (no SQL-expressible oracle: FM sketches / multilevel
         # Louvain are not fixed-unroll reproducible in ANSI SQL)
         "anf_diameter": q_anf_diameter,
@@ -3125,6 +3162,83 @@ def _anf_nf_sql() -> str:
     return _with(*ctes, select=hop_selects)
 
 
+def _repetition_profile_sql() -> str:
+    return """
+WITH b AS MATERIALIZED (
+  SELECT doc_id, text,
+         string_split(text, ' ') AS toks,
+         string_split(text, chr(10)) AS lines
+  FROM documents
+), base AS MATERIALIZED (
+  SELECT doc_id, toks,
+    CAST(len(toks) AS BIGINT) AS n_tokens,
+    ROUND(1.0 - CAST(len(list_distinct(lines)) AS DOUBLE) / len(lines), 6) AS dup_line_frac,
+    ROUND(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) AS dup_token_frac,
+    ROUND(CAST(length(text) - len(toks) + 1 AS DOUBLE) / len(toks), 6) AS mean_word_len,
+    ROUND(CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+          / length(text), 6) AS symbol_ratio
+  FROM b
+), grams AS (
+  SELECT doc_id, array_to_string(list_slice(toks, i, i + 1), ' ') AS gram
+  FROM base, unnest(generate_series(1, len(toks) - 1)) t(i)
+), top AS (
+  SELECT doc_id, max(cnt) AS top_cnt FROM (
+    SELECT doc_id, gram, count(*) AS cnt FROM grams GROUP BY doc_id, gram
+  ) GROUP BY doc_id
+), prof AS (
+  SELECT b.doc_id, n_tokens, dup_line_frac, dup_token_frac,
+    ROUND(COALESCE(top_cnt, 0) * 2 / n_tokens, 6) AS top2gram_frac,
+    mean_word_len, symbol_ratio
+  FROM base b LEFT JOIN top ON b.doc_id = top.doc_id
+)
+SELECT *,
+  (dup_line_frac <= 0.30 AND dup_token_frac <= 0.50 AND top2gram_frac <= 0.60
+   AND mean_word_len >= 1.0 AND mean_word_len <= 12.0 AND symbol_ratio <= 0.10)
+  AS keep
+FROM prof
+"""
+
+
+def _chunks_sql(chunk: int = 32, overlap: int = 4) -> str:
+    step = chunk - overlap
+    return f"""
+WITH b AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+SELECT doc_id,
+  CAST(s // {step} AS BIGINT) AS chunk_id,
+  CAST(len(list_slice(toks, s + 1, s + {chunk})) AS BIGINT) AS n_chunk_tokens,
+  array_to_string(list_slice(toks, s + 1, s + {chunk}), ' ') AS chunk
+FROM b, unnest(generate_series(
+  0, CAST(floor((len(toks) - 1) / {step}.0) * {step} AS BIGINT), {step})) t(s)
+"""
+
+
+def _contamination_sql(n: int = 5) -> str:
+    return f"""
+WITH probes AS MATERIALIZED (
+  SELECT doc_id AS probe_id,
+         string_split(array_to_string(
+           list_slice(string_split(text, ' '), 11, 30), ' '), ' ') AS toks
+  FROM documents WHERE doc_id % 97 = 3
+), pg AS MATERIALIZED (
+  SELECT DISTINCT probe_id, gram FROM (
+    SELECT probe_id, array_to_string(list_slice(toks, i, i + {n - 1}), ' ') AS gram
+    FROM probes, unnest(generate_series(1, len(toks) - {n - 1})) t(i)
+  )
+), dg AS (
+  SELECT DISTINCT doc_id, gram FROM (
+    SELECT doc_id, array_to_string(list_slice(toks, i, i + {n - 1}), ' ') AS gram
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         unnest(generate_series(1, len(toks) - {n - 1})) t(i)
+  )
+)
+SELECT doc_id,
+  CAST(count(*) AS BIGINT) AS n_hits,
+  CAST(count(DISTINCT probe_id) AS BIGINT) AS n_probes
+FROM dg JOIN pg USING (gram)
+GROUP BY doc_id
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     E = edges_sql(N_NODES)
     return {
@@ -3238,4 +3352,7 @@ def oracle_sql() -> dict[str, str]:
         "commute_time": _commute_time_sql(),
         "spanning_edge": _spanning_edge_sql(),
         "anf_nf": _anf_nf_sql(),
+        "repetition_profile": _repetition_profile_sql(),
+        "chunks": _chunks_sql(),
+        "contamination": _contamination_sql(),
     }

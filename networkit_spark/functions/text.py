@@ -105,3 +105,188 @@ def analyze_documents(df: DataFrame, text_col: str = "text", id_col: str = "doc_
         language_id(c).alias("lang_pred"),
         fingerprint64(c).alias("fp64"),
     )
+
+# ---------------------------------------------------------------------------
+# Repetition / quality-filter suite (Gopher-style rules)
+# ---------------------------------------------------------------------------
+
+def word_ngrams(col, n: int) -> Column:
+    """Array of word n-grams (space-joined) — pure JVM higher-order functions.
+
+    Mirrors the shape of the reference corpus tooling's n-gram shingling
+    (see functions/dedup.py) but returns the grams in document order so the
+    positional slice is reusable for repetition metrics and chunking."""
+    toks = tokens(col)
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_profile(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", top_ngram: int = 2
+) -> DataFrame:
+    """Gopher-style repetition metrics per document (Rae et al. 2021, §A1.1,
+    "repetitious text" rules), used to filter low-quality web text at corpus
+    scale:
+
+      dup_line_frac   fraction of newline-separated lines that are duplicates
+      dup_token_frac  fraction of whitespace tokens that are duplicates
+      top2gram_frac   fraction of tokens covered by the single most frequent
+                      word 2-gram (top_ngram=2 by default)
+      mean_word_len   mean token length
+      symbol_ratio    non-alphanumeric-non-space chars / chars
+
+    Physical plan: the line/token metrics are whole-stage-codegen column
+    expressions (one scan, no shuffle). The top-n-gram frequency uses
+    explode + (id, gram) partial-agg + per-id max — one hash shuffle keyed by
+    (id, gram), scale-safe and skew-free (gram strings are near-unique).
+    """
+    c = F.col(text_col)
+    toks = tokens(text_col)
+    lines = F.split(c, "\n")
+    base = df.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.round(
+            F.lit(1.0) - F.size(F.array_distinct(lines)) / F.size(lines), 6
+        ).alias("dup_line_frac"),
+        F.round(
+            F.lit(1.0) - F.size(F.array_distinct(toks)) / F.size(toks), 6
+        ).alias("dup_token_frac"),
+        F.round(
+            F.length(F.regexp_replace(c, "[a-zA-Z0-9 ]", "")) / F.length(c), 6
+        ).alias("symbol_ratio"),
+        F.round(
+            (F.length(c) - F.size(toks) + 1) / F.size(toks), 6
+        ).alias("mean_word_len"),
+        word_ngrams(text_col, top_ngram).alias("_grams"),
+    )
+    grams = base.select(id_col, F.explode("_grams").alias("gram"))
+    top = (
+        grams.groupBy(id_col, "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy(id_col)
+        .agg(F.max("cnt").alias("top_cnt"))
+    )
+    return (
+        base.drop("_grams")
+        .join(top, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            "dup_line_frac",
+            "dup_token_frac",
+            F.round(
+                F.coalesce(F.col("top_cnt"), F.lit(0)) * top_ngram / F.col("n_tokens"), 6
+            ).alias("top2gram_frac"),
+            "mean_word_len",
+            "symbol_ratio",
+        )
+    )
+
+
+def gopher_keep(profile: DataFrame) -> DataFrame:
+    """Boolean keep flag from a repetition_profile: the Gopher repetition
+    thresholds (dup_line_frac <= 0.30, dup_token_frac <= 0.50 [stands in for
+    Gopher's dup 5-gram char fraction on this single-line corpus],
+    top2gram_frac <= 0.20 relaxed to 0.60 for short synthetic docs,
+    mean_word_len in [1, 12], symbol_ratio <= 0.10)."""
+    return profile.select(
+        "*",
+        (
+            (F.col("dup_line_frac") <= 0.30)
+            & (F.col("dup_token_frac") <= 0.50)
+            & (F.col("top2gram_frac") <= 0.60)
+            & (F.col("mean_word_len") >= 1.0)
+            & (F.col("mean_word_len") <= 12.0)
+            & (F.col("symbol_ratio") <= 0.10)
+        ).alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Train/test decontamination: n-gram collision join
+# ---------------------------------------------------------------------------
+
+def ngram_contamination(
+    docs: DataFrame,
+    probes: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    probe_id_col: str = "probe_id",
+) -> DataFrame:
+    """Train-set decontamination against an eval/test probe set: flags every
+    training document sharing at least one word ``n``-gram with any probe
+    (the standard 13-gram collision rule from GPT-3 appendix C / PaLM).
+
+    Returns (doc_id, n_hits, n_probes) per CONTAMINATED document — n_hits =
+    distinct (gram, probe) collisions, n_probes = distinct probes hit.
+
+    Physical plan: probes are the small side — their distinct grams are
+    broadcast; the train side streams through explode + broadcast hash join,
+    then one partial-agg shuffle keyed by doc_id. No shuffle of the corpus
+    itself, so this scales to 100 TB train / O(MB) probe sets. For probe sets
+    too large to broadcast, drop the hint and the same plan runs as a
+    shuffled hash join on the gram string (near-uniform key)."""
+    d_grams = docs.select(
+        F.col(id_col), F.explode(word_ngrams(text_col, n)).alias("gram")
+    ).dropDuplicates([id_col, "gram"])
+    p_grams = probes.select(
+        F.col(probe_id_col), F.explode(word_ngrams(text_col, n)).alias("gram")
+    ).dropDuplicates([probe_id_col, "gram"])
+    hits = d_grams.join(F.broadcast(p_grams), "gram")
+    return hits.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_hits"),
+        F.countDistinct(probe_id_col).alias("n_probes"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token-window document chunking
+# ---------------------------------------------------------------------------
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Splits documents into fixed-size token windows with overlap — the
+    standard pre-tokenization sharding step of an LLM training pipeline.
+
+    Returns (doc_id, chunk_id, n_chunk_tokens, chunk) where chunk_id is the
+    0-based window index and windows start every ``chunk_tokens - overlap``
+    tokens. The final partial window is kept (n_chunk_tokens may be short).
+
+    Pure JVM plan: sequence() of window starts + transform/slice/array_join
+    inside whole-stage codegen, then posexplode — one narrow scan, no
+    shuffle, no Python."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    step = chunk_tokens - overlap
+    toks = tokens(text_col)
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(
+            F.lit(0),
+            F.floor((F.size(toks) - F.lit(1)).cast("double") / F.lit(step)).cast("long")
+            * F.lit(step),
+        ),
+        F.lit(step),
+    )
+    chunks = F.transform(
+        starts, lambda s: F.array_join(F.slice(toks, s + 1, chunk_tokens), " ")
+    )
+    out = df.select(F.col(id_col), F.posexplode(chunks).alias("chunk_id", "chunk"))
+    return out.select(
+        id_col,
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.size(F.split(F.col("chunk"), " ")).cast("long").alias("n_chunk_tokens"),
+        "chunk",
+    )
