@@ -1073,6 +1073,21 @@ def q_contamination(spark, sf_dir):
     return ngram_contamination(docs, probes, n=5)
 
 
+def q_maximal_cliques(spark, sf_dir):
+    """All maximal cliques of the weight>=2 sparsified test graph
+    (operators/cliques.py, distributed Eppstein–Löffler–Strash; reference
+    cpp/clique/MaxClique.cpp). Clique rendered as a comma-joined id string
+    so the hash compare is array-representation-independent."""
+    from networkit_spark.graph import Graph
+    from networkit_spark.operators.cliques import maximal_cliques
+
+    edges = lineitem_edges(spark, sf_dir, n_nodes=N_NODES).filter(F.col("weight") >= 2)
+    g = Graph(edges, directed=False, weighted=True)
+    return maximal_cliques(g).select(
+        F.array_join("clique", ",").alias("clique"), F.col("size").cast("int").alias("size")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "graph_edges": q_edges,
@@ -1156,6 +1171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_profile": q_repetition_profile,
         "chunks": q_chunks,
         "contamination": q_contamination,
+        "maximal_cliques": q_maximal_cliques,
         # rows-only (no SQL-expressible oracle: FM sketches / multilevel
         # Louvain are not fixed-unroll reproducible in ANSI SQL)
         "anf_diameter": q_anf_diameter,
@@ -3239,6 +3255,41 @@ GROUP BY doc_id
 """
 
 
+def _maximal_cliques_sql(n_nodes: int = N_NODES, min_w: int = 2) -> str:
+    """Exhaustive maximal-clique enumeration by recursive CTE: grow ordered
+    complete subgraphs (extend only past the max member, candidate must be
+    adjacent to every member via list_has_all), keep those with no adjacent-
+    to-all extension vertex. Exponential in clique number — safe only because
+    the weight>={min_w} sparsification keeps the fixture graph's ω tiny."""
+    return f"""
+WITH RECURSIVE
+base AS (SELECT l_orderkey % {n_nodes} AS a, l_partkey % {n_nodes} AS b
+         FROM lineitem WHERE l_orderkey % {n_nodes} <> l_partkey % {n_nodes}),
+sedges AS MATERIALIZED (
+  SELECT LEAST(a, b) AS src, GREATEST(a, b) AS dst
+  FROM base GROUP BY 1, 2 HAVING count(*) >= {min_w}),
+adj AS MATERIALIZED (
+  SELECT src, dst FROM sedges UNION ALL SELECT dst, src FROM sedges),
+nbrs AS MATERIALIZED (SELECT src AS node, list(dst) AS ns FROM adj GROUP BY src),
+cl AS (
+  SELECT [node] AS members, node AS last FROM nbrs
+  UNION ALL
+  SELECT list_append(cl.members, n.node), n.node
+  FROM cl JOIN adj a ON a.src = cl.last AND a.dst > cl.last
+          JOIN nbrs n ON n.node = a.dst
+  WHERE list_has_all(n.ns, cl.members)
+)
+SELECT array_to_string(list_sort(members), ',') AS clique,
+       CAST(len(members) AS INT) AS size
+FROM cl
+WHERE NOT EXISTS (
+  SELECT 1 FROM adj c JOIN nbrs n2 ON n2.node = c.dst
+  WHERE c.src = members[1] AND NOT list_contains(members, c.dst)
+        AND list_has_all(n2.ns, members)
+)
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     E = edges_sql(N_NODES)
     return {
@@ -3355,4 +3406,5 @@ def oracle_sql() -> dict[str, str]:
         "repetition_profile": _repetition_profile_sql(),
         "chunks": _chunks_sql(),
         "contamination": _contamination_sql(),
+        "maximal_cliques": _maximal_cliques_sql(),
     }
