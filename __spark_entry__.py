@@ -1088,6 +1088,38 @@ def q_maximal_cliques(spark, sf_dir):
     )
 
 
+def q_max_flow(spark, sf_dir):
+    """Max-flow / min-cut on a 12-node capacity graph (operators/flow.py
+    Edmonds-Karp, reference cpp/flow/EdmondsKarp.cpp:54-95). Returns one row:
+    the flow value and the inclusion-minimal min-cut source side — both
+    UNIQUE across all maximum flows, so the oracle can brute-force them by
+    enumerating every source-side subset (max-flow = min-cut duality)."""
+    from networkit_spark.graph import Graph
+    from networkit_spark.operators.flow import edmonds_karp
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    base = (
+        li.filter((F.col("l_quantity") == 1) & (F.col("l_linenumber") == 1))
+        .select(
+            (F.col("l_orderkey") % 12).alias("a"),
+            (F.col("l_partkey") % 12).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+    )
+    edges = (
+        base.select(F.least("a", "b").alias("src"), F.greatest("a", "b").alias("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count("*").cast("double").alias("weight"))
+    )
+    g = Graph(edges, directed=False, weighted=True)
+    res = edmonds_karp(g, 0, 11)
+    members = sorted(int(r["node"]) for r in res.source_set.collect())
+    return spark.createDataFrame(
+        [(float(res.flow_value), ",".join(str(m) for m in members))],
+        "flow_value double, source_set string",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "graph_edges": q_edges,
@@ -1172,6 +1204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunks": q_chunks,
         "contamination": q_contamination,
         "maximal_cliques": q_maximal_cliques,
+        "max_flow": q_max_flow,
         # rows-only (no SQL-expressible oracle: FM sketches / multilevel
         # Louvain are not fixed-unroll reproducible in ANSI SQL)
         "anf_diameter": q_anf_diameter,
@@ -3255,6 +3288,37 @@ GROUP BY doc_id
 """
 
 
+def _max_flow_sql() -> str:
+    """Exact max-flow oracle by strong duality: enumerate all 2^10 source-side
+    subsets (s=0 in, t=11 out) of the 12-node capacity graph; min cut weight =
+    max flow, and the (popcount-minimal) argmin = the inclusion-minimal
+    min-cut source side, which equals Edmonds-Karp's residual-reachable
+    getSourceSet (unique by submodularity)."""
+    return """
+WITH base AS (
+  SELECT l_orderkey % 12 AS a, l_partkey % 12 AS b FROM lineitem
+  WHERE l_quantity = 1 AND l_linenumber = 1
+    AND l_orderkey % 12 <> l_partkey % 12),
+fedges AS MATERIALIZED (
+  SELECT LEAST(a, b) AS src, GREATEST(a, b) AS dst,
+         CAST(COUNT(*) AS DOUBLE) AS weight
+  FROM base GROUP BY 1, 2),
+masks AS (SELECT 1 | (i << 1) AS mask FROM range(1024) t(i)),
+cuts AS (
+  SELECT m.mask, COALESCE(SUM(e.weight), 0) AS cutw
+  FROM masks m LEFT JOIN fedges e
+    ON ((m.mask >> e.src) & 1) <> ((m.mask >> e.dst) & 1)
+  GROUP BY m.mask),
+best AS (
+  SELECT mask, cutw FROM cuts WHERE ((mask >> 11) & 1) = 0
+  ORDER BY cutw, bit_count(mask::BIGINT) LIMIT 1)
+SELECT cutw AS flow_value,
+       (SELECT string_agg(CAST(i AS VARCHAR), ',' ORDER BY i)
+        FROM range(12) r(i) WHERE ((best.mask >> i) & 1) = 1) AS source_set
+FROM best
+"""
+
+
 def _maximal_cliques_sql(n_nodes: int = N_NODES, min_w: int = 2) -> str:
     """Exhaustive maximal-clique enumeration by recursive CTE: grow ordered
     complete subgraphs (extend only past the max member, candidate must be
@@ -3407,4 +3471,5 @@ def oracle_sql() -> dict[str, str]:
         "chunks": _chunks_sql(),
         "contamination": _contamination_sql(),
         "maximal_cliques": _maximal_cliques_sql(),
+        "max_flow": _max_flow_sql(),
     }

@@ -33,6 +33,8 @@ from .linkprediction import (
     top_predictions,
 )
 from .scd import gce_expand
+from .cliques import maximal_cliques, clique_number, max_clique
+from .flow import edmonds_karp, max_flow_value, min_st_cut, cut_clustering
 from .algebraic import (
     laplacian_smooth,
     effective_resistance,

@@ -1,0 +1,209 @@
+"""Max-flow / min-cut (Edmonds-Karp) and flow-based CutClustering.
+
+Reference: /root/reference/networkit/cpp/flow/EdmondsKarp.cpp:18-95 (BFS
+shortest augmenting paths on the residual graph of an undirected capacity
+graph; ``getSourceSet`` = residual-reachable side of the min cut) and
+cpp/community/CutClustering.cpp:16-80 (Flake-Tarjan-Tsioutsiouliklis cut
+clustering: augment with a sink ``t`` joined to every node at weight
+``alpha``; each uncovered node's cluster is the source side of its min
+``u``-``t`` cut, processed in descending-degree order).
+
+Spark shape
+-----------
+The residual graph is an arc DataFrame ``(u, v, r)`` (two arcs per
+undirected edge, ``r(u,v) + r(v,u) == 2w`` invariant). Each BFS *wave* is a
+distributed frontier join over arcs with ``r > 0`` — at web scale a wave is
+a full shuffle-join exactly like ``bfs_distances``. The *augmentation
+sequence* however is inherently sequential (each path must observe the
+previous path's residuals) — same as the reference, whose run() is a serial
+while-loop; no known work-efficient fully-parallel max-flow exists. We keep
+the per-wave work distributed and the driver state O(path length).
+CutClustering additionally loops nodes serially (reference does too,
+CutClustering.cpp:63-78 — the nested-cut property makes the loop order
+load-bearing); use it at community scale, not corpus scale.
+
+The min-cut value and the inclusion-minimal source side are UNIQUE across
+all maximum flows (max-flow/min-cut duality + submodularity), so tests pin
+them exactly; per-arc flows are only unique where the fixture forces them
+(as in the reference's own assertions, EdmondsKarpGTest.cpp:31-33,70).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..graph import Graph
+
+_EPS = 1e-12
+
+
+@dataclass
+class FlowResult:
+    """Outcome of ``edmonds_karp``: max-flow value, residual arcs
+    ``(u, v, r)``, and the min-cut source side ``(node)``."""
+
+    flow_value: float
+    residual: DataFrame
+    source_set: DataFrame
+
+    def flows(self) -> DataFrame:
+        """Per-arc net flow ``(u, v, flow)``, positive direction only
+        (EdmondsKarp.cpp getFlow semantics up to forced uniqueness)."""
+        return self.residual.select(
+            "u", "v", F.greatest(F.col("cap") - F.col("r"), F.lit(0.0)).alias("flow")
+        ).filter(F.col("flow") > _EPS)
+
+
+def _residual_arcs(graph: Graph) -> DataFrame:
+    """Two residual arcs per undirected edge, each at full capacity (an
+    undirected capacity-w edge is flow-equivalent to antiparallel w-arcs)."""
+    sym = graph.sym()
+    return sym.select(
+        F.col("src").alias("u"),
+        F.col("dst").alias("v"),
+        F.col("weight").cast("double").alias("cap"),
+        F.col("weight").cast("double").alias("r"),
+    )
+
+
+def _bfs_residual(spark, resid: DataFrame, source: int, sink: int):
+    """One BFS over arcs with r > 0. Returns (reached DataFrame
+    (node, pred, gain), sink_row or None). Pred choice is deterministic
+    (max gain, then min pred) so results are partitioning-independent."""
+    reached = spark.createDataFrame(
+        [(source, source, float("inf"))], "node long, pred long, gain double"
+    ).localCheckpoint(eager=True)
+    frontier = reached
+    depth = 0
+    while True:
+        depth += 1
+        step = (
+            resid.filter(F.col("r") > _EPS)
+            .join(F.broadcast(frontier), F.col("u") == F.col("node"))
+            .select(
+                F.col("v").alias("nnode"),
+                F.col("u").alias("npred"),
+                F.least(F.col("gain"), F.col("r")).alias("ngain"),
+            )
+            .groupBy("nnode")
+            .agg(F.max(F.struct("ngain", (-F.col("npred")).alias("neg"))).alias("m"))
+            .select(
+                F.col("nnode").alias("node"),
+                (-F.col("m.neg")).alias("pred"),
+                F.col("m.ngain").alias("gain"),
+            )
+        )
+        new = step.join(
+            F.broadcast(reached.select("node")), "node", "left_anti"
+        ).localCheckpoint(eager=True)
+        if new.isEmpty():
+            return reached, None
+        reached = reached.unionByName(new).localCheckpoint(eager=True)
+        hit = new.filter(F.col("node") == sink).collect()
+        if hit:
+            return reached, hit[0]
+        frontier = new
+
+
+def _backtrack(reached_rows: dict, source: int, sink: int) -> list:
+    """Path arcs (u, v) from source to sink following preds."""
+    path = []
+    cur = sink
+    while cur != source:
+        pred = reached_rows[cur]
+        path.append((pred, cur))
+        cur = pred
+    path.reverse()
+    return path
+
+
+def edmonds_karp(graph: Graph, source: int, sink: int, max_augment: int = 100_000) -> FlowResult:
+    """Max flow from ``source`` to ``sink`` (EdmondsKarp.cpp:54-95).
+
+    Each augmentation: distributed BFS over positive-residual arcs, driver
+    backtrack of the single path (O(depth) tiny lookups), broadcast-join
+    residual update. Terminates when the sink is unreachable; the reached
+    set of that final BFS is the canonical min-cut source side
+    (EdmondsKarp.cpp getSourceSet)."""
+    spark = graph.edges.sparkSession
+    resid = _residual_arcs(graph).localCheckpoint(eager=True)
+    flow_value = 0.0
+
+    for _ in range(max_augment):
+        reached, sink_row = _bfs_residual(spark, resid, source, sink)
+        if sink_row is None:
+            source_set = reached.select("node")
+            return FlowResult(
+                flow_value=flow_value, residual=resid, source_set=source_set
+            )
+        # driver-side pred map for the path only: collect is bounded by the
+        # reached set of ONE bfs; the path itself is O(depth)
+        pred_map = {r["node"]: r["pred"] for r in reached.collect()}
+        gain = float(sink_row["gain"])
+        path = _backtrack(pred_map, source, sink)
+        flow_value += gain
+        upd = spark.createDataFrame(
+            [(u, v, -gain) for u, v in path] + [(v, u, gain) for u, v in path],
+            "u long, v long, delta double",
+        )
+        resid = (
+            resid.join(F.broadcast(upd), ["u", "v"], "left")
+            .select(
+                "u",
+                "v",
+                "cap",
+                (F.col("r") + F.coalesce("delta", F.lit(0.0))).alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    raise RuntimeError("edmonds_karp: max_augment exceeded")
+
+
+def max_flow_value(graph: Graph, source: int, sink: int) -> float:
+    return edmonds_karp(graph, source, sink).flow_value
+
+
+def min_st_cut(graph: Graph, source: int, sink: int) -> DataFrame:
+    """Inclusion-minimal source side of a minimum s-t cut: (node)."""
+    return edmonds_karp(graph, source, sink).source_set
+
+
+def cut_clustering(graph: Graph, alpha: float) -> DataFrame:
+    """Flake et al. cut clustering (CutClustering.cpp:16-80): (node, cluster)
+    with cluster = the representative whose min-cut source side absorbed the
+    node. Deterministic: nodes processed by (-degree, node id), matching the
+    reference's descending-degree bucket sort (.cpp:37-61)."""
+    spark = graph.edges.sparkSession
+    n_sink = int(graph.nodes().agg(F.max("node")).collect()[0][0]) + 1
+
+    base = graph.edges.select(
+        "src", "dst", F.col("weight").cast("double").alias("weight")
+    )
+    sink_edges = graph.nodes().select(
+        F.col("node").alias("src"),
+        F.lit(n_sink).alias("dst"),
+        F.lit(float(alpha)).alias("weight"),
+    )
+    aug = Graph(
+        base.unionByName(sink_edges), directed=False, weighted=True
+    )
+
+    degs = graph.degrees().collect()  # driver loop mirrors the reference's
+    order = sorted(degs, key=lambda r: (-r["degree"], r["node"]))
+    assigned: dict = {}
+    for row in order:
+        u = int(row["node"])
+        if u in assigned:
+            continue
+        res = edmonds_karp(aug, u, n_sink)
+        members = [int(r["node"]) for r in res.source_set.collect()]
+        for v in members:
+            # reference overwrites unconditionally: a later cut may absorb
+            # earlier clusters wholesale (CutClustering.cpp:72-76)
+            assigned[v] = u
+    out = spark.createDataFrame(
+        sorted(assigned.items()), "node long, cluster long"
+    )
+    return out

@@ -62,10 +62,16 @@ def pagerank(
     max_iter: int = 200,
     fixed_iters: Optional[int] = None,
     checkpoint_dir: Optional[str] = None,
+    checkpoint_every: int = 10,
+    resume: bool = False,
     num_partitions: Optional[int] = None,
     broadcast_threshold: int = 2_000_000,
 ) -> DataFrame:
     """Returns (node, score) normalized to sum 1.
+
+    ``checkpoint_dir`` + ``resume=True`` restarts from the latest durable
+    manifest written by plans/iterate.py (north_rule resumability); a fresh
+    run ignores any stale checkpoint unless ``resume`` is set.
 
     ``fixed_iters`` runs exactly that many supersteps with no convergence
     collect (oracle-parity + benchmarking mode); otherwise iterate until the
@@ -113,8 +119,10 @@ def pagerank(
         tol=tol,
         max_iter=fixed_iters if fixed_iters is not None else max_iter,
         checkpoint_dir=checkpoint_dir,
+        checkpoint_every=checkpoint_every,
     )
-    state = driver.run(init, step)
+    resume_state = driver.try_resume(graph.edges.sparkSession) if resume else None
+    state = driver.run(init, step, resume=resume_state)
     trans.unpersist()
     nodes.unpersist()
     result = state.df

@@ -181,3 +181,45 @@ def python_coreness(edges, n):
                     if w in alive:
                         deg[w] -= 1
     return core
+
+
+def python_edmonds_karp(edges, n, source, sink):
+    """Sequential Edmonds-Karp replica of reference
+    cpp/flow/EdmondsKarp.cpp:18-95 on an undirected capacity graph.
+    edges: list of (u, v, w). Returns (flow_value, source_set frozenset)."""
+    from collections import deque
+
+    cap = {}
+    adj = [[] for _ in range(n)]
+    for u, v, w in edges:
+        u, v, w = int(u), int(v), float(w)
+        cap[(u, v)] = cap.get((u, v), 0.0) + w
+        cap[(v, u)] = cap.get((v, u), 0.0) + w
+        adj[u].append(v)
+        adj[v].append(u)
+    flow_value = 0.0
+    while True:
+        pred = {source: source}
+        gain = {source: float("inf")}
+        q = deque([source])
+        found = False
+        while q and not found:
+            u = q.popleft()
+            for v in adj[u]:
+                if v not in pred and cap.get((u, v), 0.0) > 1e-12:
+                    pred[v] = u
+                    gain[v] = min(gain[u], cap[(u, v)])
+                    if v == sink:
+                        found = True
+                        break
+                    q.append(v)
+        if not found:
+            return flow_value, frozenset(pred.keys())
+        g = gain[sink]
+        flow_value += g
+        v = sink
+        while v != source:
+            u = pred[v]
+            cap[(u, v)] -= g
+            cap[(v, u)] = cap.get((v, u), 0.0) + g
+            v = u

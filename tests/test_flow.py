@@ -1,0 +1,128 @@
+"""Max-flow / min-cut / cut-clustering vs the reference's own fixtures.
+
+Ports cpp/flow/test/EdmondsKarpGTest.cpp verbatim (P1, TwoPaths, P2,
+Unconnected) and cross-checks cut_clustering against a sequential replica of
+cpp/community/CutClustering.cpp semantics (tests/reference_oracles.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from networkit_spark.graph import Graph
+from networkit_spark.operators.flow import (
+    cut_clustering,
+    edmonds_karp,
+    max_flow_value,
+    min_st_cut,
+)
+from tests.reference_oracles import python_edmonds_karp
+
+P1_EDGES = [
+    (0, 1), (0, 2), (0, 3), (1, 2), (1, 4), (2, 3), (2, 4), (3, 4),
+    (3, 5), (4, 6), (5, 6),
+]
+
+TWO_PATHS_EDGES = [
+    (0, 1), (0, 2), (2, 3), (3, 4), (1, 4), (1, 5), (5, 6), (6, 7),
+    (7, 8), (8, 9), (4, 10), (9, 10),
+]
+
+P2_EDGES = [
+    (0, 1, 5.0), (0, 2, 15.0), (1, 3, 5.0), (1, 4, 5.0), (2, 3, 5.0),
+    (2, 4, 5.0), (3, 5, 15.0), (4, 5, 5.0),
+]
+
+UNCONNECTED_EDGES = [
+    (0, 1, 5.0), (0, 2, 15.0), (1, 2, 5.0), (3, 4, 5.0), (3, 5, 15.0),
+    (4, 5, 5.0),
+]
+
+
+def test_edmonds_karp_p1(spark):
+    """EdmondsKarpGTest.cpp testEdmondsKarpP1: flow 2, forced sink arcs,
+    source set {0..4}."""
+    g = Graph.from_edge_list(spark, P1_EDGES, weighted=False, num_nodes=7)
+    res = edmonds_karp(g, 0, 6)
+    assert res.flow_value == pytest.approx(2.0)
+    flows = {(r["u"], r["v"]): r["flow"] for r in res.flows().collect()}
+    assert flows.get((4, 6), 0.0) == pytest.approx(1.0)
+    assert flows.get((5, 6), 0.0) == pytest.approx(1.0)
+    src_side = {r["node"] for r in res.source_set.collect()}
+    assert src_side == {0, 1, 2, 3, 4}
+
+
+def test_edmonds_karp_two_paths(spark):
+    """testEdmondsKarpTwoPaths: flow 2 and edge (1,4) carries none."""
+    g = Graph.from_edge_list(spark, TWO_PATHS_EDGES, weighted=False, num_nodes=11)
+    res = edmonds_karp(g, 0, 10)
+    assert res.flow_value == pytest.approx(2.0)
+    flows = {(r["u"], r["v"]): r["flow"] for r in res.flows().collect()}
+    assert flows.get((1, 4), 0.0) == pytest.approx(0.0)
+    assert flows.get((4, 1), 0.0) == pytest.approx(0.0)
+
+
+def test_edmonds_karp_p2_weighted(spark):
+    """testEdmondsKarpP2: weighted, flow 15."""
+    g = Graph.from_edge_list(spark, P2_EDGES, weighted=True, num_nodes=6)
+    assert max_flow_value(g, 0, 5) == pytest.approx(15.0)
+
+
+def test_edmonds_karp_unconnected(spark):
+    """testEdmondsKarpUnconnected: sink unreachable, flow 0."""
+    g = Graph.from_edge_list(spark, UNCONNECTED_EDGES, weighted=True, num_nodes=6)
+    res = edmonds_karp(g, 0, 5)
+    assert res.flow_value == pytest.approx(0.0)
+    src_side = {r["node"] for r in res.source_set.collect()}
+    assert src_side == {0, 1, 2}
+
+
+def test_min_cut_matches_sequential_replica(spark):
+    """min-cut value + minimal source side equal the sequential reference
+    replica on an asymmetric weighted graph."""
+    edges = [
+        (0, 1, 3.0), (0, 2, 1.0), (1, 2, 1.0), (1, 3, 2.0), (2, 4, 2.0),
+        (3, 4, 1.0), (3, 5, 2.0), (4, 5, 3.0), (2, 3, 1.0),
+    ]
+    g = Graph.from_edge_list(spark, edges, weighted=True, num_nodes=6)
+    res = edmonds_karp(g, 0, 5)
+    ref_val, ref_set = python_edmonds_karp(edges, 6, 0, 5)
+    assert res.flow_value == pytest.approx(ref_val)
+    assert {r["node"] for r in res.source_set.collect()} == set(ref_set)
+    cut_side = {r["node"] for r in min_st_cut(g, 0, 5).collect()}
+    assert cut_side == set(ref_set)
+
+
+def _replica_cut_clustering(edges, n, alpha):
+    """Sequential CutClustering.cpp:16-80 replica over the local flow."""
+    t = n
+    aug = [(u, v, w) for u, v, w in edges] + [(u, t, alpha) for u in range(n)]
+    deg = [0] * n
+    for u, v, _ in edges:
+        deg[u] += 1
+        deg[v] += 1
+    assigned = {}
+    for u in sorted(range(n), key=lambda x: (-deg[x], x)):
+        if u in assigned:
+            continue
+        _, src_set = python_edmonds_karp(aug, n + 1, u, t)
+        for v in src_set:
+            assigned[v] = u
+    return assigned
+
+
+def test_cut_clustering_two_cliques(spark):
+    """Two 4-cliques bridged by one edge split into the planted clusters and
+    exactly match the sequential reference replica."""
+    clique_a = [(a, b, 1.0) for a in range(4) for b in range(a + 1, 4)]
+    clique_b = [(a, b, 1.0) for a in range(4, 8) for b in range(a + 1, 8)]
+    edges = clique_a + clique_b + [(3, 4, 1.0)]
+    g = Graph.from_edge_list(spark, edges, weighted=True, num_nodes=8)
+
+    got = {
+        r["node"]: r["cluster"] for r in cut_clustering(g, alpha=0.6).collect()
+    }
+    ref = _replica_cut_clustering(edges, 8, 0.6)
+    assert got == ref
+    # planted structure recovered: the bridge does not merge the cliques
+    assert len({got[v] for v in range(4)}) == 1
+    assert len({got[v] for v in range(4, 8)}) == 1
+    assert got[0] != got[7]
