@@ -62,14 +62,16 @@ def closeness_sampled(graph: Graph, sources: list[int]) -> DataFrame:
     )
 
 
-def betweenness_sampled(graph: Graph, sources: list[int]) -> DataFrame:
-    """Sampled Brandes (ApproxBetweenness2.cpp shape): BFS shortest-path DAG
-    + dependency accumulation as DataFrame supersteps over distance levels.
+def brandes_dependencies(graph: Graph, sources: list[int]) -> DataFrame:
+    """Per-source Brandes dependencies ``(source, node, delta)`` — the
+    pre-aggregation state of :func:`betweenness_sampled`, exposed so
+    incremental callers (streaming/dynamic.py DynApproxBetweenness) can
+    recompute only affected sources and keep the rest.
 
     Batched multi-source: sigma/delta state carries a ``source`` column, so
     each forward/backward level superstep processes EVERY sampled source at
     once — total supersteps = 2·max-eccentricity, independent of the number
-    of samples (the old version looped sources serially in the driver)."""
+    of samples."""
     sym = graph.sym().select("src", "dst").persist()
     sym.count()
     dist = multi_source_bfs(graph, sources).persist()
@@ -127,13 +129,20 @@ def betweenness_sampled(graph: Graph, sources: list[int]) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
-    out = (
-        state.filter(F.col("node") != F.col("source"))
-        .groupBy("node")
-        .agg(F.sum("delta").alias("score"))
-    )
+    deps = state.filter(F.col("node") != F.col("source")).select(
+        "source", "node", "delta"
+    ).localCheckpoint(eager=True)
     dist.unpersist()
     sym.unpersist()
+    return deps
+
+
+def betweenness_sampled(graph: Graph, sources: list[int]) -> DataFrame:
+    """Sampled Brandes (ApproxBetweenness2.cpp shape): BFS shortest-path DAG
+    + dependency accumulation as DataFrame supersteps over distance levels
+    (see :func:`brandes_dependencies`). Returns (node, score)."""
+    deps = brandes_dependencies(graph, sources)
+    out = deps.groupBy("node").agg(F.sum("delta").alias("score"))
     return graph.nodes().join(out, "node", "left").select(
         "node", F.coalesce("score", F.lit(0.0)).alias("score")
     )

@@ -277,7 +277,12 @@ def pagerank_nibble(
 
     ``round_digits`` rounds the sweep key and conductance before ordering so
     the sweep order is reproducible across float-summation orders (oracle
-    parity); ``tol < 0`` runs exactly ``max_iter`` PPR iterations."""
+    parity); ``tol < 0`` runs exactly ``max_iter`` PPR iterations.
+
+    Scale note: the global sweep window runs over the PPR SUPPORT only
+    (nodes with score > 0 after truncation) — O(1/tol) rows for a local
+    nibble, not corpus-sized; that bound is what makes the single window
+    acceptable here."""
     ppr = personalized_pagerank(graph, [seed], damp=damp, tol=tol, max_iter=max_iter)
     deg = graph.weighted_degrees()
     total_vol = deg.agg(F.sum("wdeg")).collect()[0][0] or 0.0

@@ -192,3 +192,107 @@ class DynDijkstra(DynSSSP):
 
     def __init__(self, graph: Graph, source: int):
         super().__init__(graph, source, weighted=True)
+
+
+class DynApproxBetweenness:
+    """Approximate betweenness maintained under event batches — the
+    reference's DynApproxBetweenness surface
+    (cpp/centrality/DynApproxBetweenness.cpp: sampled dependencies updated
+    only where the batch touched a sample's shortest-path structure).
+
+    Granularity: affected-SAMPLE recomputation. A sampled source s is
+    affected iff some changed edge can alter its SP DAG:
+
+    * an added edge (u,v,w) with d_s(u)+w <= d_s(v) (creates a shorter or
+      additional shortest path — sigma changes even on ties), or v unseen;
+    * a removed edge that was TIGHT in the old DAG (d_s(u)+w == d_s(v)).
+
+    Affected sources rerun the batched Brandes sweep
+    (operators/centrality.py brandes_dependencies) on the new graph — all
+    affected sources in ONE multi-source pass; unaffected sources keep
+    their old (source, node, delta) rows untouched. The reference
+    repairs per-sample path samples in-place; sample-level recomputation
+    gives identical OUTPUT (our estimator is the per-source Brandes sum,
+    so post-update scores equal betweenness_sampled on the new graph —
+    asserted in tests/test_dynamic_betweenness.py) while every superstep
+    stays a distributed frontier join.
+    """
+
+    def __init__(self, graph: Graph, sources: list[int]):
+        from ..operators.centrality import brandes_dependencies
+
+        self.graph = graph
+        self.sources = [int(s) for s in sources]
+        self.deps = brandes_dependencies(graph, self.sources)
+        self.dist = None  # (source, node, dist) cache of the current graph
+        self._refresh_dist(graph)
+        self.last_affected: list[int] = []
+
+    def _refresh_dist(self, graph: Graph, only_sources: list[int] | None = None):
+        from ..operators.distance import multi_source_bfs
+
+        fresh = multi_source_bfs(graph, only_sources or self.sources)
+        if only_sources is None or self.dist is None:
+            self.dist = fresh.localCheckpoint(eager=True)
+        else:
+            keep = self.dist.filter(~F.col("source").isin(only_sources))
+            self.dist = keep.unionByName(fresh).localCheckpoint(eager=True)
+
+    def _affected_sources(self, added: DataFrame, removed: DataFrame) -> list[int]:
+        du = self.dist.select("source", F.col("node").alias("src"),
+                              F.col("dist").alias("du"))
+        dv = self.dist.select("source", F.col("node").alias("dst"),
+                              F.col("dist").alias("dv"))
+        hit_add = (
+            added.join(du, "src")
+            .join(dv, ["source", "dst"], "left")
+            .filter(F.col("dv").isNull() | (F.col("du") + 1 <= F.col("dv")))
+            .select("source")
+        )
+        hit_rem = (
+            removed.join(du, "src")
+            .join(dv, ["source", "dst"])
+            .filter(F.col("du") + 1 == F.col("dv"))
+            .select("source")
+        )
+        rows = hit_add.unionByName(hit_rem).distinct().collect()
+        return sorted(int(r["source"]) for r in rows)
+
+    def update(self, events: DataFrame) -> None:
+        from ..operators.centrality import brandes_dependencies
+
+        old_sym = self.graph.sym().select("src", "dst").distinct()
+        new_edges = apply_events(
+            self.graph.edges.select("src", "dst", "weight"), events
+        ).localCheckpoint(eager=True)
+        new_graph = Graph(
+            new_edges, directed=self.graph.directed, weighted=self.graph.weighted
+        )
+        new_sym = new_graph.sym().select("src", "dst").distinct().persist()
+        added = new_sym.join(old_sym, ["src", "dst"], "left_anti")
+        removed = old_sym.join(new_sym, ["src", "dst"], "left_anti")
+        # hop-count betweenness: presence changes matter in BOTH directions
+        added = added.unionByName(
+            added.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).distinct()
+        removed = removed.unionByName(
+            removed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).distinct()
+
+        affected = self._affected_sources(added, removed)
+        self.last_affected = affected
+        if affected:
+            fresh = brandes_dependencies(new_graph, affected)
+            keep = self.deps.filter(~F.col("source").isin(affected))
+            self.deps = keep.unionByName(fresh).localCheckpoint(eager=True)
+            self._refresh_dist(new_graph, affected)
+        new_sym.unpersist()
+        self.graph = new_graph
+
+    def scores(self) -> DataFrame:
+        """(node, score): summed sampled dependencies, same estimator as
+        operators.centrality.betweenness_sampled."""
+        out = self.deps.groupBy("node").agg(F.sum("delta").alias("score"))
+        return self.graph.nodes().join(out, "node", "left").select(
+            "node", F.coalesce("score", F.lit(0.0)).alias("score")
+        )
