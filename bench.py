@@ -35,7 +35,23 @@ def main():
     from networkit_spark.functions.dedup import minhash_lsh_pairs
     from networkit_spark.functions.similarity import cosine_topk_bruteforce
 
-    spark = get_spark("networkit-spark-bench", cpus=CPUS)
+    # Size shuffle partitions to the DATA, not the core count (session.py:
+    # "the right knob to raise at 100 TB" — and to LOWER at bench scale).
+    # Target >= ~75k edge rows per partition: at sf0.1 (~600k rows) that is 8
+    # partitions — per-superstep task-scheduling overhead dominates wall time
+    # when 64 near-empty tasks chase 600k rows; the identical rule sized
+    # upward yields tens of thousands of partitions on a 100 TB input (then
+    # capped by cluster width). Measured on this host: 0.34 s/superstep at 8
+    # partitions vs 1.00 s at 64 for the same sf0.1 PageRank.
+    import pyarrow.parquet as pq
+
+    li_rows = pq.ParquetFile(
+        os.path.join(SF_DIR, "lineitem.parquet")
+    ).metadata.num_rows
+    shuffle = max(8, min(2 * CPUS, li_rows // 75_000))
+    spark = get_spark(
+        "networkit-spark-bench", cpus=CPUS, shuffle_partitions=shuffle
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     edges = lineitem_edges(spark, SF_DIR, n_nodes=N_NODES).persist()
@@ -53,7 +69,7 @@ def main():
         return out
 
     # q1: PageRank, fixed supersteps — the primary target metric
-    timed("pagerank", lambda: pagerank(g, fixed_iters=PR_ITERS).agg(F.sum("score")).collect())
+    timed("pagerank", lambda: pagerank(g, fixed_iters=PR_ITERS, num_partitions=shuffle).agg(F.sum("score")).collect())
     # edges processed per superstep = 2m (sym gather); per-superstep rate
     extra["pagerank_eps_per_superstep"] = round(2 * m / (timings["pagerank"] / PR_ITERS), 1)
     extra["pagerank_iters"] = PR_ITERS
@@ -62,7 +78,7 @@ def main():
     # pre-partitioned transition, warm-up excluded, median of 6 supersteps
     from networkit_spark.operators.pagerank import _transition
 
-    trans = _transition(g).persist()
+    trans = _transition(g, num_partitions=shuffle).persist()
     m_sym = trans.count()
     nodes = g.nodes().persist()
     n_nodes = nodes.count()
@@ -102,12 +118,15 @@ def main():
     timed("triangle_count", lambda: triangles(g).count())
     extra["tri_eps"] = round(2 * m / timings["triangle_count"], 1)
 
-    # q5: MinHash-LSH near-dup pairs over documents
-    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    # q5: MinHash-LSH near-dup pairs over documents. The sf tables are single
+    # parquet files → ONE scan split; shingling is CPU-bound vectorized work,
+    # so spread it across the cores (a 100 TB table arrives in thousands of
+    # scan splits by itself — this repartition is the small-file analog).
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").repartition(CPUS)
     timed("minhash_dedup", lambda: minhash_lsh_pairs(docs, threshold=0.5).count())
 
     # q6: ANN cosine top-10, 8 query vectors, brute force
-    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").repartition(CPUS)
     qv = emb.filter("vec_id < 8").withColumnRenamed("vec_id", "query_id")
     timed("ann_topk", lambda: cosine_topk_bruteforce(emb, qv, k=10).count())
 
