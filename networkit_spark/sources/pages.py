@@ -178,3 +178,42 @@ def extract_and_verify(pages: DataFrame) -> DataFrame:
             == F.sha2(F.encode(F.col("text"), "UTF-8"), 256)
         ).alias("ok"),
     )
+
+
+PAGES_SCHEMA = "url string, warc_ts timestamp, html binary, text string, lang string"
+
+
+def read_pages(spark: SparkSession, source: str) -> DataFrame:
+    """Load the pages table from either an Iceberg/catalog table identifier
+    or a parquet path — the BASELINE.json input_hint source.
+
+    Dispatch: a source containing a path separator or ending in ``.parquet``
+    reads as parquet; anything else resolves through the session catalog
+    (``spark.table``), which is where an Iceberg catalog table
+    (``spark.sql.catalog.<name>`` configured with the Iceberg runtime jars)
+    appears. The sandbox ships no Iceberg jars, so production configuration
+    is documented here rather than exercised::
+
+        spark-submit --packages org.apache.iceberg:iceberg-spark-runtime-...\
+          --conf spark.sql.catalog.cc=org.apache.iceberg.spark.SparkCatalog \
+          --conf spark.sql.catalog.cc.type=rest ...
+        read_pages(spark, "cc.web.pages")   # snapshot isolation, hidden
+                                            # partitioning (days(warc_ts)),
+                                            # scan planning by manifest
+
+    Either way the result is schema-checked against the input_hint contract
+    so downstream extraction never sees a drifted table.
+    """
+    if "/" in source or source.endswith(".parquet"):
+        pages = spark.read.parquet(source)
+    else:
+        pages = spark.table(source)
+    want = {f.strip().split(" ")[0] for f in PAGES_SCHEMA.split(",")}
+    have = set(pages.columns)
+    missing = want - have
+    if missing:
+        raise ValueError(
+            f"pages source {source!r} is missing input_hint columns: "
+            f"{sorted(missing)} (schema contract: {PAGES_SCHEMA})"
+        )
+    return pages.select("url", "warc_ts", "html", "text", "lang")

@@ -118,3 +118,31 @@ def test_hub_skew_graph(spark):
     hub_deg = g.degrees().filter("node = 0").collect()[0]["degree"]
     avg = g.degrees().agg(F.avg("degree")).collect()[0][0]
     assert hub_deg > 5 * avg
+
+
+def test_read_pages_parquet_and_catalog(spark, tmp_path):
+    """read_pages: parquet-path and catalog-identifier dispatch both honor
+    the input_hint schema contract; a drifted table is rejected."""
+    import pytest
+    from networkit_spark.generators import rmat
+    from networkit_spark.sources.pages import read_pages, synthesize_pages
+
+    pages = synthesize_pages(rmat(spark, scale=6, edge_factor=3, seed=3))
+    path = str(tmp_path / "pages.parquet")
+    pages.write.mode("overwrite").parquet(path)
+
+    via_path = read_pages(spark, path)
+    assert via_path.columns == ["url", "warc_ts", "html", "text", "lang"]
+    assert via_path.count() == pages.count()
+
+    pages.write.mode("overwrite").saveAsTable("tmp_pages_tbl")
+    try:
+        via_table = read_pages(spark, "tmp_pages_tbl")
+        assert via_table.count() == pages.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS tmp_pages_tbl")
+
+    bad = str(tmp_path / "bad.parquet")
+    pages.drop("html").write.mode("overwrite").parquet(bad)
+    with pytest.raises(ValueError, match="missing input_hint columns"):
+        read_pages(spark, bad)
