@@ -207,3 +207,127 @@ def cut_clustering(graph: Graph, alpha: float) -> DataFrame:
         sorted(assigned.items()), "node long, cluster long"
     )
     return out
+
+
+def _labels_df(spark, assigned: dict) -> DataFrame:
+    return spark.createDataFrame(
+        sorted(assigned.items()), "node long, cluster long"
+    )
+
+
+def _cluster_stats(graph: Graph, labels: dict) -> tuple:
+    """Distributed per-cluster (sizes, cuts) for a clustering given as a
+    node→cluster dict: cut[c] = Σ weight of edges leaving c (each edge
+    contributes to BOTH endpoint clusters, matching the reference's
+    forEdges accumulation, CutClustering.cpp:149-159)."""
+    spark = graph.edges.sparkSession
+    lab = F.broadcast(_labels_df(spark, labels))
+    e = (
+        graph.edges.join(lab.withColumnRenamed("node", "src")
+                         .withColumnRenamed("cluster", "ca"), "src")
+        .join(lab.withColumnRenamed("node", "dst")
+              .withColumnRenamed("cluster", "cb"), "dst")
+        .filter(F.col("ca") != F.col("cb"))
+    )
+    cuts = (
+        e.select(F.col("ca").alias("c"), "weight")
+        .unionByName(e.select(F.col("cb").alias("c"), "weight"))
+        .groupBy("c").agg(F.sum("weight").alias("cut"))
+    )
+    cut_map = {int(r["c"]): float(r["cut"]) for r in cuts.collect()}
+    sizes: dict = {}
+    for c in labels.values():
+        sizes[c] = sizes.get(c, 0) + 1
+    return sizes, cut_map
+
+
+def _cut_clustering_dict(graph: Graph, alpha: float) -> dict:
+    return {
+        int(r["node"]): int(r["cluster"])
+        for r in cut_clustering(graph, alpha).collect()
+    }
+
+
+def cut_clustering_hierarchy(graph: Graph) -> dict:
+    """Complete alpha hierarchy (CutClustering.cpp getClusterHierarchy:
+    83-238): breakpoint search between the connected-components clustering
+    (alpha=0) and all-singletons (alpha=upper), returning
+    ``{alpha: {node: cluster}}`` with nested clusterings.
+
+    Deviation from the reference: cluster representatives are the MINIMUM
+    member id (the reference takes an arbitrary race winner / randomNode —
+    the cluster CONTENTS are identical). Driver state is O(n) per level,
+    the same as the reference's Partition vectors; every min-cut inside
+    runs the distributed Edmonds-Karp.
+    """
+    import sys
+
+    from .components import connected_components
+
+    eps = sys.float_info.epsilon
+    n_nodes = graph.num_nodes()
+    upper = 2.0
+    if graph.weighted:
+        upper = float(
+            graph.edges.agg(F.max("weight")).collect()[0][0] or 1.0
+        ) + 1.0
+
+    comp = connected_components(graph)
+    reps = {
+        int(r["node"]): int(r["component"]) for r in comp.collect()
+    }  # component id IS the min member — the representative
+    result: dict = {0.0: dict(reps)}
+    n_comps = len(set(reps.values()))
+    if n_comps > 1:
+        whole_rep = min(reps)
+        result[-1.0] = {u: whole_rep for u in reps}
+
+    singletons = {u: u for u in reps}
+
+    def recursion(lower, lower_clusters, upper_, upper_clusters):
+        while True:
+            middle = None
+            lower_sizes, lower_cut = _cluster_stats(graph, lower_clusters)
+            upper_sizes, upper_cut = _cluster_stats(graph, upper_clusters)
+            for c in sorted(lower_sizes):
+                if lower_sizes[c] == upper_sizes[upper_clusters[c]]:
+                    continue
+                upper_size = upper_sizes[upper_clusters[c]]
+                lower_weight = lower_cut.get(c, 0.0)
+                upper_weight = upper_cut.get(upper_clusters[c], 0.0)
+                bp = (upper_weight - lower_weight) / (lower_sizes[c] - upper_size)
+                # better breakpoint via upper-cluster representatives inside c
+                for u in sorted(lower_clusters):
+                    if (
+                        lower_clusters[u] == c
+                        and upper_clusters[u] == u
+                        and u != c
+                    ):
+                        denom = lower_sizes[c] - upper_sizes[u]
+                        tmp = (upper_cut.get(u, 0.0) - lower_weight) / denom
+                        if tmp > bp:
+                            bp = tmp
+                if bp + eps < upper_:
+                    middle = bp + eps
+                    break
+
+            if middle is None:
+                result.setdefault(upper_, upper_clusters)
+                return
+            middle_clusters = _cut_clustering_dict(graph, middle)
+            n_mid = len(set(middle_clusters.values()))
+            if n_mid == len(set(lower_clusters.values())):
+                raise RuntimeError(
+                    "lower clustering equals middle clustering "
+                    "(numerical inaccuracy, CutClustering.cpp:221)"
+                )
+            if n_mid == len(set(upper_clusters.values())):
+                upper_ = middle
+                result[upper_] = upper_clusters
+            else:
+                recursion(lower, lower_clusters, middle, middle_clusters)
+                lower = middle
+                lower_clusters = middle_clusters
+
+    recursion(0.0, dict(reps), upper, singletons)
+    return result

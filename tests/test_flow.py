@@ -126,3 +126,58 @@ def test_cut_clustering_two_cliques(spark):
     assert len({got[v] for v in range(4)}) == 1
     assert len({got[v] for v in range(4, 8)}) == 1
     assert got[0] != got[7]
+
+
+def test_cut_clustering_hierarchy_two_triangles(spark):
+    """getClusterHierarchy (CutClustering.cpp:83-238) on two bridged
+    triangles: hierarchy runs from the whole component (alpha=0) through the
+    two-triangle split to singletons, every level nested in the previous and
+    equal to the sequential replica at its alpha."""
+    from networkit_spark.operators.flow import cut_clustering_hierarchy
+
+    edges = [(0, 1, 1.0), (0, 2, 1.0), (1, 2, 1.0),
+             (3, 4, 1.0), (3, 5, 1.0), (4, 5, 1.0), (2, 3, 1.0)]
+    g = Graph.from_edge_list(spark, edges, weighted=True, num_nodes=6)
+    hier = cut_clustering_hierarchy(g)
+
+    alphas = sorted(hier)
+    assert alphas[0] == 0.0
+    # level 0: single connected component, rep = min node
+    assert set(hier[0.0].values()) == {0}
+
+    # some level splits into exactly the two triangles
+    tri_levels = [
+        a for a in alphas
+        if sorted(
+            tuple(sorted(k for k, v in hier[a].items() if v == c))
+            for c in set(hier[a].values())
+        ) == [(0, 1, 2), (3, 4, 5)]
+    ]
+    assert tri_levels, f"no two-triangle level in {hier}"
+
+    # highest level: all singletons
+    top = hier[alphas[-1]]
+    assert all(k == v for k, v in top.items())
+
+    # nestedness: for increasing alpha every cluster is a subset of some
+    # lower-alpha cluster
+    for lo, hi in zip(alphas, alphas[1:]):
+        lo_of = hier[lo]
+        for c in set(hier[hi].values()):
+            members = {k for k, v in hier[hi].items() if v == c}
+            assert len({lo_of[m] for m in members}) == 1
+
+    # every positive-alpha level reproduces the sequential replica
+    for a in alphas:
+        if a <= 0:
+            continue
+        ref = _replica_cut_clustering(edges, 6, a)
+        got_parts = sorted(
+            tuple(sorted(k for k, v in hier[a].items() if v == c))
+            for c in set(hier[a].values())
+        )
+        ref_parts = sorted(
+            tuple(sorted(k for k, v in ref.items() if v == c))
+            for c in set(ref.values())
+        )
+        assert got_parts == ref_parts, a
