@@ -1088,6 +1088,32 @@ def q_maximal_cliques(spark, sf_dir):
     )
 
 
+def q_doc_split(spark, sf_dir):
+    """Deterministic train/val/test split (functions/sampling.py hash_split):
+    content-hash banding, reproducible across partitionings; per-split count
+    and doc_id checksum."""
+    from networkit_spark.functions.sampling import hash_split
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        hash_split(docs, on="doc_id")
+        .groupBy("split")
+        .agg(F.count("*").alias("n_docs"), F.sum("doc_id").alias("id_sum"))
+    )
+
+
+def q_docs_per_source(spark, sf_dir):
+    """Per-source document capping (sample_per_key): at most 5 docs per
+    source, chosen by deterministic content hash — the per-domain cap stage
+    of a crawl pipeline."""
+    from networkit_spark.functions.sampling import sample_per_key
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return sample_per_key(docs, key="source", n=5, on="doc_id").select(
+        "source", "doc_id"
+    )
+
+
 def q_max_flow(spark, sf_dir):
     """Max-flow / min-cut on a 12-node capacity graph (operators/flow.py
     Edmonds-Karp, reference cpp/flow/EdmondsKarp.cpp:54-95). Returns one row:
@@ -1205,6 +1231,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": q_contamination,
         "maximal_cliques": q_maximal_cliques,
         "max_flow": q_max_flow,
+        "doc_split": q_doc_split,
+        "docs_per_source": q_docs_per_source,
         # rows-only (no SQL-expressible oracle: FM sketches / multilevel
         # Louvain are not fixed-unroll reproducible in ANSI SQL)
         "anf_diameter": q_anf_diameter,
@@ -3288,6 +3316,39 @@ GROUP BY doc_id
 """
 
 
+def _doc_split_sql() -> str:
+    """hash_split replica: unit hash = hash60(doc_id || ':42') / 2^60,
+    bands 0.98 / 0.99 / 1.0 (train/val/test)."""
+    from networkit_spark.functions.dedup import hash60_sql
+
+    h = hash60_sql("CAST(doc_id AS VARCHAR) || ':42'")
+    u = f"(CAST({h} AS DOUBLE) / 1152921504606846976.0)"
+    return f"""
+SELECT split, COUNT(*) AS n_docs, SUM(doc_id) AS id_sum
+FROM (
+  SELECT doc_id,
+         CASE WHEN {u} < 0.98 THEN 'train'
+              WHEN {u} < 0.99 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+) s
+GROUP BY split
+"""
+
+
+def _docs_per_source_sql() -> str:
+    from networkit_spark.functions.dedup import hash60_sql
+
+    h = hash60_sql("CAST(doc_id AS VARCHAR) || ':42'")
+    return f"""
+SELECT source, doc_id FROM (
+  SELECT source, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY {h}, doc_id) AS rn
+  FROM documents
+) s WHERE rn <= 5
+"""
+
+
 def _max_flow_sql() -> str:
     """Exact max-flow oracle by strong duality: enumerate all 2^10 source-side
     subsets (s=0 in, t=11 out) of the 12-node capacity graph; min cut weight =
@@ -3472,4 +3533,6 @@ def oracle_sql() -> dict[str, str]:
         "contamination": _contamination_sql(),
         "maximal_cliques": _maximal_cliques_sql(),
         "max_flow": _max_flow_sql(),
+        "doc_split": _doc_split_sql(),
+        "docs_per_source": _docs_per_source_sql(),
     }
