@@ -1088,6 +1088,22 @@ def q_maximal_cliques(spark, sf_dir):
     )
 
 
+SEIR_STEPS = 8
+
+
+def q_seir(spark, sf_dir):
+    """SEIR epidemic census (operators/simulation.py; reference
+    cpp/simulation/EpidemicSimulationSEIR.cpp:16-103): 8 synchronous steps
+    from patient zero 0, trans_p=0.3, e_time=1, i_time=2, seeded-hash
+    exposure draws — exactly unrolled by the oracle."""
+    from networkit_spark.operators.simulation import seir_simulation
+
+    return seir_simulation(
+        _g(spark, sf_dir), t_max=SEIR_STEPS, trans_p=0.3, e_time=1, i_time=2,
+        zero=0, seed=42,
+    ).select("zero", "t", "state", "population")
+
+
 def q_doc_split(spark, sf_dir):
     """Deterministic train/val/test split (functions/sampling.py hash_split):
     content-hash banding, reproducible across partitionings; per-split count
@@ -1231,6 +1247,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": q_contamination,
         "maximal_cliques": q_maximal_cliques,
         "max_flow": q_max_flow,
+        "seir": q_seir,
         "doc_split": q_doc_split,
         "docs_per_source": q_docs_per_source,
         # rows-only (no SQL-expressible oracle: FM sketches / multilevel
@@ -3316,6 +3333,55 @@ GROUP BY doc_id
 """
 
 
+def _seir_sql(
+    steps: int = SEIR_STEPS, trans_p: float = 0.3, e_time: int = 1,
+    i_time: int = 2, zero: int = 0, seed: int = 42,
+) -> str:
+    """Exact unroll of the synchronous SEIR sweep: state codes 0=S 1=E 2=I
+    3=R; per step, contacted = distinct neighbors of infectious nodes;
+    exposure draw = hash60(node:t:seed)/2^60 <= trans_p (same md5-derived
+    hash as the Spark side, functions/dedup.py hash60)."""
+    from networkit_spark.functions.dedup import hash60_sql
+
+    ctes = [
+        edges_sql(N_NODES),
+        f"""s0 AS MATERIALIZED (
+  SELECT node, CASE WHEN node = {zero} THEN 2 ELSE 0 END AS state, 0 AS ts
+  FROM nodes)""",
+    ]
+    for t in range(steps):
+        h = hash60_sql(f"CAST(c.node AS VARCHAR) || ':{t}:{seed}'")
+        draw = f"(CAST({h} AS DOUBLE) / 1152921504606846976.0)"
+        ctes.append(
+            f"""s{t + 1} AS MATERIALIZED (
+  SELECT c.node,
+         CASE
+           WHEN c.state = 0 AND h.node IS NOT NULL AND {draw} <= {trans_p}
+             THEN 1
+           WHEN c.state = 1 AND {t} - c.ts >= {e_time} THEN 2
+           WHEN c.state = 2 AND {t} - c.ts >= {i_time} THEN 3
+           ELSE c.state END AS state,
+         CASE
+           WHEN c.state = 0 AND h.node IS NOT NULL AND {draw} <= {trans_p}
+             THEN {t}
+           WHEN c.state = 1 AND {t} - c.ts >= {e_time} THEN {t}
+           WHEN c.state = 2 AND {t} - c.ts >= {i_time} THEN {t}
+           ELSE c.ts END AS ts
+  FROM s{t} c LEFT JOIN (
+    SELECT DISTINCT e.dst AS node
+    FROM sym e JOIN s{t} i ON e.src = i.node AND i.state = 2
+  ) h ON c.node = h.node)"""
+        )
+    census = " UNION ALL ".join(
+        f"""SELECT CAST({zero} AS BIGINT) AS zero, CAST({t} AS INT) AS t,
+        CAST(sv.s AS INT) AS state,
+        (SELECT COUNT(*) FROM s{t + 1} x WHERE x.state = sv.s) AS population
+        FROM (SELECT UNNEST([0, 1, 2, 3]) AS s) sv"""
+        for t in range(steps)
+    )
+    return _with(*ctes, select=census)
+
+
 def _doc_split_sql() -> str:
     """hash_split replica: unit hash = hash60(doc_id || ':42') / 2^60,
     bands 0.98 / 0.99 / 1.0 (train/val/test)."""
@@ -3533,6 +3599,7 @@ def oracle_sql() -> dict[str, str]:
         "contamination": _contamination_sql(),
         "maximal_cliques": _maximal_cliques_sql(),
         "max_flow": _max_flow_sql(),
+        "seir": _seir_sql(),
         "doc_split": _doc_split_sql(),
         "docs_per_source": _docs_per_source_sql(),
     }
