@@ -94,3 +94,39 @@ def is_proper_matching(matching: DataFrame) -> bool:
         matching.select(F.col("dst").alias("node"))
     )
     return nodes.count() == nodes.distinct().count()
+
+
+def matching_coarsening(
+    graph: Graph, matching: DataFrame, no_self_loops: bool = False
+) -> tuple:
+    """Contract matched pairs to super-nodes — reference
+    cpp/coarsening/MatchingCoarsening.cpp:16-48: coarse node = the matched
+    pair {v, mate} (carried over under the smaller id; the reference
+    additionally renumbers densely, an arbitrary-bijection difference),
+    unmatched nodes carry over unchanged; parallel coarse edges sum their
+    weights. Returns ``(coarse_graph, fine_to_coarse)`` with fine_to_coarse
+    = (node, coarse) rows.
+
+    One label join + groupBy — same shape as community.coarsen.
+    """
+    from .community import coarsen
+
+    pairs = matching.select("src", "dst")
+    to_rep = pairs.select(
+        F.col("src").alias("node"), F.col("src").alias("coarse")
+    ).unionByName(
+        pairs.select(F.col("dst").alias("node"), F.col("src").alias("coarse"))
+    )
+    fine_to_coarse = (
+        graph.nodes()
+        .join(to_rep, "node", "left")
+        .select("node", F.coalesce("coarse", F.col("node")).alias("coarse"))
+    )
+    cg = coarsen(graph, fine_to_coarse.withColumnRenamed("coarse", "label"))
+    if no_self_loops:
+        cg = Graph(
+            cg.edges.filter(F.col("src") != F.col("dst")),
+            directed=cg.directed,
+            weighted=True,
+        )
+    return cg, fine_to_coarse

@@ -347,3 +347,35 @@ def pagerank_nibble(
     best_pos = best[0]["pos"]
     out = ordered.filter(F.col("pos") <= best_pos).select("node")
     return out
+
+
+def pseudo_random_spanning_tree(graph: Graph, seed: int = 42) -> DataFrame:
+    """PseudoRandomSpanningTree.cpp:18-49: Kruskal over weights perturbed by
+    a tiny random value, processed in DECREASING order (maximum spanning
+    forest). Distributed version: the perturbation is a seeded hash of the
+    edge (reproducible across partitionings, unlike the reference's global
+    RNG draw order), the forest is Boruvka (spanning_forest machinery) with
+    ``minimum=False``. Returns forest edges (src, dst, weight) carrying the
+    ORIGINAL weights."""
+    from ..functions.dedup import hash60
+
+    u = hash60(
+        F.concat_ws(
+            ":", F.col("src").cast("string"), F.col("dst").cast("string"),
+            F.lit(str(seed)),
+        )
+    ) / F.lit(float(2 ** 60))
+    perturbed = graph.edges.select(
+        "src", "dst",
+        (F.col("weight") + 1e-6 * (1.0 - 2.0 * u)).alias("weight"),
+        F.col("weight").alias("orig_weight"),
+    )
+    pg = Graph(
+        perturbed.select("src", "dst", "weight"),
+        directed=False, weighted=True,
+    )
+    forest = spanning_forest(pg, minimum=False)
+    orig = perturbed.select("src", "dst", F.col("orig_weight"))
+    return forest.drop("weight").join(orig, ["src", "dst"]).select(
+        "src", "dst", F.col("orig_weight").alias("weight")
+    )
