@@ -1,0 +1,152 @@
+"""Graph layout — PivotMDS (reference cpp/viz/PivotMDS.cpp:23-143).
+
+Pipeline: k pivots → shortest-path distances from every pivot (ONE batched
+multi-source relax, (pivot, node) keyed — |pivots| SSSPs for one SSSP's
+worth of supersteps) → double-center the n×k distance matrix (two aggregate
+joins + a scalar) → C^T C (k×k, one aggregate; k is tiny so it collects to
+the driver like the reference's CSRMatrix) → power-iterate the top ``dim``
+eigenvectors with deflation (driver, numpy, k×k — the reference's
+powerMethod verbatim) → project positions pos_d = C · v_d (distributed
+join + aggregate).
+
+Determinism deviations (documented): pivots are the ``num_pivots`` nodes
+with smallest seeded hash (reference: randomNode draws); the power-method
+start vector is seeded (reference: Aux::Random). Everything downstream is
+the reference computation.
+
+The only driver-side object is k×k — at web scale the n-row matrices stay
+DataFrames throughout.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.dedup import hash60
+from ..graph import Graph
+
+
+def _pivots(graph: Graph, k: int, seed: int) -> list[int]:
+    h = hash60(F.concat_ws(":", F.col("node").cast("string"), F.lit(str(seed))))
+    rows = (
+        graph.nodes().select("node", h.alias("h")).orderBy("h", "node").limit(k).collect()
+    )
+    return [int(r["node"]) for r in rows]
+
+
+def _pivot_distances(graph: Graph, pivots: list[int], max_iter: int = 10_000) -> DataFrame:
+    """(pivot, node, dist): batched multi-source weighted relaxation
+    (Dijkstra semantics via Bellman-Ford supersteps, like
+    distance.sssp_distances but keyed by pivot)."""
+    spark = graph.edges.sparkSession
+    sym = graph.sym().persist()
+    sym.count()
+    dist = spark.createDataFrame(
+        [(p, p, 0.0) for p in pivots], "pivot long, node long, dist double"
+    ).localCheckpoint(eager=True)
+    changed = dist
+    while max_iter > 0 and not changed.isEmpty():
+        max_iter -= 1
+        relax = (
+            sym.join(changed, sym.src == changed.node)
+            .select(
+                "pivot",
+                F.col("dst").alias("node"),
+                (F.col("dist") + F.col("weight")).alias("dist"),
+            )
+            .groupBy("pivot", "node")
+            .agg(F.min("dist").alias("dist"))
+        )
+        merged = (
+            dist.unionByName(relax)
+            .groupBy("pivot", "node")
+            .agg(F.min("dist").alias("dist"))
+        ).localCheckpoint(eager=True)
+        changed = (
+            merged.alias("a")
+            .join(dist.alias("b"), ["pivot", "node"], "left")
+            .filter(F.col("b.dist").isNull() | (F.col("a.dist") < F.col("b.dist")))
+            .select("pivot", "node", F.col("a.dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        dist = merged
+    sym.unpersist()
+    return dist
+
+
+def pivot_mds(
+    graph: Graph, dim: int = 2, num_pivots: int = 16, seed: int = 42
+) -> DataFrame:
+    """(node, x0, .., x{dim-1}) coordinates. PivotMDS.cpp:23-105 faithfully:
+    raw (not squared) pivot distances double-centered, top eigenvectors of
+    C^T C by power iteration with deflation, positions = C v."""
+    spark = graph.edges.sparkSession
+    n = graph.num_nodes()
+    pivots = _pivots(graph, num_pivots, seed)
+    k = len(pivots)
+    pidx = {p: j for j, p in enumerate(pivots)}
+    pmap = spark.createDataFrame(
+        sorted(pidx.items()), "pivot long, j int"
+    )
+
+    d = _pivot_distances(graph, pivots).join(F.broadcast(pmap), "pivot").select(
+        "node", "j", "dist"
+    )
+    # double centering (PivotMDS.cpp:47-69): value -= rowMean + colMean - grand
+    row_mean = d.groupBy("node").agg((F.sum("dist") / k).alias("rm"))
+    col_mean = d.groupBy("j").agg((F.sum("dist") / n).alias("cm"))
+    rm_sum = row_mean.agg(F.sum("rm")).collect()[0][0] or 0.0
+    cm_rows = {r["j"]: r["cm"] for r in col_mean.collect()}
+    grand = rm_sum / (2.0 * n) + sum(cm_rows.values()) / (2.0 * k)
+    centered = (
+        d.join(row_mean, "node")
+        .join(F.broadcast(col_mean), "j")
+        .select(
+            "node", "j",
+            (F.col("dist") - F.col("rm") - F.col("cm") + F.lit(grand)).alias("v"),
+        )
+        .persist()
+    )
+    centered.count()
+
+    # C^T C (k x k) — one aggregate over node-matched pairs, collected
+    a = centered.select("node", F.col("j").alias("ja"), F.col("v").alias("va"))
+    b = centered.select("node", F.col("j").alias("jb"), F.col("v").alias("vb"))
+    cc_rows = (
+        a.join(b, "node")
+        .groupBy("ja", "jb")
+        .agg(F.sum(F.col("va") * F.col("vb")).alias("s"))
+        .collect()
+    )
+    CC = np.zeros((k, k))
+    for r in cc_rows:
+        CC[r["ja"], r["jb"]] = r["s"]
+
+    # power method + deflation (PivotMDS.cpp:77-105,124-143), seeded start
+    rng = np.random.RandomState(seed)
+    out = graph.nodes()
+    for dcoord in range(dim):
+        v = 2.0 * rng.rand(k) - 1.0
+        for _ in range(1500):
+            old = v
+            v = CC @ old
+            v = v / np.linalg.norm(v)
+            if np.linalg.norm(v - old) <= 1e-6:
+                break
+        lam = float(v @ (CC @ v)) / float(v @ v)
+        # pos = C v, distributed
+        ev = spark.createDataFrame(
+            [(j, float(v[j])) for j in range(k)], "j int, ev double"
+        )
+        pos = (
+            centered.join(F.broadcast(ev), "j")
+            .groupBy("node")
+            .agg(F.sum(F.col("v") * F.col("ev")).alias(f"x{dcoord}"))
+        )
+        out = out.join(pos, "node", "left").withColumn(
+            f"x{dcoord}", F.coalesce(f"x{dcoord}", F.lit(0.0))
+        )
+        CC = CC - (lam / float(v @ v)) * np.outer(v, v)
+    centered.unpersist()
+    return out
