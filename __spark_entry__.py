@@ -1088,6 +1088,21 @@ def q_maximal_cliques(spark, sf_dir):
     )
 
 
+def q_isolated_conductance(spark, sf_dir):
+    """IsolatedInterpartitionConductance over a deterministic mod-7
+    clustering (operators/measures.py; reference cpp/community/
+    IsolatedInterpartitionConductance.cpp:8-60)."""
+    from networkit_spark.operators.measures import (
+        isolated_interpartition_conductance,
+    )
+
+    g = _g(spark, sf_dir)
+    labels = g.nodes().select("node", (F.col("node") % 7).alias("label"))
+    return isolated_interpartition_conductance(g, labels).select(
+        "label", F.round("value", 9).alias("value")
+    )
+
+
 SEIR_STEPS = 8
 
 
@@ -1248,6 +1263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maximal_cliques": q_maximal_cliques,
         "max_flow": q_max_flow,
         "seir": q_seir,
+        "isolated_conductance": q_isolated_conductance,
         "doc_split": q_doc_split,
         "docs_per_source": q_docs_per_source,
         # rows-only (no SQL-expressible oracle: FM sketches / multilevel
@@ -3333,6 +3349,33 @@ GROUP BY doc_id
 """
 
 
+def _isolated_conductance_sql() -> str:
+    return _with(
+        edges_sql(N_NODES),
+        """lab AS MATERIALIZED (SELECT node, node % 7 AS label FROM nodes)""",
+        """le AS MATERIALIZED (
+  SELECT a.label AS la, b.label AS lb, e.weight
+  FROM edges e JOIN lab a ON e.src = a.node JOIN lab b ON e.dst = b.node)""",
+        """vol AS (
+  SELECT label, SUM(w) AS vol FROM (
+    SELECT la AS label, weight AS w FROM le
+    UNION ALL SELECT lb AS label, weight AS w FROM le) v GROUP BY label)""",
+        """cut AS (
+  SELECT label, SUM(w) AS cut FROM (
+    SELECT la AS label, weight AS w FROM le WHERE la <> lb
+    UNION ALL SELECT lb AS label, weight AS w FROM le WHERE la <> lb) c
+  GROUP BY label)""",
+        """tot AS (SELECT 2.0 * SUM(weight) AS total FROM edges)""",
+        select="""
+SELECT v.label,
+       ROUND(CASE WHEN LEAST(v.vol, t.total - v.vol) > 0
+             THEN COALESCE(c.cut, 0) / LEAST(v.vol, t.total - v.vol)
+             ELSE 0 END, 9) AS value
+FROM vol v CROSS JOIN tot t LEFT JOIN cut c ON v.label = c.label
+""",
+    )
+
+
 def _seir_sql(
     steps: int = SEIR_STEPS, trans_p: float = 0.3, e_time: int = 1,
     i_time: int = 2, zero: int = 0, seed: int = 42,
@@ -3600,6 +3643,7 @@ def oracle_sql() -> dict[str, str]:
         "maximal_cliques": _maximal_cliques_sql(),
         "max_flow": _max_flow_sql(),
         "seir": _seir_sql(),
+        "isolated_conductance": _isolated_conductance_sql(),
         "doc_split": _doc_split_sql(),
         "docs_per_source": _docs_per_source_sql(),
     }

@@ -244,3 +244,120 @@ def clustering_generator_random(graph: Graph, k: int, seed: int = 42) -> DataFra
     return graph.nodes().select(
         "node", (F.abs(F.xxhash64("node", F.lit(seed))) % k).alias("label")
     )
+
+
+def isolated_interpartition_conductance(graph: Graph, labels: DataFrame) -> DataFrame:
+    """IsolatedInterpartitionConductance.cpp:8-60: per cluster,
+    cut / min(volume, total_volume - volume), where each edge contributes w
+    to both endpoint clusters' volumes (intra edges 2w to one cluster) and
+    inter-cluster edges contribute w to both clusters' cuts. Returns
+    (label, value)."""
+    la = labels.select(F.col("node").alias("src"), F.col("label").alias("lsrc"))
+    lb = labels.select(F.col("node").alias("dst"), F.col("label").alias("ldst"))
+    e = graph.edges.join(la, "src").join(lb, "dst").persist()
+    vol = (
+        e.select(F.col("lsrc").alias("label"), "weight")
+        .unionByName(e.select(F.col("ldst").alias("label"), "weight"))
+        .groupBy("label").agg(F.sum("weight").alias("vol"))
+    )
+    cut = (
+        e.filter(F.col("lsrc") != F.col("ldst"))
+        .select(F.col("lsrc").alias("label"), "weight")
+        .unionByName(
+            e.filter(F.col("lsrc") != F.col("ldst"))
+            .select(F.col("ldst").alias("label"), "weight")
+        )
+        .groupBy("label").agg(F.sum("weight").alias("cut"))
+    )
+    total = 2.0 * float(
+        graph.edges.agg(F.sum("weight")).collect()[0][0] or 0.0
+    )
+    e.unpersist()
+    return vol.join(cut, "label", "left").select(
+        "label",
+        F.when(
+            F.least(F.col("vol"), F.lit(total) - F.col("vol")) > 0,
+            F.coalesce("cut", F.lit(0.0))
+            / F.least(F.col("vol"), F.lit(total) - F.col("vol")),
+        ).otherwise(0.0).alias("value"),
+    )
+
+
+def isolated_interpartition_expansion(graph: Graph, labels: DataFrame) -> DataFrame:
+    """IsolatedInterpartitionExpansion.cpp: same cut as the conductance
+    variant, denominator min(cluster_size, n - cluster_size). (label, value)."""
+    la = labels.select(F.col("node").alias("src"), F.col("label").alias("lsrc"))
+    lb = labels.select(F.col("node").alias("dst"), F.col("label").alias("ldst"))
+    inter = (
+        graph.edges.join(la, "src").join(lb, "dst")
+        .filter(F.col("lsrc") != F.col("ldst"))
+    )
+    cut = (
+        inter.select(F.col("lsrc").alias("label"), "weight")
+        .unionByName(inter.select(F.col("ldst").alias("label"), "weight"))
+        .groupBy("label").agg(F.sum("weight").alias("cut"))
+    )
+    sizes = labels.groupBy("label").agg(F.count("*").alias("size"))
+    n = labels.count()
+    return sizes.join(cut, "label", "left").select(
+        "label",
+        F.when(
+            F.least(F.col("size"), F.lit(n) - F.col("size")) > 0,
+            F.coalesce("cut", F.lit(0.0))
+            / F.least(F.col("size"), F.lit(n) - F.col("size")),
+        ).otherwise(0.0).alias("value"),
+    )
+
+
+def cover_hub_dominance(graph: Graph, cover: DataFrame) -> DataFrame:
+    """CoverHubDominance.cpp: covers are overlapping — ``cover`` has one
+    (node, cluster) row PER MEMBERSHIP. Per cluster: max internal degree
+    (neighbors sharing the cluster) / (cluster_size - 1). (cluster, value)."""
+    ca = cover.select(F.col("node").alias("src"), F.col("cluster").alias("cs"))
+    cb = cover.select(F.col("node").alias("dst"), F.col("cluster").alias("cd"))
+    sym = graph.sym().select("src", "dst").filter(F.col("src") != F.col("dst"))
+    internal = (
+        sym.join(ca, "src").join(cb, "dst")
+        .filter(F.col("cs") == F.col("cd"))
+        .groupBy(F.col("src").alias("node"), F.col("cs").alias("cluster"))
+        .agg(F.count("*").alias("ideg"))
+    )
+    max_ideg = internal.groupBy("cluster").agg(F.max("ideg").alias("mdeg"))
+    sizes = cover.groupBy("cluster").agg(F.count("*").alias("size"))
+    return sizes.join(max_ideg, "cluster", "left").select(
+        "cluster",
+        F.when(
+            F.col("size") > 1,
+            F.coalesce("mdeg", F.lit(0)) / (F.col("size") - 1.0),
+        ).otherwise(1.0).alias("value"),
+    )
+
+
+def sampled_rand_measure(
+    a: DataFrame, b: DataFrame, num_pairs: int, seed: int = 42
+) -> float:
+    """Sampled(Node|Graph)StructuralRandMeasure shape: Rand distance
+    estimated on a deterministic hash-sample of node PAIRS (the reference
+    draws random pairs; a seeded hash over the node set is the reproducible
+    analog). Distributed: the sampled nodes self-join once."""
+    from ..functions.dedup import hash60
+
+    joint = a.withColumnRenamed("label", "la").join(
+        b.withColumnRenamed("label", "lb"), "node"
+    )
+    h = hash60(F.concat_ws(":", F.col("node").cast("string"), F.lit(str(seed))))
+    k = max(2, int((2 * num_pairs) ** 0.5) + 1)
+    sampled = joint.withColumn("h", h).orderBy("h", "node").limit(k)
+    l = sampled.select(F.col("node").alias("u"), F.col("la").alias("lau"), F.col("lb").alias("lbu"))
+    r = sampled.select(F.col("node").alias("v"), F.col("la").alias("lav"), F.col("lb").alias("lbv"))
+    pairs = l.join(r, F.col("u") < F.col("v"))
+    row = pairs.agg(
+        F.count("*").alias("total"),
+        F.sum(
+            (
+                (F.col("lau") == F.col("lav")) != (F.col("lbu") == F.col("lbv"))
+            ).cast("long")
+        ).alias("disagree"),
+    ).collect()[0]
+    total = row["total"] or 0
+    return float(row["disagree"]) / total if total else 0.0

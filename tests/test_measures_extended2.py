@@ -1,0 +1,104 @@
+"""Isolated-interpartition measures, cover hub dominance, sampled Rand —
+vs sequential replicas of the reference accumulation loops."""
+
+from pyspark.sql import functions as F
+
+from networkit_spark.graph import Graph
+from networkit_spark.operators.measures import (
+    cover_hub_dominance,
+    isolated_interpartition_conductance,
+    isolated_interpartition_expansion,
+    rand_measure,
+    sampled_rand_measure,
+)
+
+EDGES = [(0, 1, 2.0), (0, 2, 1.0), (1, 2, 1.0), (2, 3, 0.5), (3, 4, 2.0),
+         (3, 5, 1.0), (4, 5, 3.0), (1, 4, 0.5)]
+LABELS = {0: 0, 1: 0, 2: 0, 3: 3, 4: 3, 5: 3}
+
+
+def _labels_df(spark, d):
+    return spark.createDataFrame(sorted(d.items()), "node long, label long")
+
+
+def _replica_iic(edges, labels):
+    # IsolatedInterpartitionConductance.cpp accumulation
+    cut, vol, total = {}, {}, 0.0
+    for u, v, w in edges:
+        if labels[u] != labels[v]:
+            cut[labels[u]] = cut.get(labels[u], 0.0) + w
+            cut[labels[v]] = cut.get(labels[v], 0.0) + w
+        vol[labels[u]] = vol.get(labels[u], 0.0) + w
+        vol[labels[v]] = vol.get(labels[v], 0.0) + w
+        total += 2 * w
+    out = {}
+    for c in set(labels.values()):
+        den = min(vol.get(c, 0.0), total - vol.get(c, 0.0))
+        out[c] = cut.get(c, 0.0) / den if den > 0 else 0.0
+    return out
+
+
+def _replica_iie(edges, labels):
+    n = len(labels)
+    cut = {}
+    for u, v, w in edges:
+        if labels[u] != labels[v]:
+            cut[labels[u]] = cut.get(labels[u], 0.0) + w
+            cut[labels[v]] = cut.get(labels[v], 0.0) + w
+    sizes = {}
+    for v, c in labels.items():
+        sizes[c] = sizes.get(c, 0) + 1
+    return {
+        c: cut.get(c, 0.0) / min(sizes[c], n - sizes[c])
+        for c in sizes
+    }
+
+
+def test_isolated_interpartition_conductance(spark):
+    g = Graph.from_edge_list(spark, EDGES, weighted=True, num_nodes=6)
+    got = {
+        r["label"]: r["value"]
+        for r in isolated_interpartition_conductance(
+            g, _labels_df(spark, LABELS)
+        ).collect()
+    }
+    want = _replica_iic(EDGES, LABELS)
+    assert set(got) == set(want)
+    for c in want:
+        assert abs(got[c] - want[c]) < 1e-12, c
+
+
+def test_isolated_interpartition_expansion(spark):
+    g = Graph.from_edge_list(spark, EDGES, weighted=True, num_nodes=6)
+    got = {
+        r["label"]: r["value"]
+        for r in isolated_interpartition_expansion(
+            g, _labels_df(spark, LABELS)
+        ).collect()
+    }
+    want = _replica_iie(EDGES, LABELS)
+    assert set(got) == set(want)
+    for c in want:
+        assert abs(got[c] - want[c]) < 1e-12, c
+
+
+def test_cover_hub_dominance(spark):
+    g = Graph.from_edge_list(spark, EDGES, weighted=True, num_nodes=6)
+    # overlapping cover: node 2 and 3 belong to both clusters
+    cover = [(0, 0), (1, 0), (2, 0), (3, 0), (2, 3), (3, 3), (4, 3), (5, 3)]
+    cdf = spark.createDataFrame(cover, "node long, cluster long")
+    got = {r["cluster"]: r["value"] for r in cover_hub_dominance(g, cdf).collect()}
+    # cluster 0 = {0,1,2,3}: internal degrees 0:{1,2}=2, 1:{0,2}=2, 2:{0,1,3}=3,
+    # 3:{2}=1 -> max 3 / (4-1)
+    assert abs(got[0] - 3 / 3) < 1e-12
+    # cluster 3 = {2,3,4,5}: 2:{3}=1, 3:{2,4,5}=3, 4:{3,5}=2, 5:{3,4}=2 -> 3/3
+    assert abs(got[3] - 3 / 3) < 1e-12
+
+
+def test_sampled_rand_converges_to_exact(spark):
+    a = _labels_df(spark, LABELS)
+    b = _labels_df(spark, {0: 0, 1: 0, 2: 3, 3: 3, 4: 3, 5: 3})
+    exact = rand_measure(a, b)
+    # sampling all C(6,2)=15 pairs must reproduce the exact value
+    sampled = sampled_rand_measure(a, b, num_pairs=15)
+    assert abs(sampled - exact) < 1e-12
