@@ -34,7 +34,15 @@ from .linkprediction import (
 )
 from .scd import gce_expand
 from .cliques import maximal_cliques, clique_number, max_clique
-from .flow import edmonds_karp, max_flow_value, min_st_cut, cut_clustering
+from .flow import (
+    edmonds_karp,
+    max_flow_value,
+    min_st_cut,
+    cut_clustering,
+    cut_clustering_hierarchy,
+)
+from .simulation import seir_simulation
+from .graphlayout import pivot_mds
 from .algebraic import (
     laplacian_smooth,
     effective_resistance,

@@ -149,3 +149,20 @@ def windowed_event_counts(events: DataFrame, window: str = "1 hour") -> DataFram
     return events.groupBy(F.window("ts", window), "type").agg(
         F.count("*").alias("n"), F.sum("w").alias("total_w")
     )
+
+
+def write_dgs(events: DataFrame, path: str) -> None:
+    """DGSWriter.cpp analog: serialize an event batch back to DGS lines in
+    seq order (``ae u v w`` / ``de u v`` / ``st``). Driver-side file write —
+    DGS is a line protocol for tool interchange, not a data-scale sink; the
+    cluster-scale event sink is the parquet/Iceberg event table."""
+    rows = events.orderBy("seq").collect()
+    with open(path, "w") as f:
+        f.write("DGS004\nnetworkit_spark 0 0\n")
+        for r in rows:
+            if r["type"] == "EDGE_ADDITION":
+                f.write(f"ae {r['u']} {r['v']} {r['w']}\n")
+            elif r["type"] == "EDGE_REMOVAL":
+                f.write(f"de {r['u']} {r['v']}\n")
+            elif r["type"] == "TIME_STEP":
+                f.write("st\n")

@@ -90,3 +90,35 @@ def test_structured_streaming_ingestion(spark, tmp_path):
     q.awaitTermination(60)
     got = sorted(map(tuple, updater.edges.select("src", "dst", "weight").collect()))
     assert got == [(0, 1, 1.0), (1, 2, 2.0)]
+
+
+def test_dgs_write_parse_roundtrip(spark, tmp_path):
+    """write_dgs → parse_dgs_lines reproduces the event structure."""
+    import os
+    from networkit_spark.streaming.graph_events import (
+        EVENT_SCHEMA, parse_dgs_lines, write_dgs,
+    )
+
+    rows = [
+        (0, "EDGE_ADDITION", 0, 1, 2.0, None),
+        (1, "EDGE_ADDITION", 1, 2, 1.0, None),
+        (2, "TIME_STEP", None, None, None, None),
+        (3, "EDGE_REMOVAL", 0, 1, 2.0, None),
+    ]
+    events = spark.createDataFrame(rows, EVENT_SCHEMA)
+    path = str(tmp_path / "events.dgs")
+    write_dgs(events, path)
+
+    lines = [
+        (i, l) for i, l in enumerate(open(path).read().splitlines())
+        if l and not l.startswith("DGS") and not l.startswith("networkit_spark")
+    ]
+    ldf = spark.createDataFrame(lines, "seq long, value string")
+    parsed = parse_dgs_lines(ldf).orderBy("seq").collect()
+    assert [(r["type"], r["u"], r["v"]) for r in parsed] == [
+        ("EDGE_ADDITION", 0, 1),
+        ("EDGE_ADDITION", 1, 2),
+        ("TIME_STEP", None, None),
+        ("EDGE_REMOVAL", 0, 1),
+    ]
+    assert parsed[0]["w"] == 2.0
