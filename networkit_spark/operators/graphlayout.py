@@ -26,6 +26,8 @@ from pyspark.sql import DataFrame, functions as F
 from ..functions.dedup import hash60
 from ..graph import Graph
 
+_HSPACE = float(2 ** 60)
+
 
 def _pivots(graph: Graph, k: int, seed: int) -> list[int]:
     h = hash60(F.concat_ws(":", F.col("node").cast("string"), F.lit(str(seed))))
@@ -150,3 +152,131 @@ def pivot_mds(
         CC = CC - (lam / float(v @ v)) * np.outer(v, v)
     centered.unpersist()
     return out
+
+
+def fruchterman_reingold(
+    graph: Graph,
+    max_iter: int = 50,
+    precision: float = 1e-3,
+    grid: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Force-directed layout in the unit square — reference
+    cpp/viz/FruchtermanReingold.cpp:23-160: repulsion opt²/d² between node
+    pairs, attraction d/opt along edges, normalized step moves with the
+    1/(1 + 0.1·iter) cooling schedule, clamp to [0,1]², converge when the
+    summed move distance drops below ``precision``.
+
+    Scale shape: the reference's repulsion is exact all-pairs O(n²). Here
+    pairs are generated per GRID CELL (cell + 8 neighbors, the standard
+    spatial-hash cutoff): ``grid=1`` reproduces the exact reference sum
+    (one cell holds everything — tests pin this against a NumPy replica);
+    ``grid=None`` auto-sizes ~sqrt(n)/8 cells per axis so cell occupancy
+    stays O(1) and each iteration is a keyed self-join, not a cross join.
+    Init coordinates are seeded-hash uniforms (reference: global RNG).
+
+    Returns (node, x, y).
+    """
+    spark = graph.edges.sparkSession
+    n = graph.num_nodes()
+    if grid is None:
+        grid = max(1, int((n ** 0.5) / 8))
+    opt2 = 0.3 * 1.0 / n  # OPT_PAIR_SQR_DIST_SCALE * area / n, unit square
+    opt = opt2 ** 0.5
+
+    def h01(tag):
+        return hash60(
+            F.concat_ws(":", F.col("node").cast("string"), F.lit(tag), F.lit(str(seed)))
+        ) / F.lit(_HSPACE)
+
+    pos = graph.nodes().select(
+        "node", h01("x").alias("x"), h01("y").alias("y")
+    ).localCheckpoint(eager=True)
+    sym = graph.sym().select("src", "dst").persist()
+    sym.count()
+
+    offsets = spark.createDataFrame(
+        [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)], "dx int, dy int"
+    )
+    step = 1.0
+    cool = 1.0
+    for it in range(max_iter):
+        cell = pos.select(
+            "node", "x", "y",
+            F.floor(F.col("x") * grid).cast("int").alias("cx"),
+            F.floor(F.col("y") * grid).cast("int").alias("cy"),
+        )
+        # neighbors-of-cell expansion for the left side of the pair join
+        left = cell.crossJoin(F.broadcast(offsets)).select(
+            "node", "x", "y",
+            (F.col("cx") + F.col("dx")).alias("cx"),
+            (F.col("cy") + F.col("dy")).alias("cy"),
+        )
+        right = cell.select(
+            F.col("node").alias("node2"), F.col("x").alias("x2"),
+            F.col("y").alias("y2"), "cx", "cy",
+        )
+        d2 = (F.col("x") - F.col("x2")) ** 2 + (F.col("y") - F.col("y2")) ** 2
+        rep = (
+            left.join(right, ["cx", "cy"])
+            .filter(F.col("node") != F.col("node2"))
+            .select(
+                "node",
+                F.when(d2 > 0, (F.col("x") - F.col("x2")) * F.lit(opt2) / d2)
+                .otherwise(0.0).alias("fx"),
+                F.when(d2 > 0, (F.col("y") - F.col("y2")) * F.lit(opt2) / d2)
+                .otherwise(0.0).alias("fy"),
+            )
+            .groupBy("node").agg(F.sum("fx").alias("fx"), F.sum("fy").alias("fy"))
+        )
+        pu = pos.select(F.col("node").alias("src"), F.col("x").alias("x"), F.col("y").alias("y"))
+        pv = pos.select(F.col("node").alias("dst"), F.col("x").alias("x2"), F.col("y").alias("y2"))
+        dist = F.sqrt(d2)
+        attr = (
+            sym.join(pu, "src").join(pv, "dst")
+            .select(
+                F.col("src").alias("node"),
+                (-(F.col("x") - F.col("x2")) * dist / F.lit(opt)).alias("fx"),
+                (-(F.col("y") - F.col("y2")) * dist / F.lit(opt)).alias("fy"),
+            )
+        )
+        forces = (
+            rep.unionByName(attr)
+            .groupBy("node").agg(F.sum("fx").alias("fx"), F.sum("fy").alias("fy"))
+        )
+        flen = F.sqrt(F.col("fx") ** 2 + F.col("fy") ** 2)
+        moved = (
+            pos.join(forces, "node", "left")
+            .select(
+                "node",
+                F.col("x").alias("ox"), F.col("y").alias("oy"),
+                F.when(
+                    F.coalesce(flen, F.lit(0.0)) > 0,
+                    F.col("x") + F.lit(cool) * F.col("fx") / flen,
+                ).otherwise(F.col("x")).alias("x"),
+                F.when(
+                    F.coalesce(flen, F.lit(0.0)) > 0,
+                    F.col("y") + F.lit(cool) * F.col("fy") / flen,
+                ).otherwise(F.col("y")).alias("y"),
+            )
+            .select(
+                "node", "ox", "oy",
+                F.least(F.greatest(F.col("x"), F.lit(0.0)), F.lit(1.0)).alias("x"),
+                F.least(F.greatest(F.col("y"), F.lit(0.0)), F.lit(1.0)).alias("y"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        change = (
+            moved.agg(
+                F.sum(
+                    F.sqrt((F.col("x") - F.col("ox")) ** 2 + (F.col("y") - F.col("oy")) ** 2)
+                ).alias("c")
+            ).collect()[0]["c"] or 0.0
+        )
+        pos = moved.select("node", "x", "y")
+        step += 0.1
+        cool = 1.0 / step
+        if change < precision:
+            break
+    sym.unpersist()
+    return pos

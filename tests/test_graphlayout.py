@@ -72,3 +72,66 @@ def test_pivot_mds_matches_replica(spark):
     # layout is non-degenerate: coordinates spread
     xs = np.array([rows[v][0] for v in range(N)])
     assert xs.std() > 1e-3
+
+
+def _fr_replica(edges, n, iters, seed, prec=1e-3):
+    """NumPy replica of fruchterman_reingold at grid=1 (exact all-pairs)."""
+    pos = np.zeros((n, 2))
+    for v in range(n):
+        pos[v, 0] = _hash60(f"{v}:x:{seed}") / float(2 ** 60)
+        pos[v, 1] = _hash60(f"{v}:y:{seed}") / float(2 ** 60)
+    opt2 = 0.3 / n
+    opt = opt2 ** 0.5
+    sym = set()
+    for u, v, _ in edges:
+        sym.add((min(u, v), max(u, v)))
+    step, cool = 1.0, 1.0
+    for it in range(iters):
+        f = np.zeros((n, 2))
+        for i in range(n):
+            for j in range(n):
+                if i == j:
+                    continue
+                d = pos[i] - pos[j]
+                d2 = float(d @ d)
+                if d2 > 0:
+                    f[i] += d * opt2 / d2
+        for u, v in sym:
+            d = pos[u] - pos[v]
+            dist = float(np.linalg.norm(d))
+            f[u] -= d * dist / opt
+            f[v] += d * dist / opt
+        new = pos.copy()
+        for i in range(n):
+            ln = float(np.linalg.norm(f[i]))
+            if ln > 0:
+                new[i] = pos[i] + cool * f[i] / ln
+            new[i] = np.clip(new[i], 0.0, 1.0)
+        change = float(np.linalg.norm(new - pos, axis=1).sum())
+        pos = new
+        step += 0.1
+        cool = 1.0 / step
+        if change < prec:
+            break
+    return pos
+
+
+def test_fruchterman_reingold_matches_replica(spark):
+    from networkit_spark.operators.graphlayout import fruchterman_reingold
+
+    g = Graph.from_edge_list(spark, EDGES, weighted=True, num_nodes=N)
+    got = fruchterman_reingold(g, max_iter=5, grid=1, seed=42)
+    rows = {r["node"]: (r["x"], r["y"]) for r in got.collect()}
+    want = _fr_replica(EDGES, N, iters=5, seed=42)
+    for v in range(N):
+        assert abs(rows[v][0] - want[v, 0]) < 1e-9, v
+        assert abs(rows[v][1] - want[v, 1]) < 1e-9, v
+    # grid approximation stays in the unit square and is deterministic
+    g2 = fruchterman_reingold(g, max_iter=3, grid=2, seed=42)
+    r2 = {r["node"]: (r["x"], r["y"]) for r in g2.collect()}
+    assert all(0.0 <= x <= 1.0 and 0.0 <= y <= 1.0 for x, y in r2.values())
+    r2b = {
+        r["node"]: (r["x"], r["y"])
+        for r in fruchterman_reingold(g, max_iter=3, grid=2, seed=42).collect()
+    }
+    assert r2 == r2b
