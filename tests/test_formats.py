@@ -95,3 +95,32 @@ def test_dot_writer(spark, tmp_path):
     write_dot(g0, str(p))
     text = p.read_text()
     assert text.startswith("graph G {") and "0 -- 1;" in text and "1 -- 2;" in text
+
+
+def test_graphtool_binary_roundtrip(spark, tmp_path):
+    """GraphToolBinary write→read preserves the edge set, direction flag,
+    and node count (GraphToolBinary{Reader,Writer}.cpp parity)."""
+    from networkit_spark.graph import Graph
+    from networkit_spark.sources.formats import (
+        read_graphtool_binary,
+        write_graphtool_binary,
+    )
+
+    edges = [(0, 1), (1, 2), (2, 3), (3, 0), (1, 3), (4, 0)]
+    for directed in (False, True):
+        g = Graph.from_edge_list(
+            spark, edges, directed=directed, num_nodes=6
+        )
+        path = str(tmp_path / f"g_{directed}.gt")
+        write_graphtool_binary(g, path)
+        # header magic sanity
+        raw = open(path, "rb").read()
+        assert raw[:6] == bytes([0xE2, 0x9B, 0xBE, 0x20, 0x67, 0x74])
+        back = read_graphtool_binary(spark, path)
+        assert back.directed == directed
+        assert back.num_nodes() == 6
+        want = {
+            (a, b) if directed else (min(a, b), max(a, b)) for a, b in edges
+        }
+        got = {(r["src"], r["dst"]) for r in back.edges.collect()}
+        assert got == want
