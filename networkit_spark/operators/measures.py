@@ -361,3 +361,15 @@ def sampled_rand_measure(
     ).collect()[0]
     total = row["total"] or 0
     return float(row["disagree"]) / total if total else 0.0
+
+
+def dynamic_nmi_distance(old_labels: DataFrame, new_labels: DataFrame) -> float:
+    """DynamicNMIDistance.cpp:25-130: NMI distance between consecutive
+    clustering snapshots of a DYNAMIC graph — marginals and the confusion
+    matrix count only nodes present in BOTH snapshots (isInBoth), so node
+    additions/removals between snapshots don't distort the comparison.
+
+    The inner node join in :func:`nmi_distance`'s contingency IS that
+    restriction, so the dynamic variant shares the implementation; this
+    wrapper exists for API parity and documents the semantics."""
+    return nmi_distance(old_labels, new_labels)

@@ -102,3 +102,18 @@ def test_sampled_rand_converges_to_exact(spark):
     # sampling all C(6,2)=15 pairs must reproduce the exact value
     sampled = sampled_rand_measure(a, b, num_pairs=15)
     assert abs(sampled - exact) < 1e-12
+
+
+def test_dynamic_nmi_restricts_to_common_nodes(spark):
+    from networkit_spark.operators.measures import (
+        dynamic_nmi_distance,
+        nmi_distance,
+    )
+
+    old = _labels_df(spark, {0: 0, 1: 0, 2: 1, 3: 1})
+    # snapshot 2 added nodes 4, 5 — they must not affect the distance
+    new_core = {0: 7, 1: 7, 2: 9, 3: 9}
+    new = _labels_df(spark, {**new_core, 4: 9, 5: 7})
+    d = dynamic_nmi_distance(old, new)
+    assert abs(d - nmi_distance(old, _labels_df(spark, new_core))) < 1e-12
+    assert d < 1e-12  # identical partitions up to relabeling
