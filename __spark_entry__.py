@@ -840,6 +840,30 @@ def q_quadrangle_score(spark, sf_dir):
     return quadrangle_edge_score(_sparse_ugraph(spark, sf_dir)).orderBy("src", "dst")
 
 
+def q_chance_corrected_score(spark, sf_dir):
+    """ChanceCorrectedTriangleScore (ref
+    cpp/sparsification/ChanceCorrectedTriangleScore.cpp:22-29): per-edge
+    triangle count corrected by the count expected between endpoints of the
+    observed degrees."""
+    from networkit_spark.operators.sparsification import (
+        chance_corrected_triangle_score,
+    )
+
+    return chance_corrected_triangle_score(_g(spark, sf_dir)).select(
+        "src", "dst", F.round("score", 6).alias("score")
+    )
+
+
+def q_multiscale_score(spark, sf_dir):
+    """MultiscaleScore (ref cpp/sparsification/MultiscaleScore.cpp:24-65;
+    Serrano et al. multiscale backbone significance)."""
+    from networkit_spark.operators.sparsification import multiscale_score
+
+    return multiscale_score(_g(spark, sf_dir)).select(
+        "src", "dst", F.round("score", 6).alias("score")
+    )
+
+
 def q_katz_pairs(spark, sf_dir):
     """Pairwise KatzIndex (ref cpp/linkprediction/KatzIndex.cpp): bounded
     path-count score for the same candidate pair set link_prediction uses."""
@@ -1239,6 +1263,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coreness": q_coreness,
         "prefix_jaccard": q_prefix_jaccard,
         "quadrangle_score": q_quadrangle_score,
+        "chance_corrected_score": q_chance_corrected_score,
+        "multiscale_score": q_multiscale_score,
         "katz_pairs": q_katz_pairs,
         "permanence": q_permanence,
         "top_closeness": q_top_closeness,
@@ -2394,6 +2420,37 @@ def _local_similarity_sql() -> str:
   FROM ranked
 )""",
         select="SELECT src, dst, ROUND(MAX(s), 6) AS score FROM scored GROUP BY src, dst",
+    )
+
+
+def _chance_corrected_sql() -> str:
+    return _with(
+        edges_sql(N_NODES),
+        _TRI_CTES,
+        _ESC_CTE,
+        select="""SELECT e.src, e.dst,
+  ROUND(CASE
+    WHEN e.tri > 0 THEN e.tri * ((SELECT COUNT(*) FROM nodes) - 2.0)
+                        / ((du.degree - 1.0) * (dv.degree - 1.0))
+    WHEN du.degree = 1 OR dv.degree = 1 THEN 1.0
+    ELSE 0.0 END, 6) AS score
+FROM esc e JOIN deg du ON e.src = du.node JOIN deg dv ON e.dst = dv.node""",
+    )
+
+
+def _multiscale_sql() -> str:
+    return _with(
+        edges_sql(N_NODES),
+        """ms AS MATERIALIZED (
+  SELECT src, dst,
+    1.0 - POW(1.0 - weight / SUM(weight) OVER (PARTITION BY src),
+              COUNT(*) OVER (PARTITION BY src) - 1) AS s
+  FROM sym
+)""",
+        select=(
+            "SELECT LEAST(src, dst) AS src, GREATEST(src, dst) AS dst, "
+            "ROUND(MAX(s), 6) AS score FROM ms GROUP BY 1, 2"
+        ),
     )
 
 
@@ -3620,6 +3677,8 @@ def oracle_sql() -> dict[str, str]:
         "coreness": _coreness_sql(),
         "prefix_jaccard": _prefix_jaccard_sql(),
         "quadrangle_score": _quadrangle_sql(),
+        "chance_corrected_score": _chance_corrected_sql(),
+        "multiscale_score": _multiscale_sql(),
         "katz_pairs": _katz_pairs_sql(),
         "permanence": _permanence_sql(),
         "top_closeness": _top_closeness_sql(),

@@ -59,6 +59,10 @@ from .sparsification import (
     score_as_weight,
     global_threshold_filter,
     sparsify_to_ratio,
+    chance_corrected_triangle_score,
+    multiscale_score,
+    forest_fire_score,
+    random_node_edge_score,
 )
 
 __all__ = [n for n in dir() if not n.startswith("_")]

@@ -318,3 +318,212 @@ def quadrangle_edge_score(graph: Graph) -> DataFrame:
     )
     sym.unpersist()
     return out
+
+
+def chance_corrected_triangle_score(graph: Graph) -> DataFrame:
+    """ChanceCorrectedTriangleScore (reference
+    cpp/sparsification/ChanceCorrectedTriangleScore.cpp:22-29): per-edge
+    triangle count corrected for the count expected by chance between
+    endpoints of the observed degrees:
+
+        t > 0              -> t * (n - 2) / ((du - 1) * (dv - 1))
+        t = 0, leaf endpoint -> 1.0
+        otherwise          -> 0.0
+
+    One triangle join + two degree joins; all whole-stage-codegen arithmetic.
+    """
+    n = graph.num_nodes()
+    deg = graph.degrees()
+    tri = triangle_edge_score(graph).withColumnRenamed("score", "tri")
+    j = (
+        graph.edges.select("src", "dst")
+        .join(tri, ["src", "dst"], "left")
+        .join(deg.withColumnRenamed("node", "src").withColumnRenamed("degree", "du"), "src")
+        .join(deg.withColumnRenamed("node", "dst").withColumnRenamed("degree", "dv"), "dst")
+        .select("src", "dst", F.coalesce("tri", F.lit(0)).alias("tri"), "du", "dv")
+    )
+    return j.select(
+        "src", "dst",
+        F.when(
+            F.col("tri") > 0,
+            F.col("tri") * F.lit(float(n - 2))
+            / ((F.col("du") - 1.0) * (F.col("dv") - 1.0)),
+        )
+        .when((F.col("du") == 1) | (F.col("dv") == 1), F.lit(1.0))
+        .otherwise(F.lit(0.0))
+        .alias("score"),
+    )
+
+
+def multiscale_score(graph: Graph) -> DataFrame:
+    """MultiscaleScore (reference cpp/sparsification/MultiscaleScore.cpp:
+    24-50, getProbability :63-65; Serrano et al. multiscale backbone): per
+    endpoint u, normalize incident edge weights p = w / sum_w(u); the edge's
+    significance from u's perspective is 1 - (1 - p)^(deg(u) - 1); the score
+    is the max over the two endpoint perspectives.
+
+    Window-per-node (partitionBy src over the symmetric view — never global),
+    then a canonical-pair max aggregation: two shuffles total.
+    """
+    sym = graph.sym().select("src", "dst", "weight")
+    w = Window.partitionBy("src")
+    per_dir = sym.select(
+        "src", "dst",
+        (F.col("weight") / F.sum("weight").over(w)).alias("p"),
+        F.count(F.lit(1)).over(w).alias("k"),
+    ).select(
+        "src", "dst",
+        (1.0 - F.pow(1.0 - F.col("p"), F.col("k") - F.lit(1.0))).alias("s"),
+    )
+    canon = per_dir.select(
+        F.least("src", "dst").alias("src"),
+        F.greatest("src", "dst").alias("dst"),
+        "s",
+    )
+    return canon.groupBy("src", "dst").agg(F.max("s").alias("score"))
+
+
+def forest_fire_score(
+    graph: Graph,
+    pf: float = 0.6,
+    target_burnt_ratio: float = 2.0,
+    fires_per_wave: int = 32,
+    max_steps: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """ForestFireScore (reference cpp/sparsification/ForestFireScore.cpp:
+    19-88): repeatedly ignite fires at random nodes; each fire spreads to
+    random unvisited neighbors; an edge's score is its burn count normalized
+    by the maximum burn count.
+
+    Distributed adaptation (documented deviation): the reference burns a
+    Geometric(1-pf)-truncated number of neighbors per active node from a
+    single sequential fire; here WAVES of ``fires_per_wave`` independent
+    fires run simultaneously as one (fire, node) frontier DataFrame, and each
+    active node burns each unvisited neighbor independently with probability
+    ``pf`` (Binomial rather than Geometric fan-out — same expected spread
+    direction, fully data-parallel). All randomness is seeded xxhash64 so the
+    result is deterministic and partitioning-independent. Waves repeat until
+    ``target_burnt_ratio * m`` edge-burns accumulate, matching the
+    reference's stopping rule.
+    """
+    sym = graph.sym().select("src", "dst").persist()
+    m = graph.num_edges()
+    target = target_burnt_ratio * m
+    u01 = lambda *cols: (
+        (F.abs(F.xxhash64(*cols)) % F.lit(2 ** 53)).cast("double")
+        / F.lit(float(2 ** 53))
+    )
+
+    nodes = graph.nodes()
+    burnt_acc = None  # (src, dst, burns) canonical
+    total_burnt = 0
+    wave = 0
+    spark = sym.sparkSession
+    while total_burnt < target and wave < 64:
+        # ignite: fires_per_wave hash-selected distinct start nodes
+        starts = (
+            nodes.withColumn("h", u01(F.col("node"), F.lit(seed), F.lit(wave)))
+            .orderBy("h", "node")
+            .limit(fires_per_wave)
+            .select(F.xxhash64("node", F.lit(wave)).alias("fire"), "node")
+        )
+        visited = starts.select("fire", "node").persist()
+        frontier = visited
+        wave_burns = None
+        for step in range(max_steps):
+            cand = (
+                frontier.join(sym, frontier["node"] == sym["src"])
+                .select("fire", "src", "dst")
+                .join(
+                    visited.withColumnRenamed("node", "dst"),
+                    ["fire", "dst"],
+                    "left_anti",
+                )
+                .filter(
+                    u01(F.col("fire"), F.col("src"), F.col("dst"),
+                        F.lit(seed), F.lit(step)) < pf
+                )
+                .persist()
+            )
+            burns = cand.select(
+                F.least("src", "dst").alias("src"),
+                F.greatest("src", "dst").alias("dst"),
+            ).groupBy("src", "dst").agg(F.count(F.lit(1)).alias("burns"))
+            wave_burns = burns if wave_burns is None else (
+                wave_burns.unionByName(burns)
+                .groupBy("src", "dst").agg(F.sum("burns").alias("burns"))
+            )
+            new_front = cand.select("fire", F.col("dst").alias("node")).distinct()
+            visited = visited.unionByName(new_front).persist()
+            frontier = new_front
+            if frontier.isEmpty():
+                break
+        if wave_burns is not None:
+            wave_burns = wave_burns.persist()
+            total_burnt += wave_burns.agg(F.sum("burns")).collect()[0][0] or 0
+            burnt_acc = wave_burns if burnt_acc is None else (
+                burnt_acc.unionByName(wave_burns)
+                .groupBy("src", "dst").agg(F.sum("burns").alias("burns"))
+                .persist()
+            )
+        wave += 1
+    sym.unpersist()
+    edges = graph.edges.select("src", "dst")
+    if burnt_acc is None:
+        return edges.withColumn("score", F.lit(0.0))
+    mx = burnt_acc.agg(F.max("burns")).collect()[0][0] or 1
+    return (
+        edges.join(burnt_acc, ["src", "dst"], "left")
+        .select(
+            "src", "dst",
+            (F.coalesce("burns", F.lit(0)) / F.lit(float(mx))).alias("score"),
+        )
+    )
+
+
+def random_node_edge_score(
+    graph: Graph, rne_ratio: float = 0.5, seed: int = 42
+) -> DataFrame:
+    """RandomNodeEdgeScore (reference
+    cpp/sparsification/RandomNodeEdgeScore.cpp:21-63): edges are removed one
+    at a time — with probability ``rne_ratio`` by picking a random node then
+    a random incident edge (degree-biased), else uniformly — and an edge's
+    score is its removal rank / m.
+
+    Distributed adaptation (documented deviation): the sequential removal
+    order is replaced by a single exponential race. Each edge draws a
+    removal time Exp(rate_e) with
+
+        rate_e = (1 - rne_ratio) * 1/m + rne_ratio * (1/deg(u) + 1/deg(v)) / (2n)
+
+    — the stationary per-step pick probability of the reference's mixture —
+    via the inverse-CDF of a seeded hash-uniform. The score is the exact
+    global rank of the removal time (range-partitioned rank, no single-task
+    sort) divided by m. Degree-biased and uniform regimes match the
+    reference's in expectation; the evolving-degree feedback of the
+    sequential process is not modeled.
+    """
+    from ..plans.order import zip_with_rank
+
+    m = graph.num_edges()
+    n = graph.num_nodes()
+    deg = graph.degrees()
+    u01 = (
+        (F.abs(F.xxhash64("src", "dst", F.lit(seed))) % F.lit(2 ** 53) + 1)
+        .cast("double") / F.lit(float(2 ** 53))
+    )
+    rate = (
+        F.lit((1.0 - rne_ratio) / m)
+        + F.lit(rne_ratio / (2.0 * n)) * (1.0 / F.col("du") + 1.0 / F.col("dv"))
+    )
+    timed = (
+        graph.edges.select("src", "dst")
+        .join(deg.withColumnRenamed("node", "src").withColumnRenamed("degree", "du"), "src")
+        .join(deg.withColumnRenamed("node", "dst").withColumnRenamed("degree", "dv"), "dst")
+        .select("src", "dst", (-F.log(u01) / rate).alias("t"))
+    )
+    ranked = zip_with_rank(timed, [F.asc("t"), F.asc("src"), F.asc("dst")])
+    return ranked.select(
+        "src", "dst", ((F.col("rank") - 1) / F.lit(float(m))).alias("score")
+    )
