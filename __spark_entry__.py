@@ -864,6 +864,28 @@ def q_multiscale_score(spark, sf_dir):
     )
 
 
+def q_modularity_edge_score(spark, sf_dir):
+    """ModularityScoring (ref cpp/scoring/ModularityScoring.h:90-99):
+    per-edge delta-modularity of merging the endpoint singleton clusters."""
+    from networkit_spark.operators.sparsification import modularity_edge_score
+
+    return modularity_edge_score(_g(spark, sf_dir)).select(
+        "src", "dst", F.round("score", 9).alias("score")
+    )
+
+
+def q_overlap_core(spark, sf_dir):
+    """HashingOverlapper (ref cpp/overlap/HashingOverlapper.cpp:14-94): core
+    clustering = common refinement of the PLP partition and the
+    connected-components partition, min-node-canonical labels."""
+    from networkit_spark.operators.community import hashing_overlapper
+
+    g = _g(spark, sf_dir)
+    a = plp(g, fixed_iters=PLP_ITERS)
+    b = connected_components(g).withColumnRenamed("component", "label")
+    return hashing_overlapper([a, b]).select("node", "label")
+
+
 def q_katz_pairs(spark, sf_dir):
     """Pairwise KatzIndex (ref cpp/linkprediction/KatzIndex.cpp): bounded
     path-count score for the same candidate pair set link_prediction uses."""
@@ -1265,6 +1287,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quadrangle_score": q_quadrangle_score,
         "chance_corrected_score": q_chance_corrected_score,
         "multiscale_score": q_multiscale_score,
+        "modularity_edge_score": q_modularity_edge_score,
+        "overlap_core": q_overlap_core,
         "katz_pairs": q_katz_pairs,
         "permanence": q_permanence,
         "top_closeness": q_top_closeness,
@@ -2435,6 +2459,46 @@ def _chance_corrected_sql() -> str:
     WHEN du.degree = 1 OR dv.degree = 1 THEN 1.0
     ELSE 0.0 END, 6) AS score
 FROM esc e JOIN deg du ON e.src = du.node JOIN deg dv ON e.dst = dv.node""",
+    )
+
+
+def _modularity_edge_score_sql() -> str:
+    return _with(
+        edges_sql(N_NODES),
+        "mm AS MATERIALIZED (SELECT SUM(weight) AS w FROM edges)",
+        select="""SELECT e.src, e.dst,
+  ROUND(e.weight / mm.w
+        - (wu.wdeg / (2.0 * mm.w)) * (wv.wdeg / (2.0 * mm.w)), 9) AS score
+FROM edges e CROSS JOIN mm
+JOIN wdeg wu ON e.src = wu.node JOIN wdeg wv ON e.dst = wv.node""",
+    )
+
+
+def _overlap_core_sql() -> str:
+    ctes = _plp_ctes(PLP_ITERS)
+    ctes.append("c0 AS MATERIALIZED (SELECT node, node AS component FROM nodes)")
+    for i in range(CC_ROUNDS):
+        ctes.append(f"""c{i + 1} AS MATERIALIZED (
+  SELECT x.node, MIN(x.component) AS component FROM (
+    SELECT node, component FROM c{i}
+    UNION ALL
+    SELECT s.dst AS node, c.component FROM sym s JOIN c{i} c ON s.src = c.node
+  ) x GROUP BY x.node
+)""")
+    L, C = f"l{PLP_ITERS}", f"c{CC_ROUNDS}"
+    ctes.append(f"""pair AS MATERIALIZED (
+  SELECT a.node, a.label AS la, b.component AS lb
+  FROM {L} a JOIN {C} b ON a.node = b.node
+)""")
+    ctes.append(
+        "cells AS MATERIALIZED (SELECT la, lb, MIN(node) AS cell FROM pair GROUP BY la, lb)"
+    )
+    return _with(
+        *ctes,
+        select=(
+            "SELECT p.node, c.cell AS label FROM pair p "
+            "JOIN cells c ON p.la = c.la AND p.lb = c.lb"
+        ),
     )
 
 
@@ -3679,6 +3743,8 @@ def oracle_sql() -> dict[str, str]:
         "quadrangle_score": _quadrangle_sql(),
         "chance_corrected_score": _chance_corrected_sql(),
         "multiscale_score": _multiscale_sql(),
+        "modularity_edge_score": _modularity_edge_score_sql(),
+        "overlap_core": _overlap_core_sql(),
         "katz_pairs": _katz_pairs_sql(),
         "permanence": _permanence_sql(),
         "top_closeness": _top_closeness_sql(),

@@ -63,6 +63,8 @@ from .sparsification import (
     multiscale_score,
     forest_fire_score,
     random_node_edge_score,
+    modularity_edge_score,
 )
+from .community import hashing_overlapper
 
 __all__ = [n for n in dir() if not n.startswith("_")]

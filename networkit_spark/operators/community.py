@@ -374,3 +374,28 @@ def agglomerative_clusterer(
             .localCheckpoint(eager=True)
         )
     return mapping
+
+
+def hashing_overlapper(partitions: list[DataFrame]) -> DataFrame:
+    """HashingOverlapper (reference cpp/overlap/HashingOverlapper.cpp:14-94):
+    combine k clusterings of the same node set into one core clustering whose
+    cells are the common refinement — two nodes share a core cell iff they
+    agree in EVERY input clustering.
+
+    The reference combines per-clustering djb2 hashes of the labels (with a
+    theoretical collision risk); here the combined key is the exact label
+    tuple, so the result equals iterated :func:`partition_intersection` up to
+    relabeling, without collisions. Labels are canonicalized to the min node
+    id per cell. One k-way node join + one agg — a single shuffle regardless
+    of k (vs k-1 chained intersections).
+    """
+    if not partitions:
+        raise ValueError("hashing_overlapper needs at least one clustering")
+    joined = partitions[0].select("node", F.col("label").alias("l0"))
+    for i, p in enumerate(partitions[1:], start=1):
+        joined = joined.join(
+            p.select("node", F.col("label").alias(f"l{i}")), "node"
+        )
+    keys = [f"l{i}" for i in range(len(partitions))]
+    cells = joined.groupBy(*keys).agg(F.min("node").alias("cell"))
+    return joined.join(cells, keys).select("node", F.col("cell").alias("label"))

@@ -527,3 +527,30 @@ def random_node_edge_score(
     return ranked.select(
         "src", "dst", ((F.col("rank") - 1) / F.lit(float(m))).alias("score")
     )
+
+
+def modularity_edge_score(graph: Graph) -> DataFrame:
+    """ModularityScoring (reference cpp/scoring/ModularityScoring.h:90-99):
+    per-edge modularity gain of merging the endpoints' (singleton) clusters:
+
+        score = w(u,v) / W  -  (wdeg(u) / 2W) * (wdeg(v) / 2W)
+
+    with W the total edge weight. Two degree joins (broadcastable: the degree
+    table is O(n) and narrow) + whole-stage-codegen arithmetic; no shuffle
+    beyond the degree aggregation itself.
+    """
+    W = graph.total_edge_weight()
+    wd = graph.weighted_degrees()
+    return (
+        graph.edges.join(
+            wd.withColumnRenamed("node", "src").withColumnRenamed("wdeg", "wu"), "src"
+        )
+        .join(wd.withColumnRenamed("node", "dst").withColumnRenamed("wdeg", "wv"), "dst")
+        .select(
+            "src", "dst",
+            (
+                F.col("weight") / F.lit(W)
+                - (F.col("wu") / F.lit(2.0 * W)) * (F.col("wv") / F.lit(2.0 * W))
+            ).alias("score"),
+        )
+    )

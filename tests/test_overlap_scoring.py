@@ -1,0 +1,67 @@
+"""HashingOverlapper (ref cpp/overlap/HashingOverlapper.cpp:14-94) and
+ModularityScoring (ref cpp/scoring/ModularityScoring.h:90-99) against
+pure-Python replicas."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from networkit_spark.graph import Graph
+from networkit_spark.operators.community import (
+    hashing_overlapper,
+    partition_intersection,
+)
+from networkit_spark.operators.sparsification import modularity_edge_score
+
+EDGES = [
+    (0, 1, 2.0), (0, 2, 1.0), (1, 2, 3.0),
+    (2, 3, 1.0), (3, 4, 1.0), (4, 5, 2.0), (3, 5, 1.0), (5, 6, 1.0),
+]
+
+
+@pytest.fixture(scope="module")
+def g(spark):
+    return Graph.from_edge_list(spark, EDGES, weighted=True)
+
+
+def test_modularity_edge_score_replica(spark, g):
+    W = sum(w for _, _, w in EDGES)
+    wdeg = {}
+    for u, v, w in EDGES:
+        wdeg[u] = wdeg.get(u, 0.0) + w
+        wdeg[v] = wdeg.get(v, 0.0) + w
+    got = {(r.src, r.dst): r.score for r in modularity_edge_score(g).collect()}
+    assert len(got) == len(EDGES)
+    for u, v, w in EDGES:
+        want = w / W - (wdeg[u] / (2 * W)) * (wdeg[v] / (2 * W))
+        assert got[(min(u, v), max(u, v))] == pytest.approx(want)
+
+
+def _labels(spark, mapping):
+    return spark.createDataFrame(list(mapping.items()), "node long, label long")
+
+
+def test_hashing_overlapper_two_way_equals_intersection(spark):
+    a = _labels(spark, {0: 10, 1: 10, 2: 20, 3: 20, 4: 30, 5: 30, 6: 30})
+    b = _labels(spark, {0: 1, 1: 2, 2: 2, 3: 2, 4: 3, 5: 3, 6: 4})
+    core = {r.node: r.label for r in hashing_overlapper([a, b]).collect()}
+    inter = {r.node: r.label for r in partition_intersection(a, b).collect()}
+    # same equivalence classes (both min-node canonical → identical labels)
+    assert core == inter
+    # cells: {0},{1},{2,3},{4,5},{6}
+    assert core[2] == core[3] and core[4] == core[5]
+    assert len(set(core.values())) == 5
+
+
+def test_hashing_overlapper_three_way(spark):
+    a = _labels(spark, {0: 0, 1: 0, 2: 0, 3: 1, 4: 1, 5: 1})
+    b = _labels(spark, {0: 0, 1: 0, 2: 1, 3: 1, 4: 1, 5: 1})
+    c = _labels(spark, {0: 0, 1: 1, 2: 1, 3: 1, 4: 1, 5: 0})
+    core = {r.node: r.label for r in hashing_overlapper([a, b, c]).collect()}
+    # expected cells: {0},{1},{2},{3,4},{5}
+    assert core[3] == core[4] == 3
+    assert len({core[0], core[1], core[2], core[3], core[5]}) == 5
+    # single clustering passes through unchanged up to canonical relabel
+    one = {r.node: r.label for r in hashing_overlapper([a]).collect()}
+    assert one == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3, 5: 3}
+    with pytest.raises(ValueError):
+        hashing_overlapper([])
