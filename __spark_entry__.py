@@ -416,6 +416,19 @@ def q_rand_measure(spark, sf_dir):
     return spark.range(1).select(F.round(F.lit(v), 6).alias("rand_distance"))
 
 
+def q_graph_rand(spark, sf_dir):
+    """GraphStructuralRandMeasure (ref
+    cpp/community/GraphStructuralRandMeasure.cpp:13-37): edge-restricted Rand
+    dissimilarity between the PLP partition and the CC partition."""
+    from networkit_spark.operators.measures import graph_structural_rand_measure
+
+    g = _g(spark, sf_dir)
+    a = plp(g, fixed_iters=PLP_ITERS)
+    b = connected_components(g).withColumnRenamed("component", "label")
+    v = graph_structural_rand_measure(g, a, b)
+    return spark.range(1).select(F.round(F.lit(v), 6).alias("graph_rand_distance"))
+
+
 def q_intrapartition_density(spark, sf_dir):
     from networkit_spark.operators.measures import intrapartition_density
 
@@ -1289,6 +1302,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multiscale_score": q_multiscale_score,
         "modularity_edge_score": q_modularity_edge_score,
         "overlap_core": q_overlap_core,
+        "graph_rand": q_graph_rand,
         "katz_pairs": q_katz_pairs,
         "permanence": q_permanence,
         "top_closeness": q_top_closeness,
@@ -2499,6 +2513,28 @@ def _overlap_core_sql() -> str:
             "SELECT p.node, c.cell AS label FROM pair p "
             "JOIN cells c ON p.la = c.la AND p.lb = c.lb"
         ),
+    )
+
+
+def _graph_rand_sql() -> str:
+    ctes = _plp_ctes(PLP_ITERS)
+    ctes.append("c0 AS MATERIALIZED (SELECT node, node AS component FROM nodes)")
+    for i in range(CC_ROUNDS):
+        ctes.append(f"""c{i + 1} AS MATERIALIZED (
+  SELECT x.node, MIN(x.component) AS component FROM (
+    SELECT node, component FROM c{i}
+    UNION ALL
+    SELECT s.dst AS node, c.component FROM sym s JOIN c{i} c ON s.src = c.node
+  ) x GROUP BY x.node
+)""")
+    L, C = f"l{PLP_ITERS}", f"c{CC_ROUNDS}"
+    return _with(
+        *ctes,
+        select=f"""SELECT ROUND(1.0 - SUM(CASE WHEN (a1.label = a2.label) = (b1.component = b2.component)
+                          THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) AS graph_rand_distance
+FROM edges e
+JOIN {L} a1 ON e.src = a1.node JOIN {L} a2 ON e.dst = a2.node
+JOIN {C} b1 ON e.src = b1.node JOIN {C} b2 ON e.dst = b2.node""",
     )
 
 
@@ -3745,6 +3781,7 @@ def oracle_sql() -> dict[str, str]:
         "multiscale_score": _multiscale_sql(),
         "modularity_edge_score": _modularity_edge_score_sql(),
         "overlap_core": _overlap_core_sql(),
+        "graph_rand": _graph_rand_sql(),
         "katz_pairs": _katz_pairs_sql(),
         "permanence": _permanence_sql(),
         "top_closeness": _top_closeness_sql(),

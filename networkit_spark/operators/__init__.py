@@ -21,6 +21,8 @@ from .centrality import (
     sfigality,
     closeness_sampled,
     betweenness_sampled,
+    approx_betweenness,
+    approx_closeness,
     ranking,
     centralization,
     degree_assortativity,

@@ -148,6 +148,45 @@ def betweenness_sampled(graph: Graph, sources: list[int]) -> DataFrame:
     )
 
 
+def approx_betweenness(
+    graph: Graph, num_samples: int = 64, seed: int = 42, normalized: bool = True
+) -> DataFrame:
+    """ApproxBetweenness2 (reference cpp/centrality/ApproxBetweenness2.cpp:
+    16-52): Brandes dependencies from a random source sample, normalized by
+    the sample count. Sources are a seeded hash-sample of the node set (the
+    reference uses GraphTools::randomNodes; the hash order is the
+    reproducible analog). Delegates to the batched multi-source
+    :func:`betweenness_sampled`."""
+    srcs = [
+        r["node"]
+        for r in graph.nodes()
+        .orderBy(F.abs(F.xxhash64("node", F.lit(seed))), F.asc("node"))
+        .limit(num_samples)
+        .collect()
+    ]
+    out = betweenness_sampled(graph, srcs)
+    if normalized and srcs:
+        out = out.select("node", (F.col("score") / F.lit(float(len(srcs)))).alias("score"))
+    return out
+
+
+def approx_closeness(
+    graph: Graph, num_samples: int = 64, seed: int = 42
+) -> DataFrame:
+    """ApproxCloseness (reference cpp/centrality/ApproxCloseness.cpp shape):
+    closeness estimated from a random pivot sample's BFS distances.
+    Seeded-hash pivot selection + the batched multi-source
+    :func:`closeness_sampled`."""
+    srcs = [
+        r["node"]
+        for r in graph.nodes()
+        .orderBy(F.abs(F.xxhash64("node", F.lit(seed))), F.asc("node"))
+        .limit(num_samples)
+        .collect()
+    ]
+    return closeness_sampled(graph, srcs)
+
+
 def ranking(scores: DataFrame, score_col: str = "score", k: int | None = None) -> DataFrame:
     """Centrality::ranking (_NetworKit.pyx:5492-5495): (rank, node, score)
     ordered by score desc, node asc.

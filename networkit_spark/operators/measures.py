@@ -373,3 +373,32 @@ def dynamic_nmi_distance(old_labels: DataFrame, new_labels: DataFrame) -> float:
     restriction, so the dynamic variant shares the implementation; this
     wrapper exists for API parity and documents the semantics."""
     return nmi_distance(old_labels, new_labels)
+
+
+def graph_structural_rand_measure(graph: Graph, a: DataFrame, b: DataFrame) -> float:
+    """GraphStructuralRandMeasure (reference
+    cpp/community/GraphStructuralRandMeasure.cpp:13-37): Rand dissimilarity
+    restricted to CONNECTED node pairs — 1 - (e11 + e00)/m where e11 counts
+    edges whose endpoints agree in both clusterings and e00 edges whose
+    endpoints disagree in both.
+
+    Distributed: two label joins on the edge table + one agg — O(m), no pair
+    materialization (vs the node-structural measure's O(n^2) contingency
+    shortcut)."""
+    la = a.select(F.col("node").alias("src"), F.col("label").alias("lau"))
+    lb = b.select(F.col("node").alias("src"), F.col("label").alias("lbu"))
+    ra = a.select(F.col("node").alias("dst"), F.col("label").alias("lav"))
+    rb = b.select(F.col("node").alias("dst"), F.col("label").alias("lbv"))
+    e = graph.edges.join(la, "src").join(lb, "src").join(ra, "dst").join(rb, "dst")
+    row = e.agg(
+        F.count("*").alias("m"),
+        F.sum(
+            (
+                (F.col("lau") == F.col("lav")) == (F.col("lbu") == F.col("lbv"))
+            ).cast("long")
+        ).alias("same"),
+    ).collect()[0]
+    m = row["m"] or 0
+    if m == 0:
+        raise ValueError("graph-structural rand measure undefined without edges")
+    return 1.0 - float(row["same"]) / m

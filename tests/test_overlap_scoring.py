@@ -36,6 +36,23 @@ def test_modularity_edge_score_replica(spark, g):
         assert got[(min(u, v), max(u, v))] == pytest.approx(want)
 
 
+def test_graph_structural_rand_replica(spark, g):
+    from networkit_spark.operators.measures import graph_structural_rand_measure
+
+    a = {0: 0, 1: 0, 2: 0, 3: 1, 4: 1, 5: 1, 6: 1}
+    b = {0: 0, 1: 0, 2: 1, 3: 1, 4: 1, 5: 2, 6: 2}
+    same = sum(
+        1 for u, v, _ in EDGES if (a[u] == a[v]) == (b[u] == b[v])
+    )
+    want = 1.0 - same / len(EDGES)
+    got = graph_structural_rand_measure(g, _labels(spark, a), _labels(spark, b))
+    assert got == pytest.approx(want)
+    # identical clusterings → distance 0
+    assert graph_structural_rand_measure(
+        g, _labels(spark, a), _labels(spark, a)
+    ) == pytest.approx(0.0)
+
+
 def _labels(spark, mapping):
     return spark.createDataFrame(list(mapping.items()), "node long, label long")
 
@@ -65,3 +82,29 @@ def test_hashing_overlapper_three_way(spark):
     assert one == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3, 5: 3}
     with pytest.raises(ValueError):
         hashing_overlapper([])
+
+
+def test_approx_centrality_wrappers(spark, g):
+    from pyspark.sql import functions as F
+    from networkit_spark.operators.centrality import (
+        approx_betweenness,
+        approx_closeness,
+        betweenness_sampled,
+        closeness_sampled,
+    )
+
+    srcs = [
+        r["node"]
+        for r in g.nodes()
+        .orderBy(F.abs(F.xxhash64("node", F.lit(7))), F.asc("node"))
+        .limit(3)
+        .collect()
+    ]
+    ab = {r.node: r.score for r in approx_betweenness(g, num_samples=3, seed=7).collect()}
+    manual = {
+        r.node: r.score / 3.0 for r in betweenness_sampled(g, srcs).collect()
+    }
+    assert ab == pytest.approx(manual)
+    ac = {r.node: r.score for r in approx_closeness(g, num_samples=3, seed=7).collect()}
+    mc = {r.node: r.score for r in closeness_sampled(g, srcs).collect()}
+    assert ac == pytest.approx(mc)
