@@ -33,6 +33,7 @@ PR_ITERS = 20
 PLP_ITERS = 4
 CC_ROUNDS = 20   # oracle unroll; Spark runs to fixpoint (converges ≪ 20)
 KCORE_ROUNDS = 15
+UMSF_ROUNDS = 12  # per-threshold propagate+jump rounds; Spark runs to fixpoint
 KCORE_K = 90  # min degree is 79, ~4 nodes peel at 90 → non-trivial stable core
 BFS_ROUNDS = 10
 N_NODES = 1000
@@ -414,6 +415,18 @@ def q_rand_measure(spark, sf_dir):
     b = connected_components(g).withColumnRenamed("component", "label")
     v = rand_measure(a, b)
     return spark.range(1).select(F.round(F.lit(v), 6).alias("rand_distance"))
+
+
+def q_umsf(spark, sf_dir):
+    """UnionMaximumSpanningForest (ref cpp/graph/UnionMaximumSpanningForest.cpp):
+    edges contained in at least one maximum-weight spanning forest."""
+    from networkit_spark.operators.misc import union_maximum_spanning_forest
+
+    return union_maximum_spanning_forest(_g(spark, sf_dir)).select(
+        "src", "dst",
+        F.col("weight").cast("double").alias("weight"),
+        F.col("in_umsf").cast("int").alias("in_umsf"),
+    )
 
 
 def q_graph_rand(spark, sf_dir):
@@ -1303,6 +1316,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "modularity_edge_score": q_modularity_edge_score,
         "overlap_core": q_overlap_core,
         "graph_rand": q_graph_rand,
+        "umsf": q_umsf,
         "katz_pairs": q_katz_pairs,
         "permanence": q_permanence,
         "top_closeness": q_top_closeness,
@@ -2513,6 +2527,42 @@ def _overlap_core_sql() -> str:
             "SELECT p.node, c.cell AS label FROM pair p "
             "JOIN cells c ON p.la = c.la AND p.lb = c.lb"
         ),
+    )
+
+
+def _umsf_sql() -> str:
+    """Per distinct weight threshold w: min-label components of the
+    strictly-heavier subgraph, unrolled UMSF_ROUNDS rounds of propagate +
+    pointer-jump; an edge is in the union-MSF iff its endpoints' components
+    at threshold = its own weight differ."""
+    ctes = [
+        edges_sql(N_NODES),
+        "thr AS MATERIALIZED (SELECT DISTINCT weight AS w FROM edges)",
+        """u0 AS MATERIALIZED (
+  SELECT t.w, n.node, n.node AS comp FROM nodes n CROSS JOIN thr t
+)""",
+    ]
+    for i in range(UMSF_ROUNDS):
+        ctes.append(f"""p{i} AS MATERIALIZED (
+  SELECT x.w, x.node, MIN(x.comp) AS comp FROM (
+    SELECT w, node, comp FROM u{i}
+    UNION ALL
+    SELECT u.w, s.dst AS node, u.comp
+    FROM sym s JOIN u{i} u ON s.src = u.node AND s.weight > u.w
+  ) x GROUP BY x.w, x.node
+)""")
+        ctes.append(f"""u{i + 1} AS MATERIALIZED (
+  SELECT a.w, a.node, b.comp AS comp
+  FROM p{i} a JOIN p{i} b ON a.w = b.w AND a.comp = b.node
+)""")
+    K = f"u{UMSF_ROUNDS}"
+    return _with(
+        *ctes,
+        select=f"""SELECT e.src, e.dst, CAST(e.weight AS DOUBLE) AS weight,
+  CAST(cu.comp <> cv.comp AS INTEGER) AS in_umsf
+FROM edges e
+JOIN {K} cu ON cu.w = e.weight AND cu.node = e.src
+JOIN {K} cv ON cv.w = e.weight AND cv.node = e.dst""",
     )
 
 
@@ -3782,6 +3832,7 @@ def oracle_sql() -> dict[str, str]:
         "modularity_edge_score": _modularity_edge_score_sql(),
         "overlap_core": _overlap_core_sql(),
         "graph_rand": _graph_rand_sql(),
+        "umsf": _umsf_sql(),
         "katz_pairs": _katz_pairs_sql(),
         "permanence": _permanence_sql(),
         "top_closeness": _top_closeness_sql(),

@@ -14,8 +14,10 @@ from .distance import (
     sssp_distances,
     eccentricity,
     neighborhood_function_anf,
+    neighborhood_function_heuristic,
     effective_diameter_approx,
 )
+from .misc import union_maximum_spanning_forest
 from .centrality import (
     degree_centrality,
     sfigality,

@@ -329,3 +329,56 @@ def effective_diameter_approx(graph: Graph, ratio: float = 0.9, **kw) -> float:
             return prev_h + (target - prev_v) / (v - prev_v)
         prev_h, prev_v = h, v
     return float(nf[-1][0])
+
+
+def neighborhood_function_heuristic(
+    graph: Graph, num_samples: int = 64, seed: int = 42
+) -> list:
+    """NeighborhoodFunctionHeuristic (reference
+    cpp/distance/NeighborhoodFunctionHeuristic.cpp:35-100): estimate the
+    neighborhood function N(h) = #ordered pairs within distance <= h by
+    running BFS from a node sample and scaling per-distance counts by
+    n/#samples. The reference's endpoint corrections are applied: N(1) = 2m
+    exactly; the final hop is pinned to n*(n-1) (connected-graph assumption,
+    same as the reference's).
+
+    Sources are a seeded hash-sample (reproducible analog of the reference's
+    RANDOM strategy); the BFS is the batched multi-source pair frontier, so
+    the sample costs one BFS's worth of supersteps. The per-distance
+    histogram is diameter-sized — collected to the driver like the
+    reference's result vector.
+    """
+    n = graph.num_nodes()
+    m = graph.num_edges()
+    srcs = [
+        r["node"]
+        for r in graph.nodes()
+        .orderBy(F.abs(F.xxhash64("node", F.lit(seed))), F.asc("node"))
+        .limit(num_samples)
+        .collect()
+    ]
+    if not srcs:
+        return []
+    pairs = multi_source_bfs(graph, srcs)
+    hist = {
+        r["dist"]: r["cnt"]
+        for r in pairs.filter(F.col("dist") > 0)
+        .groupBy("dist")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    if not hist:
+        return []
+    dia = max(hist)
+    norm = n / float(len(srcs))
+    out = []
+    acc = 0.0
+    for h in range(1, dia + 1):
+        acc += hist.get(h, 0) * norm
+        if h == 1:
+            out.append((1, int(2 * m)))
+        elif h == dia:
+            out.append((h, int(n * (n - 1))))
+        else:
+            out.append((h, int(round(acc))))
+    return out

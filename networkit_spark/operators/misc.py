@@ -379,3 +379,100 @@ def pseudo_random_spanning_tree(graph: Graph, seed: int = 42) -> DataFrame:
     return forest.drop("weight").join(orig, ["src", "dst"]).select(
         "src", "dst", F.col("orig_weight").alias("weight")
     )
+
+
+def union_maximum_spanning_forest(graph: Graph) -> DataFrame:
+    """UnionMaximumSpanningForest (reference
+    cpp/graph/UnionMaximumSpanningForest.cpp): mark every edge contained in
+    AT LEAST ONE maximum-weight spanning forest. Criterion (the reference's
+    weight-descending union-find, re-expressed): edge (u, v, w) qualifies iff
+    u and v are NOT connected using only edges of weight STRICTLY greater
+    than w.
+
+    Distributed plan: one pass per DISTINCT weight level, descending,
+    maintaining component labels of the strictly-heavier subgraph. Each level
+    (a) marks its edges by comparing endpoint labels, then (b) merges on the
+    CONTRACTED component graph (level edges mapped to component-id pairs) —
+    the min-label fixpoint runs over component ids, not nodes, so per-level
+    work is proportional to the number of merging components, and node labels
+    are updated with one mapping join. Level count = |distinct weights| —
+    bounded for multiplicity/score weights; at web scale quantize weights
+    into bounded buckets first.
+
+    Returns (src, dst, weight, in_umsf:boolean).
+    """
+    levels = [
+        r["weight"]
+        for r in graph.edges.select("weight").distinct().orderBy(F.desc("weight")).collect()
+    ]
+    labels = (
+        graph.nodes()
+        .select("node", F.col("node").alias("component"))
+        .localCheckpoint(eager=True)
+    )
+    marked = None
+    for w in levels:
+        lu = labels.select(F.col("node").alias("src"), F.col("component").alias("cu"))
+        lv = labels.select(F.col("node").alias("dst"), F.col("component").alias("cv"))
+        lvl = (
+            graph.edges.filter(F.col("weight") == w)
+            .join(lu, "src")
+            .join(lv, "dst")
+            .select("src", "dst", "weight", "cu", "cv")
+            .localCheckpoint(eager=True)
+        )
+        out = lvl.select(
+            "src", "dst", "weight", (F.col("cu") != F.col("cv")).alias("in_umsf")
+        )
+        marked = out if marked is None else marked.unionByName(out)
+        # contracted merge: min-label fixpoint over component ids
+        ce = (
+            lvl.filter(F.col("cu") != F.col("cv"))
+            .select(F.col("cu").alias("a"), F.col("cv").alias("b"))
+        )
+        ce = ce.unionByName(ce.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        ce = ce.distinct().localCheckpoint(eager=True)
+        if ce.isEmpty():
+            continue
+        cmap = (
+            ce.select(F.col("a").alias("c"))
+            .distinct()
+            .select("c", F.col("c").alias("m"))
+            .localCheckpoint(eager=True)
+        )
+        while True:
+            nbr = (
+                ce.join(cmap.select(F.col("c").alias("a"), F.col("m").alias("nm")), "a")
+                .groupBy(F.col("b").alias("c"))
+                .agg(F.min("nm").alias("nm"))
+            )
+            new = cmap.join(nbr, "c", "left").select(
+                "c", F.least("m", F.coalesce("nm", F.col("m"))).alias("m")
+            )
+            # pointer jumping on the contracted map
+            new = (
+                new.alias("x")
+                .join(
+                    new.select(F.col("c").alias("m"), F.col("m").alias("mm")).alias("y"),
+                    "m",
+                    "left",
+                )
+                .select("c", F.coalesce("mm", F.col("m")).alias("m"))
+                .localCheckpoint(eager=True)
+            )
+            changed = (
+                new.join(cmap.withColumnRenamed("m", "old"), "c")
+                .filter(F.col("m") != F.col("old"))
+                .count()
+            )
+            cmap = new
+            if changed == 0:
+                break
+        labels = (
+            labels.join(cmap.withColumnRenamed("c", "component"), "component", "left")
+            .select("node", F.coalesce("m", F.col("component")).alias("component"))
+            .localCheckpoint(eager=True)
+        )
+    if marked is None:
+        return graph.edges.select("src", "dst", "weight", F.lit(False).alias("in_umsf"))
+    return marked

@@ -38,6 +38,7 @@ UNROLLED = [
     ("top_closeness", "TOPC_DOUBLINGS"),
     ("dynbfs_update", "DYN_ROUNDS"),
     ("dedup_clusters", "DEDUP_CLUSTER_ROUNDS"),
+    ("umsf", "UMSF_ROUNDS"),
 ]
 
 
