@@ -429,6 +429,18 @@ def q_umsf(spark, sf_dir):
     )
 
 
+def q_linearized_score(spark, sf_dir):
+    """EdgeScoreLinearizer (ref cpp/edgescores/EdgeScoreLinearizer.cpp:21-57):
+    normalized rank position of each edge's weight, deterministic (src, dst)
+    tie-break."""
+    from networkit_spark.operators.sparsification import linearize_score
+
+    g = _g(spark, sf_dir)
+    return linearize_score(
+        g.edges.select("src", "dst", F.col("weight").alias("score"))
+    ).select("src", "dst", F.round("score", 9).alias("score"))
+
+
 def q_graph_rand(spark, sf_dir):
     """GraphStructuralRandMeasure (ref
     cpp/community/GraphStructuralRandMeasure.cpp:13-37): edge-restricted Rand
@@ -1317,6 +1329,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overlap_core": q_overlap_core,
         "graph_rand": q_graph_rand,
         "umsf": q_umsf,
+        "linearized_score": q_linearized_score,
         "katz_pairs": q_katz_pairs,
         "permanence": q_permanence,
         "top_closeness": q_top_closeness,
@@ -2563,6 +2576,17 @@ def _umsf_sql() -> str:
 FROM edges e
 JOIN {K} cu ON cu.w = e.weight AND cu.node = e.src
 JOIN {K} cv ON cv.w = e.weight AND cv.node = e.dst""",
+    )
+
+
+def _linearized_score_sql() -> str:
+    return _with(
+        edges_sql(N_NODES),
+        "mm AS MATERIALIZED (SELECT COUNT(*) AS m FROM edges)",
+        select="""SELECT src, dst,
+  ROUND((ROW_NUMBER() OVER (ORDER BY weight ASC, src ASC, dst ASC) - 1)
+        * 1.0 / (mm.m - 1), 9) AS score
+FROM edges CROSS JOIN mm""",
     )
 
 
@@ -3833,6 +3857,7 @@ def oracle_sql() -> dict[str, str]:
         "overlap_core": _overlap_core_sql(),
         "graph_rand": _graph_rand_sql(),
         "umsf": _umsf_sql(),
+        "linearized_score": _linearized_score_sql(),
         "katz_pairs": _katz_pairs_sql(),
         "permanence": _permanence_sql(),
         "top_closeness": _top_closeness_sql(),

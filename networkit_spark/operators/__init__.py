@@ -68,6 +68,7 @@ from .sparsification import (
     forest_fire_score,
     random_node_edge_score,
     modularity_edge_score,
+    linearize_score,
 )
 from .community import hashing_overlapper
 

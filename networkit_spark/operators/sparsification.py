@@ -554,3 +554,28 @@ def modularity_edge_score(graph: Graph) -> DataFrame:
             ).alias("score"),
         )
     )
+
+
+def linearize_score(scores: DataFrame, inverse: bool = False) -> DataFrame:
+    """EdgeScoreLinearizer (reference
+    cpp/edgescores/EdgeScoreLinearizer.cpp:21-57): replace each edge score by
+    its normalized rank position pos / (m - 1) in ascending (descending when
+    ``inverse``) score order; a single edge gets 0.5. The reference breaks
+    ties randomly; here ties break deterministically by (src, dst) — required
+    for exact-match testing. Ranking is the distributed range-partition rank
+    (plans/order.py), never a single-task global window.
+    """
+    from ..plans.order import zip_with_rank
+
+    m = scores.count()
+    if m == 1:
+        return scores.select("src", "dst", F.lit(0.5).alias("score"))
+    order = [
+        F.desc("score") if inverse else F.asc("score"),
+        F.asc("src"),
+        F.asc("dst"),
+    ]
+    ranked = zip_with_rank(scores, order)
+    return ranked.select(
+        "src", "dst", ((F.col("rank") - 1) / F.lit(float(m - 1))).alias("score")
+    )

@@ -114,3 +114,25 @@ def test_random_node_edge_degree_bias(spark):
         first = min(rows, key=lambda r: r.score)
         hub_first += first.src == 0
     assert hub_first >= 5  # hub incident edges dominate the early removals
+
+
+def test_linearize_score_replica(spark, g):
+    from networkit_spark.operators.sparsification import linearize_score
+    from pyspark.sql import functions as F
+
+    scores = g.edges.select("src", "dst", F.col("weight").alias("score"))
+    got = {(r.src, r.dst): r.score for r in linearize_score(scores).collect()}
+    rows = sorted(
+        ((w, min(u, v), max(u, v)) for u, v, w in EDGES)
+    )
+    m = len(rows)
+    for pos, (_, u, v) in enumerate(rows):
+        assert got[(u, v)] == pytest.approx(pos / (m - 1))
+    inv = {(r.src, r.dst): r.score for r in linearize_score(scores, inverse=True).collect()}
+    # descending score order, ties still ascending (src, dst)
+    rows_inv = sorted(((-w, min(u, v), max(u, v)) for u, v, w in EDGES))
+    for pos, (_, u, v) in enumerate(rows_inv):
+        assert inv[(u, v)] == pytest.approx(pos / (m - 1))
+    # single-edge special case -> 0.5
+    single = spark.createDataFrame([(1, 2, 9.0)], "src long, dst long, score double")
+    assert linearize_score(single).collect()[0].score == 0.5
