@@ -71,5 +71,6 @@ from .sparsification import (
     linearize_score,
 )
 from .community import hashing_overlapper
+from .coloring import jones_plassmann_coloring
 
 __all__ = [n for n in dir() if not n.startswith("_")]
