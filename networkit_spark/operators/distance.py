@@ -382,3 +382,17 @@ def neighborhood_function_heuristic(
         else:
             out.append((h, int(round(acc))))
     return out
+
+
+def bfs_sample(graph: Graph, source: int, k: int = 50) -> Graph:
+    """bfsSample (reference networkit/sampling.py:5-26): node-induced
+    subgraph of the k nodes closest to ``source`` in BFS order. The
+    reference's FIFO discovery order is schedule-dependent; the deterministic
+    distributed analog takes the k smallest (dist, node) pairs —
+    same level structure, ties broken by node id. TakeOrdered (orderBy+limit)
+    — distributed, no global window."""
+    dist = bfs_distances(graph, source)
+    closest = (
+        dist.orderBy(F.asc("dist"), F.asc("node")).limit(k).select("node")
+    )
+    return graph.subgraph_from_nodes(closest)

@@ -402,3 +402,16 @@ def graph_structural_rand_measure(graph: Graph, a: DataFrame, b: DataFrame) -> f
     if m == 0:
         raise ValueError("graph-structural rand measure undefined without edges")
     return 1.0 - float(row["same"]) / m
+
+
+def partition_imbalance(labels: DataFrame) -> float:
+    """computeImbalance (reference networkit/partitioning.py:28-33):
+    max subset size / ceil(n / #subsets). Two tiny aggregations."""
+    sizes = labels.groupBy("label").agg(F.count("*").alias("sz"))
+    row = sizes.agg(
+        F.max("sz").alias("mx"), F.sum("sz").alias("n"), F.count("*").alias("k")
+    ).collect()[0]
+    if not row["k"]:
+        return 0.0
+    desired = math.ceil(row["n"] / float(row["k"]))
+    return float(row["mx"]) / desired

@@ -108,3 +108,24 @@ def test_approx_centrality_wrappers(spark, g):
     ac = {r.node: r.score for r in approx_closeness(g, num_samples=3, seed=7).collect()}
     mc = {r.node: r.score for r in closeness_sampled(g, srcs).collect()}
     assert ac == pytest.approx(mc)
+
+
+def test_partition_imbalance(spark):
+    from networkit_spark.operators.measures import partition_imbalance
+
+    lab = _labels(spark, {0: 0, 1: 0, 2: 0, 3: 1, 4: 1, 5: 2})
+    # n=6, k=3 -> desired ceil(6/3)=2; max subset 3 -> 1.5
+    assert partition_imbalance(lab) == pytest.approx(1.5)
+    balanced = _labels(spark, {0: 0, 1: 0, 2: 1, 3: 1, 4: 2, 5: 2})
+    assert partition_imbalance(balanced) == pytest.approx(1.0)
+
+
+def test_bfs_sample(spark, g):
+    from networkit_spark.operators.distance import bfs_sample
+
+    sub = bfs_sample(g, source=0, k=4)
+    nodes = {r.node for r in sub.nodes().collect()}
+    # path from 0: dist0={0}, dist1={1,2}, dist2={3} -> k=4 closest
+    assert nodes == {0, 1, 2, 3}
+    edges = {(r.src, r.dst) for r in sub.edges.collect()}
+    assert edges == {(0, 1), (0, 2), (1, 2), (2, 3)}
