@@ -3597,12 +3597,18 @@ def _isolated_conductance_sql() -> str:
     UNION ALL SELECT lb AS label, weight AS w FROM le WHERE la <> lb) c
   GROUP BY label)""",
         """tot AS (SELECT 2.0 * SUM(weight) AS total FROM edges)""",
+        # row set starts from the non-empty clusters (labels), not from the
+        # edge-incident volume table — all-isolated clusters emit value 0,
+        # mirroring operators/measures.py isolated_interpartition_conductance
+        """clusters AS (SELECT DISTINCT label FROM lab)""",
         select="""
-SELECT v.label,
-       ROUND(CASE WHEN LEAST(v.vol, t.total - v.vol) > 0
+SELECT k.label,
+       ROUND(CASE WHEN LEAST(COALESCE(v.vol, 0), t.total - COALESCE(v.vol, 0)) > 0
              THEN COALESCE(c.cut, 0) / LEAST(v.vol, t.total - v.vol)
              ELSE 0 END, 9) AS value
-FROM vol v CROSS JOIN tot t LEFT JOIN cut c ON v.label = c.label
+FROM clusters k CROSS JOIN tot t
+LEFT JOIN vol v ON k.label = v.label
+LEFT JOIN cut c ON k.label = c.label
 """,
     )
 

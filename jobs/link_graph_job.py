@@ -38,7 +38,6 @@ from __future__ import annotations
 
 import argparse
 import json
-import os
 import sys
 import time
 
@@ -123,6 +122,22 @@ def run_algorithm(spark: SparkSession, graph, args):
     raise SystemExit(f"unknown algorithm {args.algorithm!r}")
 
 
+def _write_manifest(spark: SparkSession, output: str, metrics: dict) -> None:
+    """Write ``_JOB_METRICS.json`` next to the output THROUGH the Hadoop
+    filesystem of the output URI, so cluster URIs (hdfs://, s3a://) land the
+    manifest beside the parquet instead of a literal local 'hdfs:/...'
+    directory on the driver node. Local paths resolve to file:// and behave
+    as before."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(output, "_JOB_METRICS.json")
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    stream = fs.create(path, True)
+    try:
+        stream.write(bytearray(json.dumps(metrics, indent=2).encode("utf-8")))
+    finally:
+        stream.close()
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--input", required=True)
@@ -159,9 +174,7 @@ def main(argv=None) -> int:
         "output_rows": spark.read.parquet(args.output).count(),
         **extra,
     }
-    os.makedirs(args.output, exist_ok=True)
-    with open(os.path.join(args.output, "_JOB_METRICS.json"), "w") as f:
-        json.dump(metrics, f, indent=2)
+    _write_manifest(spark, args.output, metrics)
     print(json.dumps(metrics), flush=True)
     spark.stop()
     return 0

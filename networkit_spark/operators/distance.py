@@ -371,28 +371,34 @@ def neighborhood_function_heuristic(
         return []
     dia = max(hist)
     norm = n / float(len(srcs))
-    out = []
-    acc = 0.0
-    for h in range(1, dia + 1):
-        acc += hist.get(h, 0) * norm
-        if h == 1:
-            out.append((1, int(2 * m)))
-        elif h == dia:
+    # Endpoint corrections + accumulation exactly as the reference
+    # (NeighborhoodFunctionHeuristic.cpp:72-95): result[0] = 2m anchors the
+    # cumulative chain (result[dist-1] = round(count*norm) + result[dist-2]),
+    # each hop's sampled count is rounded BEFORE accumulating, and the final
+    # hop is pinned to n*(n-1). This keeps the returned function monotone
+    # from the exact h=1 value onward.
+    out = [(1, int(2 * m))]
+    acc = float(2 * m)
+    for h in range(2, dia + 1):
+        if h == dia:
             out.append((h, int(n * (n - 1))))
         else:
-            out.append((h, int(round(acc))))
+            acc += round(hist.get(h, 0) * norm)
+            out.append((h, int(acc)))
     return out
 
 
 def bfs_sample(graph: Graph, source: int, k: int = 50) -> Graph:
     """bfsSample (reference networkit/sampling.py:5-26): node-induced
-    subgraph of the k nodes closest to ``source`` in BFS order. The
-    reference's FIFO discovery order is schedule-dependent; the deterministic
-    distributed analog takes the k smallest (dist, node) pairs —
-    same level structure, ties broken by node id. TakeOrdered (orderBy+limit)
-    — distributed, no global window."""
+    subgraph of the source PLUS up to ``k`` discovered nodes (the reference
+    counts only *discovered* nodes against ``k``, so the sample has at most
+    ``k + 1`` members). The reference's FIFO discovery order is
+    schedule-dependent; the deterministic distributed analog takes the
+    ``k + 1`` smallest (dist, node) pairs — same level structure, ties broken
+    by node id. TakeOrdered (orderBy+limit) — distributed, no global
+    window."""
     dist = bfs_distances(graph, source)
     closest = (
-        dist.orderBy(F.asc("dist"), F.asc("node")).limit(k).select("node")
+        dist.orderBy(F.asc("dist"), F.asc("node")).limit(k + 1).select("node")
     )
     return graph.subgraph_from_nodes(closest)

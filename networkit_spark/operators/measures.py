@@ -251,7 +251,10 @@ def isolated_interpartition_conductance(graph: Graph, labels: DataFrame) -> Data
     cut / min(volume, total_volume - volume), where each edge contributes w
     to both endpoint clusters' volumes (intra edges 2w to one cluster) and
     inter-cluster edges contribute w to both clusters' cuts. Returns
-    (label, value)."""
+    (label, value). Every non-empty cluster gets a row — a cluster whose
+    members are all isolated nodes has volume 0 and value 0, matching the
+    reference's per-subset emission (the row set starts from the labels, not
+    from the edge-incident volume table)."""
     la = labels.select(F.col("node").alias("src"), F.col("label").alias("lsrc"))
     lb = labels.select(F.col("node").alias("dst"), F.col("label").alias("ldst"))
     e = graph.edges.join(la, "src").join(lb, "dst").persist()
@@ -273,13 +276,24 @@ def isolated_interpartition_conductance(graph: Graph, labels: DataFrame) -> Data
         graph.edges.agg(F.sum("weight")).collect()[0][0] or 0.0
     )
     e.unpersist()
-    return vol.join(cut, "label", "left").select(
-        "label",
-        F.when(
-            F.least(F.col("vol"), F.lit(total) - F.col("vol")) > 0,
-            F.coalesce("cut", F.lit(0.0))
-            / F.least(F.col("vol"), F.lit(total) - F.col("vol")),
-        ).otherwise(0.0).alias("value"),
+    clusters = labels.select("label").distinct()
+    return (
+        clusters.join(vol, "label", "left")
+        .join(cut, "label", "left")
+        .select(
+            "label",
+            F.when(
+                F.least(
+                    F.coalesce("vol", F.lit(0.0)),
+                    F.lit(total) - F.coalesce("vol", F.lit(0.0)),
+                )
+                > 0,
+                F.coalesce("cut", F.lit(0.0))
+                / F.least(F.col("vol"), F.lit(total) - F.col("vol")),
+            )
+            .otherwise(0.0)
+            .alias("value"),
+        )
     )
 
 

@@ -387,16 +387,27 @@ def write_graphtool_binary(graph, path: str) -> None:
 
     from pyspark.sql import functions as F
 
+    # .gt stores nodes positionally as 0..n-1 — densify gapped ids first
+    # (sorted-id rank), otherwise nodes with id >= n are silently dropped and
+    # wide neighbor ids overflow the int width (the reference only ever sees
+    # dense ids; GraphToolBinaryWriter.cpp indexes by position).
+    ids = sorted(r["node"] for r in graph.nodes().collect())
+    n = len(ids)
+    dense = {u: i for i, u in enumerate(ids)}
     sym = graph.sym().select("src", "dst")
-    if not graph.directed:
-        sym = sym.filter(F.col("dst") <= F.col("src"))
-    adj = {
-        r["src"]: sorted(r["nbrs"])
+    adj_raw = {
+        r["src"]: r["nbrs"]
         for r in sym.groupBy("src")
         .agg(F.collect_list("dst").alias("nbrs"))
         .collect()
     }
-    n = graph.num_nodes()
+    adj: dict = {}
+    for u, nbrs in adj_raw.items():
+        du = dense[u]
+        dn = [dense[v] for v in nbrs]
+        if not graph.directed:
+            dn = [v for v in dn if v <= du]
+        adj[du] = sorted(dn)
     width = _gt_width(n)
     fmt = {1: "<B", 2: "<H", 4: "<I", 8: "<Q"}[width]
     with open(path, "wb") as f:

@@ -1,9 +1,10 @@
 """Driver-contract shape checks (cheap: no SparkSession).
 
-The heavyweight Spark-vs-DuckDB value parity is exercised by
-``tools/check_oracles.py`` (run out-of-band; all 54 queries hash-match at
-sf0.01). Here we pin the contract invariants that would break the driver:
-key alignment, SQL validity, and oracle column naming.
+The heavyweight Spark-vs-DuckDB value parity over EVERY ``queries()`` entry
+is committed in-repo as ``tests/test_oracle_parity.py`` (sf0.001, one pytest
+per query); ``tools/check_oracles.py`` remains the standalone runner for
+larger SFs. Here we pin the contract invariants that would break the
+driver: key alignment, SQL validity, and oracle column naming.
 """
 
 from __future__ import annotations

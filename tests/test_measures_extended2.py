@@ -117,3 +117,24 @@ def test_dynamic_nmi_restricts_to_common_nodes(spark):
     d = dynamic_nmi_distance(old, new)
     assert abs(d - nmi_distance(old, _labels_df(spark, new_core))) < 1e-12
     assert d < 1e-12  # identical partitions up to relabeling
+
+
+def test_isolated_conductance_all_isolated_cluster_emits_zero(spark):
+    """A non-empty cluster whose members are all isolated nodes must appear
+    with value 0 (the reference emits a value for every non-empty subset;
+    round-2 ADVICE item measures.py:249)."""
+    g = Graph.from_edge_list(spark, EDGES, weighted=True, num_nodes=6)
+    labels = dict(LABELS)
+    labels[6] = 9
+    labels[7] = 9  # cluster 9 = {6, 7}: no incident edges at all
+    got = {
+        r["label"]: r["value"]
+        for r in isolated_interpartition_conductance(
+            g, _labels_df(spark, labels)
+        ).collect()
+    }
+    want = _replica_iic(EDGES, labels)
+    assert set(got) == set(want) == {0, 3, 9}
+    assert got[9] == 0.0
+    for c, v in want.items():
+        assert abs(got[c] - v) < 1e-12

@@ -123,9 +123,10 @@ def test_partition_imbalance(spark):
 def test_bfs_sample(spark, g):
     from networkit_spark.operators.distance import bfs_sample
 
-    sub = bfs_sample(g, source=0, k=4)
+    sub = bfs_sample(g, source=0, k=3)
     nodes = {r.node for r in sub.nodes().collect()}
-    # path from 0: dist0={0}, dist1={1,2}, dist2={3} -> k=4 closest
+    # source + k=3 discovered (reference counts only discovered nodes
+    # against k, sampling.py:5-26): dist0={0}, dist1={1,2}, dist2={3}
     assert nodes == {0, 1, 2, 3}
     edges = {(r.src, r.dst) for r in sub.edges.collect()}
     assert edges == {(0, 1), (0, 2), (1, 2), (2, 3)}
