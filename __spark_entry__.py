@@ -181,7 +181,7 @@ NG_THRESHOLD = 0.3
 ND_THRESHOLD = 0.9
 ANN_K = 10
 IVF_BITS = 6
-SIMHASH_BITS = 32
+SIMHASH_BITS = 64  # 16-bit Hamming bands (65k buckets/band) at radius 3
 
 
 def q_doc_profile(spark, sf_dir):
@@ -276,8 +276,8 @@ def _emb_with_clones(spark, sf_dir):
 
 ND_BANDS = 4       # banded hyperplane LSH: 4 independent 12-bit sign codes
 ND_BAND_BITS = 12  # (candidate iff any band's code matches; exact verify)
-SH_PAIR_BITS = 48  # simhash pair-finder fingerprint width
-SH_MAX_HAMMING = 3  # → 4 bands of 12 bits; pigeonhole-exact candidates
+SH_PAIR_BITS = 64  # simhash pair-finder fingerprint width (library default)
+SH_MAX_HAMMING = 3  # → 4 bands of 16 bits; pigeonhole-exact candidates
 
 
 def q_embedding_neardup(spark, sf_dir):
@@ -1665,23 +1665,41 @@ SELECT a, b, ROUND(j, 6) AS jaccard FROM (
 """
 
 
+def _simhash_bit_sums(bits: int) -> str:
+    """Per-bit ±1 sums mirroring dedup.simhash_fingerprints: bits 0..31 from
+    h1 = hash60(tok), bits 32..63 from h2 = hash60('#' || tok)."""
+    return ", ".join(
+        (
+            f"SUM(CASE WHEN (h1 >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+            if b < 32
+            else f"SUM(CASE WHEN (h2 >> {b - 32}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        )
+        for b in range(bits)
+    )
+
+
+def _simhash_fp_expr(bits: int) -> str:
+    """Fingerprint from the bit sums; bit 63's term is -2^63 so the BIGINT
+    carries the exact two's-complement 64-bit pattern (matches Spark)."""
+    return " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN CAST({-(2 ** 63) if b == 63 else 2 ** b} AS BIGINT) ELSE 0 END)"
+        for b in range(bits)
+    )
+
+
 def _simhash_sql() -> str:
     bits = SIMHASH_BITS
-    sums = ", ".join(
-        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
-        for b in range(bits)
-    )
-    fp = " + ".join(
-        f"(CASE WHEN s{b} > 0 THEN CAST({2 ** b} AS BIGINT) ELSE 0 END)"
-        for b in range(bits)
-    )
     return f"""
 WITH toks AS MATERIALIZED (
   SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
 ),
-h AS MATERIALIZED (SELECT doc_id, {_H60.format(x='tok')} AS h FROM toks),
-sums AS MATERIALIZED (SELECT doc_id, {sums} FROM h GROUP BY doc_id)
-SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM sums
+h AS MATERIALIZED (
+  SELECT doc_id, {_H60.format(x='tok')} AS h1,
+         {_H60.format(x="'#' || tok")} AS h2
+  FROM toks
+),
+sums AS MATERIALIZED (SELECT doc_id, {_simhash_bit_sums(bits)} FROM h GROUP BY doc_id)
+SELECT doc_id, CAST({_simhash_fp_expr(bits)} AS BIGINT) AS simhash FROM sums
 """
 
 
@@ -1728,19 +1746,13 @@ SELECT a, b, ROUND(c, 6) AS cos FROM (
 
 
 def _simhash_pairs_sql() -> str:
-    """SimHash Hamming pair-finder mirror: 48-bit fingerprints over the
-    near-dup-clone corpus, 4 12-bit bands, XOR popcount verify <= 3."""
+    """SimHash Hamming pair-finder mirror: 64-bit fingerprints over the
+    near-dup-clone corpus, 4 16-bit bands, XOR popcount verify <= 3.
+    Shift+mask band extraction works on the sign-carrying BIGINT identically
+    in DuckDB and Spark (arithmetic shift, mask keeps exactly the band)."""
     bits = SH_PAIR_BITS
     n_bands = SH_MAX_HAMMING + 1
     width = bits // n_bands
-    sums = ", ".join(
-        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
-        for b in range(bits)
-    )
-    fp = " + ".join(
-        f"(CASE WHEN s{b} > 0 THEN CAST({2 ** b} AS BIGINT) ELSE 0 END)"
-        for b in range(bits)
-    )
     bands = ", ".join(
         f"(simhash >> {c * width}) & {2 ** (width if c < n_bands - 1 else bits - width * (n_bands - 1)) - 1} AS b{c}"
         for c in range(n_bands)
@@ -1755,9 +1767,13 @@ WITH {_DOCS_NEARDUP.strip().rstrip(',')},
 toks AS MATERIALIZED (
   SELECT doc AS doc_id, unnest(string_split(text, ' ')) AS tok FROM docsrc
 ),
-h AS MATERIALIZED (SELECT doc_id, {_H60.format(x='tok')} AS h FROM toks),
-sums AS MATERIALIZED (SELECT doc_id, {sums} FROM h GROUP BY doc_id),
-fps AS MATERIALIZED (SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM sums),
+h AS MATERIALIZED (
+  SELECT doc_id, {_H60.format(x='tok')} AS h1,
+         {_H60.format(x="'#' || tok")} AS h2
+  FROM toks
+),
+sums AS MATERIALIZED (SELECT doc_id, {_simhash_bit_sums(bits)} FROM h GROUP BY doc_id),
+fps AS MATERIALIZED (SELECT doc_id, CAST({_simhash_fp_expr(bits)} AS BIGINT) AS simhash FROM sums),
 banded AS MATERIALIZED (SELECT doc_id, simhash, {bands} FROM fps),
 cand AS MATERIALIZED ({cand_union})
 SELECT a, b, CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming

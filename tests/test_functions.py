@@ -46,9 +46,32 @@ def test_minhash_near_dup(spark, docs):
 def test_simhash_properties(spark, docs):
     fps = {r["doc_id"]: r["simhash"] for r in simhash_fingerprints(docs).collect()}
     assert fps[0] == fps[1]  # identical docs → identical fingerprints
-    ham02 = bin(fps[0] ^ fps[2]).count("1")
-    ham04 = bin(fps[0] ^ fps[4]).count("1")
-    assert ham02 < ham04  # near-dup closer in hamming space than unrelated
+
+    def ham(x, y):
+        # fingerprints are sign-carrying 64-bit patterns — mask before bin()
+        return bin((x ^ y) & (2 ** 64 - 1)).count("1")
+
+    assert ham(fps[0], fps[2]) < ham(fps[0], fps[4])  # near-dup closer
+
+
+def test_simhash_64bit_bands_are_spread(spark, docs):
+    """The 64-bit default must populate the HIGH bits too (bits 32..63 draw
+    from the salted second hash): at least one fingerprint uses the top
+    16-bit band, so Hamming banding gets 65k buckets, not a constant key."""
+    fps = [r["simhash"] for r in simhash_fingerprints(docs, bits=64).collect()]
+    top_band = {(f >> 48) & 0xFFFF for f in fps}
+    assert top_band != {0}
+    # and the pair-finder verifies exactly at radius 3 over 64 bits
+    from networkit_spark.functions.dedup import simhash_hamming_pairs
+
+    pairs = simhash_hamming_pairs(docs, bits=64, max_hamming=3).collect()
+    masked = {
+        r["doc_id"]: r["simhash"] & (2 ** 64 - 1)
+        for r in simhash_fingerprints(docs, bits=64).collect()
+    }
+    for p in pairs:
+        assert bin(masked[p["a"]] ^ masked[p["b"]]).count("1") == p["hamming"]
+        assert p["hamming"] <= 3
 
 
 def test_text_profile(spark, docs):
