@@ -478,6 +478,7 @@ SSSP_ROUNDS = 15
 CL_NSOURCES = 4
 CL_ROUNDS = 10
 DIAM_ROUNDS = 10
+DIAM_EXACT_ROUNDS = 8  # all-pairs BFS unroll for the exact-diameter oracle
 BETW_SOURCES = [0, 1]
 
 
@@ -656,6 +657,20 @@ def q_diameter_range(spark, sf_dir):
     return spark.range(1).select(
         F.lit(lb).cast("long").alias("lower"), F.lit(ub).cast("long").alias("upper")
     )
+
+
+def q_diameter_exact(spark, sf_dir):
+    """EXACT diameter via the distributed SumSweep bound tightening
+    (operators/misc.py diameter_bounds_sumsweep; reference Diameter.cpp
+    exactDiameter / estimatedRange(error=0)). Oracle: brute-force all-pairs
+    BFS max distance, fixed-unrolled."""
+    from networkit_spark.operators.misc import diameter_exact
+
+    # short sweep: the lineitem fixture is dense/small-diameter, so the
+    # batched exact tail does the work; more sweeps only pay off on
+    # large-diameter power-law graphs
+    d = diameter_exact(_g(spark, sf_dir), max_rounds=1)
+    return spark.range(1).select(F.lit(d).cast("long").alias("diameter"))
 
 
 def q_missing_links(spark, sf_dir):
@@ -1309,6 +1324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stable_nodes": q_stable_nodes,
         "fragmentation": q_fragmentation,
         "diameter_range": q_diameter_range,
+        "diameter_exact": q_diameter_exact,
         "missing_links": q_missing_links,
         "pagerank_csr": q_pagerank_csr,
         "scan_score": q_scan_score,
@@ -2435,6 +2451,29 @@ def _diameter_range_sql() -> str:
             f"SELECT CAST(MAX(dist) AS BIGINT) AS lower, "
             f"CAST(2 * MAX(dist) AS BIGINT) AS upper FROM {B}"
         ),
+    )
+
+
+def _diameter_exact_sql() -> str:
+    """All-pairs BFS frontier, fixed-unrolled DIAM_EXACT_ROUNDS hops;
+    diameter = max over reached pairs (per-component max eccentricity, the
+    same value the SumSweep bounds converge to)."""
+    ctes = [
+        edges_sql(N_NODES),
+        "p0 AS MATERIALIZED (SELECT node AS root, node, 0 AS dist FROM nodes)",
+    ]
+    for i in range(DIAM_EXACT_ROUNDS):
+        ctes.append(f"""p{i + 1} AS MATERIALIZED (
+  SELECT root, node, MIN(dist) AS dist FROM (
+    SELECT root, node, dist FROM p{i}
+    UNION ALL
+    SELECT c.root, s.dst AS node, c.dist + 1 AS dist
+    FROM sym s JOIN p{i} c ON s.src = c.node
+  ) x GROUP BY root, node
+)""")
+    return _with(
+        *ctes,
+        select=f"SELECT CAST(MAX(dist) AS BIGINT) AS diameter FROM p{DIAM_EXACT_ROUNDS}",
     )
 
 
@@ -3860,6 +3899,7 @@ def oracle_sql() -> dict[str, str]:
         "stable_nodes": _stable_nodes_sql(),
         "fragmentation": _fragmentation_sql(),
         "diameter_range": _diameter_range_sql(),
+        "diameter_exact": _diameter_exact_sql(),
         "missing_links": _missing_links_sql(),
         "pagerank_csr": _pagerank_sql(directed=False),
         "scan_score": _scan_score_sql(),

@@ -102,6 +102,56 @@ def clustered_random(
     return Graph(edges, directed=False, weighted=False, num_nodes=n)
 
 
+def stochastic_blockmodel(
+    spark: SparkSession,
+    membership: "DataFrame | list[int]",
+    affinity: list[list[float]],
+    seed: int = 42,
+) -> Graph:
+    """StochasticBlockmodel.cpp:24-39: pair (u, v) is an edge with
+    probability ``affinity[block(u)][block(v)]`` — the full-matrix
+    generalization of :func:`clustered_random` (which is the planted-
+    partition special case of uniform in/out probabilities).
+
+    ``membership`` is a (node, block) DataFrame or a Python list (node i →
+    block). The affinity matrix is broadcast as a tiny (a, b, p) relation;
+    the edge draw is the deterministic hash-uniform, so the graph is a pure
+    function of (membership, affinity, seed) independent of partitioning.
+
+    Like the reference's forNodePairs this is exact Bernoulli-per-pair —
+    O(n²) pair enumeration. At corpus scale draw per-block-pair edge COUNTS
+    (Binomial) and index-sample pairs instead, the chung_lu_sampled shape;
+    the exact variant exists for test parity.
+    """
+    if not isinstance(membership, DataFrame):
+        membership = spark.createDataFrame(
+            list(enumerate(membership)), "node long, block long"
+        )
+    n_blocks = len(affinity)
+    for row in affinity:
+        if len(row) != n_blocks:
+            raise ValueError("affinity matrix must be square (nBlocks x nBlocks)")
+    aff = spark.createDataFrame(
+        [(a, b, float(affinity[a][b])) for a in range(n_blocks) for b in range(n_blocks)],
+        "a long, b long, p double",
+    )
+    mu = membership.select(F.col("node").alias("src"), F.col("block").alias("a"))
+    mv = membership.select(F.col("node").alias("dst"), F.col("block").alias("b"))
+    pairs = (
+        mu.crossJoin(mv)
+        .filter(F.col("src") < F.col("dst"))
+        .join(F.broadcast(aff), ["a", "b"])
+    )
+    u = _uniform("src", "dst", F.lit(seed))
+    edges = pairs.filter(u <= F.col("p")).select(
+        "src", "dst", F.lit(1.0).alias("weight")
+    )
+    return Graph(
+        edges, directed=False, weighted=False,
+        num_nodes=membership.count(),
+    )
+
+
 def barabasi_albert_like(
     spark: SparkSession, n: int, attach: int = 4, seed: int = 42
 ) -> Graph:

@@ -83,6 +83,206 @@ def local_max_matching(graph: Graph, max_iter: int = 100) -> DataFrame:
     return matched
 
 
+def path_growing_matching(graph: Graph, max_rounds: int = 200) -> DataFrame:
+    """PathGrowingMatcher (reference cpp/matching/PathGrowingMatcher.cpp,
+    Hougardy-Drake ½-approx): the sequential algorithm repeatedly extends a
+    path along the current vertex's heaviest alive edge, kills the vertex,
+    alternately 2-colors the edges, and returns the heavier color class.
+
+    Distributed formulation — grow MANY vertex-disjoint paths concurrently
+    via heaviest-edge handshakes:
+
+    per round over the alive subgraph
+      1. every alive vertex points at its heaviest alive incident edge
+         (global total order (weight DESC, src, dst) so the heaviest alive
+         edge is always mutual — progress is guaranteed);
+      2. mutually-chosen edges are GROWN. Deaths keep every grown component
+         a simple path with at most one live end: an endpoint dies when it
+         reaches two grown edges; of two fresh endpoints the smaller id dies
+         and the larger survives as the path's live end. A handshake between
+         two live ends joins their paths and closes both (no live end ⇒
+         cycles are impossible).
+
+    Then each path is 2-colored by edge position (distributed min-root BFS
+    from the path endpoints — position parity), and the HEAVIER color class
+    is kept PER PATH. Per-path selection preserves the sequential charging
+    argument in the concurrent setting: when a vertex dies, its grown edge
+    is its heaviest alive incident edge, so each OPT-matching edge is
+    dominated by the grown edge of its first-dying endpoint; only path-JOIN
+    edges absorb two charges, and those components still return at least
+    half their charged weight. (The reference picks one class globally;
+    per-path is never lighter.) Returns matching edges (src, dst, weight).
+
+    Scale: each round is one shuffle (argmax per vertex) + one anti-join;
+    round count = longest grown path; the coloring BFS adds the same bound.
+    """
+    spark = graph.edges.sparkSession
+    edges = (
+        graph.edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+            "weight",
+        )
+        .dropDuplicates(["src", "dst"])
+        .localCheckpoint(eager=True)
+    )
+    empty = graph.edges.limit(0).select("src", "dst", "weight")
+    grown = None
+    # live path ends: alive vertices carrying exactly one grown edge
+    ends = spark.createDataFrame([], "node long")
+    for _ in range(max_rounds):
+        if edges.isEmpty():
+            break
+        incident = edges.select(
+            F.col("src").alias("node"), "src", "dst", "weight"
+        ).unionByName(
+            edges.select(F.col("dst").alias("node"), "src", "dst", "weight")
+        )
+        best = (
+            incident.groupBy("node")
+            .agg(
+                F.max_by(
+                    F.struct("src", "dst", "weight"),
+                    F.struct(
+                        F.col("weight"),
+                        (-F.col("src")).alias("ns"),
+                        (-F.col("dst")).alias("nd"),
+                    ),
+                ).alias("e")
+            )
+            .select(
+                "node",
+                F.col("e.src").alias("src"),
+                F.col("e.dst").alias("dst"),
+                F.col("e.weight").alias("weight"),
+            )
+        )
+        picked = (
+            best.groupBy("src", "dst", "weight")
+            .agg(F.count("*").alias("votes"))
+            .filter(F.col("votes") == 2)
+            .select("src", "dst", "weight")
+            .localCheckpoint(eager=True)
+        )
+        if picked.isEmpty():
+            break
+        grown = (
+            picked
+            if grown is None
+            else grown.unionByName(picked).localCheckpoint(eager=True)
+        )
+        # death rule: an end (one prior grown edge) dies on its second edge;
+        # of two fresh endpoints the smaller id (src) dies
+        p = (
+            picked.join(
+                ends.select(F.col("node").alias("src"), F.lit(True).alias("se")),
+                "src",
+                "left",
+            )
+            .join(
+                ends.select(F.col("node").alias("dst"), F.lit(True).alias("de")),
+                "dst",
+                "left",
+            )
+            .select(
+                "src", "dst",
+                F.coalesce("se", F.lit(False)).alias("se"),
+                F.coalesce("de", F.lit(False)).alias("de"),
+            )
+        )
+        dead = (
+            p.filter(F.col("se") | ~F.col("de")).select(F.col("src").alias("node"))
+            .unionByName(p.filter(F.col("de")).select(F.col("dst").alias("node")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        survivors = (
+            p.select(F.col("src").alias("node"))
+            .unionByName(p.select(F.col("dst").alias("node")))
+            .join(dead, "node", "left_anti")
+        )
+        ends = (
+            ends.join(dead, "node", "left_anti")
+            .unionByName(survivors)
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        edges = (
+            edges.join(dead.withColumnRenamed("node", "src"), "src", "left_anti")
+            .join(dead.withColumnRenamed("node", "dst"), "dst", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+    if grown is None:
+        return empty
+    return _heavier_class_per_path(grown)
+
+
+def _heavier_class_per_path(grown: DataFrame, max_iter: int = 10_000) -> DataFrame:
+    """Given a vertex-disjoint union of simple paths (src, dst, weight),
+    2-color each path's edges by position parity and return the heavier
+    class per path. Position/component come from a distributed min-root BFS
+    seeded at every path endpoint (degree-1 vertex): a vertex's root is the
+    SMALLEST endpoint id of its path and dist its position from that root."""
+    sym = grown.select(F.col("src").alias("u"), F.col("dst").alias("v")).unionByName(
+        grown.select(F.col("dst").alias("u"), F.col("src").alias("v"))
+    ).localCheckpoint(eager=True)
+    deg = sym.groupBy("u").agg(F.count("*").alias("d"))
+    state = (
+        deg.filter(F.col("d") == 1)
+        .select(F.col("u").alias("node"), F.col("u").alias("root"), F.lit(0).alias("dist"))
+        .localCheckpoint(eager=True)
+    )
+    while max_iter > 0:
+        max_iter -= 1
+        nbr = (
+            sym.join(state, sym.u == state.node)
+            .select(F.col("v").alias("node"), "root", (F.col("dist") + 1).alias("dist"))
+        )
+        merged = (
+            state.unionByName(nbr)
+            .groupBy("node")
+            .agg(F.min(F.struct("root", "dist")).alias("m"))
+            .select("node", F.col("m.root").alias("root"), F.col("m.dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            merged.join(
+                state.withColumnRenamed("root", "r0").withColumnRenamed("dist", "d0"),
+                "node",
+                "left",
+            )
+            .filter(
+                F.col("r0").isNull()
+                | (F.col("root") != F.col("r0"))
+                | (F.col("dist") != F.col("d0"))
+            )
+            .isEmpty()
+        )
+        state = merged
+        if changed:
+            break
+    su = state.select(F.col("node").alias("src"), F.col("root").alias("ru"), F.col("dist").alias("du"))
+    sv = state.select(F.col("node").alias("dst"), F.col("root").alias("rv"), F.col("dist").alias("dv"))
+    colored = (
+        grown.join(su, "src")
+        .join(sv, "dst")
+        .select(
+            "src", "dst", "weight",
+            F.col("ru").alias("path"),
+            (F.least("du", "dv") % 2).alias("color"),
+        )
+    ).persist()
+    winner = (
+        colored.groupBy("path", "color")
+        .agg(F.sum("weight").alias("w"))
+        .groupBy("path")
+        .agg(F.max_by("color", F.struct("w", (-F.col("color")).alias("nc"))).alias("color"))
+    )
+    out = colored.join(winner, ["path", "color"]).select("src", "dst", "weight")
+    return out
+
+
 def matching_weight(matching: DataFrame) -> float:
     row = matching.agg(F.sum("weight").alias("w")).collect()[0]
     return float(row["w"] or 0.0)

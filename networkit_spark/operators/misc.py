@@ -37,6 +37,197 @@ def diameter_range(graph: Graph, start: Optional[int] = None) -> tuple[int, int]
     return ecc2, 2 * ecc2
 
 
+def _bfs_from_starts(sym, starts: DataFrame, max_iter: int = 10_000) -> DataFrame:
+    """(node, dist) hop counts from a SET of start nodes (one per component;
+    each BFS stays inside its component so one pair-free frontier serves all
+    components at once — the distributed analog of G.BFSfrom(startNodes))."""
+    dist = starts.select("node", F.lit(0).alias("dist")).localCheckpoint(eager=True)
+    frontier = dist
+    while max_iter > 0:
+        max_iter -= 1
+        reach = (
+            sym.join(frontier, sym.src == frontier.node)
+            .select(F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist"))
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+        new = reach.join(dist, "node", "left_anti").localCheckpoint(eager=True)
+        if new.isEmpty():
+            break
+        dist = dist.unionByName(new).localCheckpoint(eager=True)
+        frontier = new
+    return dist
+
+
+def _pair_bfs_ecc(sym, sources: DataFrame, max_iter: int = 10_000) -> DataFrame:
+    """Exact eccentricity for a BATCH of source nodes via one level-
+    synchronous (source, node) pair frontier — |sources| BFS trees for one
+    BFS's worth of supersteps. Returns (source, ecc)."""
+    dist = sources.select(
+        F.col("node").alias("source"), F.col("node"), F.lit(0).alias("dist")
+    ).localCheckpoint(eager=True)
+    frontier = dist
+    hop = 0
+    while max_iter > 0:
+        max_iter -= 1
+        hop += 1
+        reach = (
+            sym.join(frontier, sym.src == frontier.node)
+            .select("source", F.col("dst").alias("node"), F.lit(hop).alias("dist"))
+            .distinct()
+        )
+        new = reach.join(dist, ["source", "node"], "left_anti").localCheckpoint(eager=True)
+        if new.isEmpty():
+            break
+        dist = dist.unionByName(new).localCheckpoint(eager=True)
+        frontier = new
+    return dist.groupBy("source").agg(F.max("dist").alias("ecc"))
+
+
+def diameter_bounds_sumsweep(
+    graph: Graph, error: float = 0.0, max_rounds: Optional[int] = None
+) -> tuple[int, int]:
+    """Exact-capable diameter bounds via the reference's modified exactSumSweep
+    (Diameter.cpp:83-230, the ``exact`` mode of Diameter.h:17 — Borassi et
+    al.'s BFS bound tightening): per round, pick one start node per connected
+    component (round 0: max degree; then alternately the node with the worst
+    upper bound and the most central node closest to the previous start), run
+    ONE multi-start BFS, and tighten per-node eccentricity bounds
+      lb(u) = max(lb(u), max(d(u), ecc_c - d(u)))
+      ub(u) = eccVal          if d(u) <= distFirst_c
+            = min(ub(u), d(u) + ecc_c - 2*distFirst_c)   otherwise
+    where ecc_c = the BFS's eccentricity in u's component and distFirst_c =
+    the BFS depth of the first degree->=2 node. Terminates when
+    max(ub) <= (1+error)*max(lb); with error=0 that is the EXACT diameter.
+
+    Spark shape: the per-node bound table is a DataFrame superstep state; the
+    per-component start selection is a ``max_by`` aggregation (no driver loop
+    over components), the BFS is the frontier join, and only the two global
+    bound scalars are collected per round — scale-safe for any component
+    count. Start-selection ties break by node id (the reference's scan order
+    resolves them arbitrarily; bounds stay exact under any choice).
+
+    Tail handling: the reference iterates up to 2n single BFS rounds — on
+    small-diameter dense graphs the bound updates finish only the start node
+    per round (ub(u) = d(u) + ecc(s) rarely dips below the diameter), which
+    is milliseconds sequentially but seconds-per-BFS as supersteps. After
+    ``max_rounds`` SumSweep rounds (default 10) the residual STUCK set
+    (ub > global lb) is finished EXACTLY in one batched multi-source pair
+    BFS (_pair_bfs_ecc) — |stuck| eccentricities for one BFS's worth of
+    supersteps. On web-scale power-law graphs the stuck set after a few
+    sweeps is small (the algorithm's design premise); the pair frontier is
+    O(|stuck| · n) rows, partitioned like any edge join.
+    """
+    from .components import connected_components
+
+    sym = graph.sym().select("src", "dst").persist()
+    sym.count()
+    n = graph.num_nodes()
+    comp = connected_components(graph).select(
+        "node", F.col("component").alias("comp")
+    )
+    state = (
+        graph.nodes()
+        .join(comp, "node")
+        .join(graph.degrees(), "node")
+        .select(
+            "node", "comp", "degree",
+            F.lit(0).alias("lb"),
+            F.lit(n).alias("ub"),
+            F.lit(False).alias("finished"),
+            F.lit(0).alias("dist"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    if max_rounds is None:
+        max_rounds = 10
+
+    def run_round(starts: DataFrame) -> tuple[DataFrame, int, int]:
+        d = _bfs_from_starts(sym, starts)
+        st = state.drop("dist").join(d, "node")
+        per_comp = st.groupBy("comp").agg(
+            F.max("dist").alias("ecc"),
+            F.coalesce(
+                F.min(F.when(F.col("degree") > 1, F.col("dist"))), F.lit(0)
+            ).alias("dist_first"),
+        )
+        ecc_val = F.greatest(F.col("dist"), F.col("ecc") - F.col("dist"))
+        new_lb = F.when(F.col("finished"), F.col("lb")).otherwise(
+            F.greatest(F.col("lb"), ecc_val)
+        )
+        new_ub = F.when(F.col("finished"), F.col("ub")).otherwise(
+            F.when(F.col("dist") <= F.col("dist_first"), ecc_val).otherwise(
+                F.least(F.col("ub"), F.col("dist") + F.col("ecc") - 2 * F.col("dist_first"))
+            )
+        )
+        upd = (
+            st.join(per_comp, "comp")
+            .select(
+                "node", "comp", "degree", "dist",
+                new_lb.alias("lb"), new_ub.alias("ub"),
+            )
+            .withColumn("finished", F.col("ub") == F.col("lb"))
+            .localCheckpoint(eager=True)
+        )
+        row = upd.agg(F.max("lb").alias("lb"), F.max("ub").alias("ub")).collect()[0]
+        return upd, int(row["lb"]), int(row["ub"])
+
+    # round 0: highest-degree node per component (ties -> highest id, like
+    # the reference's ascending scan with >=)
+    starts = state.groupBy("comp").agg(
+        F.max_by("node", F.struct("degree", "node")).alias("node")
+    )
+    state, lb, ub = run_round(starts)
+    i = 0
+    while i < max_rounds and ub > lb + error * lb:
+        if i % 2 == 0:
+            # worst upper bound, farthest from the previous start
+            starts = state.groupBy("comp").agg(
+                F.max_by(
+                    "node", F.struct("ub", "dist", (-F.col("node")).alias("t"))
+                ).alias("node")
+            )
+        else:
+            # most central (lowest lb + dist), tie: farthest from prev start
+            starts = state.groupBy("comp").agg(
+                F.max_by(
+                    "node",
+                    F.struct(
+                        (-(F.col("lb") + F.col("dist"))).alias("k"),
+                        F.col("dist"),
+                        (-F.col("node")).alias("t"),
+                    ),
+                ).alias("node")
+            )
+        state, lb, ub = run_round(starts)
+        i += 1
+    if ub > lb + error * lb:
+        # exact tail: batched eccentricities of every node whose upper bound
+        # still exceeds the best lower bound
+        stuck = state.filter(F.col("ub") > lb).select("node")
+        eccs = _pair_bfs_ecc(sym, stuck)
+        row = eccs.agg(F.max("ecc").alias("m")).collect()[0]
+        lb = max(lb, int(row["m"] or 0))
+        ub = lb
+    sym.unpersist()
+    return lb, ub
+
+
+def diameter_exact(graph: Graph, max_rounds: Optional[int] = None) -> int:
+    """Exact diameter (Diameter.cpp exactDiameter, unweighted path:
+    estimatedDiameterRange with error 0 — lb meets ub). ``max_rounds``
+    caps the SumSweep phase; the batched-eccentricity tail keeps the result
+    exact for any cap (small caps shift work to the one batched pair BFS —
+    the right trade on small-diameter graphs where sweeps finish one node
+    per round)."""
+    lb, ub = diameter_bounds_sumsweep(graph, error=0.0, max_rounds=max_rounds)
+    if lb != ub:
+        raise RuntimeError(
+            f"diameter_exact: bounds did not converge (lb={lb}, ub={ub})"
+        )
+    return lb
+
+
 def algebraic_distance(
     graph: Graph, num_systems: int = 8, num_iters: int = 10, omega: float = 0.5, seed: int = 42
 ) -> DataFrame:

@@ -1,0 +1,202 @@
+"""Dynamic graph generators — GraphEvent-stream *producers* feeding the
+dynamics layer (streaming/dynamic.py, streaming/graph_events.py).
+
+Reference:
+- cpp/generators/DynamicDorogovtsevMendesGenerator.cpp:16-57 (seed triangle,
+  then per step a new node wired to both endpoints of a random existing edge)
+- cpp/generators/DynamicBarabasiAlbertGenerator.cpp:21-85 (k-node seed path,
+  then per step a new node with k degree-proportional targets)
+- cpp/generators/DynamicPathGenerator.cpp (path growth, trivial baseline)
+- cpp/generators/DynamicPubWebGenerator.{h,cpp} (nodes drift on the unit
+  torus; edges exist within a neighborhood radius — per step a diff of
+  EDGE_ADDITION/EDGE_REMOVAL events)
+
+These are *event producers* for test/simulation parity, mirroring the
+reference's driver-sequential generators (each step's probabilities depend
+on the running graph, so the recurrence is inherently sequential); the
+emitted event DataFrame then feeds the fully distributed apply/DynBFS
+machinery. Randomness is a seeded ``random.Random`` — the stream is a pure
+function of (seed, steps), reproducible across runs and partitionings. For
+corpus-scale synthetic graphs use the distributed static generators
+(networkit_spark/generators.py); an event stream of comparable scale would
+be produced by diffing table snapshots, not by a generator loop.
+
+Event rows follow streaming/graph_events.py EVENT_SCHEMA:
+``(seq, type, u, v, w, ts)`` with TIME_STEP markers separating steps.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .graph_events import EVENT_SCHEMA
+
+_EPOCH = "2020-01-01 00:00:00"
+
+
+class _EventLog:
+    """Accumulates GraphEvent rows with consecutive seq numbers and one
+    timestamp tick per TIME_STEP (event-time for the streaming path)."""
+
+    def __init__(self) -> None:
+        self.rows: list = []
+        self.seq = 0
+        self.step = 0
+
+    def _ts(self):
+        import datetime
+
+        base = datetime.datetime(2020, 1, 1)
+        return base + datetime.timedelta(seconds=self.step)
+
+    def emit(self, type_: str, u=None, v=None, w=None) -> None:
+        self.rows.append((self.seq, type_, u, v, w, self._ts()))
+        self.seq += 1
+        if type_ == "TIME_STEP":
+            self.step += 1
+
+    def df(self, spark: SparkSession) -> DataFrame:
+        return spark.createDataFrame(self.rows, EVENT_SCHEMA)
+
+
+def dynamic_dorogovtsev_mendes_events(
+    spark: SparkSession, steps: int, seed: int = 42
+) -> DataFrame:
+    """DynamicDorogovtsevMendesGenerator.cpp:20-53: seed triangle, then per
+    step one new node joined to both endpoints of a uniformly random
+    existing edge."""
+    rng = random.Random(seed)
+    log = _EventLog()
+    edges: list[tuple[int, int]] = []
+    for s in (0, 1, 2):
+        log.emit("NODE_ADDITION", s)
+    for a, b in ((0, 1), (1, 2), (2, 0)):
+        edges.append((a, b))
+        log.emit("EDGE_ADDITION", a, b, 1.0)
+    log.emit("TIME_STEP")
+    u = 2
+    for _ in range(steps):
+        u += 1
+        log.emit("NODE_ADDITION", u)
+        s, t = edges[rng.randrange(len(edges))]
+        edges.append((s, u))
+        edges.append((t, u))
+        log.emit("EDGE_ADDITION", u, s, 1.0)
+        log.emit("EDGE_ADDITION", u, t, 1.0)
+        log.emit("TIME_STEP")
+    return log.df(spark)
+
+
+def dynamic_barabasi_albert_events(
+    spark: SparkSession, k: int, steps: int, seed: int = 42
+) -> DataFrame:
+    """DynamicBarabasiAlbertGenerator.cpp:21-85: k-node seed path, then per
+    step a new node with k distinct degree-proportional targets (sampling
+    with rejection until k distinct, like the reference's set loop)."""
+    if k < 1:
+        raise ValueError("k must be at least 1")
+    rng = random.Random(seed)
+    log = _EventLog()
+    deg: dict[int, int] = {}
+
+    def add_edge(a: int, b: int) -> None:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+        log.emit("EDGE_ADDITION", a, b, 1.0)
+
+    for i in range(k):
+        log.emit("NODE_ADDITION", i)
+        deg.setdefault(i, 0)
+        if i > 0:
+            add_edge(i, i - 1)
+    log.emit("TIME_STEP")
+    u = k - 1
+    for _ in range(steps):
+        u += 1
+        log.emit("NODE_ADDITION", u)
+        deg[u] = 0
+        targets: set[int] = set()
+        nodes = sorted(n for n in deg if n != u)
+        deg_sum = sum(deg[n] for n in nodes)
+        while len(targets) < min(k, len(nodes)):
+            r = rng.randint(0, max(deg_sum, 1))
+            for v in nodes:
+                if r <= deg[v]:
+                    targets.add(v)
+                    break
+                r -= deg[v]
+        for v in sorted(targets):
+            add_edge(u, v)
+        log.emit("TIME_STEP")
+    return log.df(spark)
+
+
+def dynamic_path_events(spark: SparkSession, steps: int) -> DataFrame:
+    """DynamicPathGenerator analog: a path growing one node per step."""
+    log = _EventLog()
+    log.emit("NODE_ADDITION", 0)
+    log.emit("TIME_STEP")
+    for u in range(1, steps + 1):
+        log.emit("NODE_ADDITION", u)
+        log.emit("EDGE_ADDITION", u - 1, u, 1.0)
+        log.emit("TIME_STEP")
+    return log.df(spark)
+
+
+def dynamic_pubweb_events(
+    spark: SparkSession,
+    n: int,
+    steps: int,
+    neighborhood_radius: float = 0.25,
+    move_distance: float = 0.05,
+    seed: int = 42,
+) -> DataFrame:
+    """DynamicPubWebGenerator analog: ``n`` nodes at seeded positions on the
+    unit TORUS; every step each node drifts by up to ``move_distance`` and
+    the edge set is re-derived as all pairs within ``neighborhood_radius``
+    (torus metric); the emitted events are the EDGE_ADDITION/EDGE_REMOVAL
+    diff plus EDGE_WEIGHT_UPDATEs left out (reference weights by distance —
+    here weight = 1, noted deviation; the dynamics layer under test is
+    topology-driven)."""
+    rng = random.Random(seed)
+    log = _EventLog()
+    pos = [(rng.random(), rng.random()) for _ in range(n)]
+
+    def torus_d2(a, b) -> float:
+        dx = abs(a[0] - b[0])
+        dy = abs(a[1] - b[1])
+        dx = min(dx, 1.0 - dx)
+        dy = min(dy, 1.0 - dy)
+        return dx * dx + dy * dy
+
+    def edge_set() -> set:
+        r2 = neighborhood_radius * neighborhood_radius
+        return {
+            (i, j)
+            for i in range(n)
+            for j in range(i + 1, n)
+            if torus_d2(pos[i], pos[j]) <= r2
+        }
+
+    for i in range(n):
+        log.emit("NODE_ADDITION", i)
+    cur = edge_set()
+    for a, b in sorted(cur):
+        log.emit("EDGE_ADDITION", a, b, 1.0)
+    log.emit("TIME_STEP")
+    for _ in range(steps):
+        for i in range(n):
+            x, y = pos[i]
+            x = (x + rng.uniform(-move_distance, move_distance)) % 1.0
+            y = (y + rng.uniform(-move_distance, move_distance)) % 1.0
+            pos[i] = (x, y)
+        new = edge_set()
+        for a, b in sorted(cur - new):
+            log.emit("EDGE_REMOVAL", a, b)
+        for a, b in sorted(new - cur):
+            log.emit("EDGE_ADDITION", a, b, 1.0)
+        cur = new
+        log.emit("TIME_STEP")
+    return log.df(spark)

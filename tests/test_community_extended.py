@@ -88,3 +88,26 @@ def test_clustering_generators(spark, g):
     r1 = clustering_generator_random(g, 3, seed=1).collect()
     r2 = clustering_generator_random(g, 3, seed=1).collect()
     assert sorted(map(tuple, r1)) == sorted(map(tuple, r2))
+
+
+def test_plm_pinned_fixture_sf0001(spark):
+    """Round-2 verdict item #9: PLM is rows-only at the driver gate (its
+    float modularity deltas are not SQL-hashable), so pin the EXACT
+    (node, label) output on the sf0.001 lineitem graph as a checked-in
+    fixture (tests/fixtures/plm_sf0.001.csv, generated once with the q_plm
+    configuration; the parity schedule makes the result a pure function of
+    the graph)."""
+    import csv
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "fixtures", "plm_sf0.001.csv")
+    with open(path) as f:
+        want = {int(r["node"]): int(r["label"]) for r in csv.DictReader(f)}
+    from networkit_spark.testgraph import lineitem_graph
+
+    g = lineitem_graph(spark, "/root/testdata/sf0.001")
+    got = {
+        int(r["node"]): int(r["label"])
+        for r in plm(g, max_levels=3, max_sweeps=4).collect()
+    }
+    assert got == want

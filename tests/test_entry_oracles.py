@@ -30,6 +30,7 @@ UNROLLED = [
     ("kcore", "KCORE_ROUNDS"),
     ("closeness", "CL_ROUNDS"),
     ("diameter_range", "DIAM_ROUNDS"),
+    ("diameter_exact", "DIAM_EXACT_ROUNDS"),
     ("coreness", "CORE_HINDEX_ROUNDS"),
     ("betweenness", "BW_ROUNDS"),
     ("matching", "MATCH_ROUNDS"),

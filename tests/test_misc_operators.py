@@ -72,3 +72,58 @@ def test_algebraic_distance_separates_clusters(spark):
     bridge = ad[(2, 3)]
     intra = [v for k, v in ad.items() if k != (2, 3)]
     assert bridge > max(intra) * 0.8  # bridge is among the largest distances
+
+
+def test_diameter_exact_fixtures(spark):
+    """SumSweep exact diameter (Diameter.cpp exact mode) vs hand-computed
+    diameters: path, cycle, star, two components, and a random graph vs a
+    brute-force BFS replica."""
+    from networkit_spark.operators.misc import diameter_exact
+
+    path = Graph.from_edge_list(spark, [(i, i + 1) for i in range(6)])
+    assert diameter_exact(path) == 6
+    cycle = Graph.from_edge_list(spark, [(i, (i + 1) % 8) for i in range(8)])
+    assert diameter_exact(cycle) == 4
+    star = Graph.from_edge_list(spark, [(0, i) for i in range(1, 7)])
+    assert diameter_exact(star) == 2
+    # two components: diameter = max over components
+    two = Graph.from_edge_list(
+        spark, [(0, 1), (1, 2), (10, 11), (11, 12), (12, 13), (13, 14)]
+    )
+    assert diameter_exact(two) == 4
+
+
+def test_diameter_exact_random_vs_bruteforce(spark):
+    import itertools
+    import random
+
+    rng = random.Random(7)
+    n = 24
+    edges = sorted({(min(u, v), max(u, v))
+                    for u, v in (
+                        (rng.randrange(n), rng.randrange(n)) for _ in range(40))
+                    if u != v})
+    g = Graph.from_edge_list(spark, edges)
+    # brute-force BFS diameter over the edge list
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    best = 0
+    for s in adj:
+        dist = {s: 0}
+        q = [s]
+        while q:
+            u = q.pop(0)
+            for w in adj[u]:
+                if w not in dist:
+                    dist[w] = dist[u] + 1
+                    q.append(w)
+        best = max(best, max(dist.values()))
+    assert diameter_exact_import()(g) == best
+
+
+def diameter_exact_import():
+    from networkit_spark.operators.misc import diameter_exact
+
+    return diameter_exact
