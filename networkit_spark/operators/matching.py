@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from ..graph import Graph
+from ..plans.ckpt import clean_local_checkpoint as _cc
 
 
 def local_max_matching(graph: Graph, max_iter: int = 100) -> DataFrame:
@@ -29,7 +30,7 @@ def local_max_matching(graph: Graph, max_iter: int = 100) -> DataFrame:
             "weight",
         )
         .dropDuplicates(["src", "dst"])
-        .localCheckpoint(eager=True)
+        .transform(_cc)
     )
     matched = None
     for _ in range(max_iter):
@@ -59,14 +60,14 @@ def local_max_matching(graph: Graph, max_iter: int = 100) -> DataFrame:
             .agg(F.count("*").alias("votes"))
             .filter(F.col("votes") == 2)
             .select("src", "dst", "weight")
-            .localCheckpoint(eager=True)
+            .transform(_cc)
         )
         if picked.isEmpty():
             break
         matched = (
             picked
             if matched is None
-            else matched.unionByName(picked).localCheckpoint(eager=True)
+            else matched.unionByName(picked).transform(_cc)
         )
         # drop all edges incident to newly-matched vertices
         mnodes = picked.select(F.col("src").alias("node")).unionByName(
@@ -76,14 +77,16 @@ def local_max_matching(graph: Graph, max_iter: int = 100) -> DataFrame:
             edges.join(mnodes.withColumnRenamed("node", "src"), "src", "left_anti")
             .join(mnodes.withColumnRenamed("node", "dst"), "dst", "left_anti")
             .select("src", "dst", "weight")
-            .localCheckpoint(eager=True)
+            .transform(_cc)
         )
     if matched is None:
         return graph.edges.limit(0)
     return matched
 
 
-def path_growing_matching(graph: Graph, max_rounds: int = 200) -> DataFrame:
+def path_growing_matching(
+    graph: Graph, max_rounds: int = 200, stats: dict | None = None
+) -> DataFrame:
     """PathGrowingMatcher (reference cpp/matching/PathGrowingMatcher.cpp,
     Hougardy-Drake ½-approx): the sequential algorithm repeatedly extends a
     path along the current vertex's heaviest alive edge, kills the vertex,
@@ -125,15 +128,17 @@ def path_growing_matching(graph: Graph, max_rounds: int = 200) -> DataFrame:
             "weight",
         )
         .dropDuplicates(["src", "dst"])
-        .localCheckpoint(eager=True)
+        .transform(_cc)
     )
     empty = graph.edges.limit(0).select("src", "dst", "weight")
     grown = None
     # live path ends: alive vertices carrying exactly one grown edge
     ends = spark.createDataFrame([], "node long")
+    rounds_used = 0
     for _ in range(max_rounds):
         if edges.isEmpty():
             break
+        rounds_used += 1
         incident = edges.select(
             F.col("src").alias("node"), "src", "dst", "weight"
         ).unionByName(
@@ -163,14 +168,14 @@ def path_growing_matching(graph: Graph, max_rounds: int = 200) -> DataFrame:
             .agg(F.count("*").alias("votes"))
             .filter(F.col("votes") == 2)
             .select("src", "dst", "weight")
-            .localCheckpoint(eager=True)
+            .transform(_cc)
         )
         if picked.isEmpty():
             break
         grown = (
             picked
             if grown is None
-            else grown.unionByName(picked).localCheckpoint(eager=True)
+            else grown.unionByName(picked).transform(_cc)
         )
         # death rule: an end (one prior grown edge) dies on its second edge;
         # of two fresh endpoints the smaller id (src) dies
@@ -195,7 +200,7 @@ def path_growing_matching(graph: Graph, max_rounds: int = 200) -> DataFrame:
             p.filter(F.col("se") | ~F.col("de")).select(F.col("src").alias("node"))
             .unionByName(p.filter(F.col("de")).select(F.col("dst").alias("node")))
             .distinct()
-            .localCheckpoint(eager=True)
+            .transform(_cc)
         )
         survivors = (
             p.select(F.col("src").alias("node"))
@@ -206,13 +211,16 @@ def path_growing_matching(graph: Graph, max_rounds: int = 200) -> DataFrame:
             ends.join(dead, "node", "left_anti")
             .unionByName(survivors)
             .distinct()
-            .localCheckpoint(eager=True)
+            .transform(_cc)
         )
         edges = (
             edges.join(dead.withColumnRenamed("node", "src"), "src", "left_anti")
             .join(dead.withColumnRenamed("node", "dst"), "dst", "left_anti")
-            .localCheckpoint(eager=True)
+            .transform(_cc)
         )
+    if stats is not None:
+        stats["rounds"] = rounds_used
+        stats["grown_edges"] = 0 if grown is None else grown.count()
     if grown is None:
         return empty
     return _heavier_class_per_path(grown)
@@ -226,12 +234,12 @@ def _heavier_class_per_path(grown: DataFrame, max_iter: int = 10_000) -> DataFra
     SMALLEST endpoint id of its path and dist its position from that root."""
     sym = grown.select(F.col("src").alias("u"), F.col("dst").alias("v")).unionByName(
         grown.select(F.col("dst").alias("u"), F.col("src").alias("v"))
-    ).localCheckpoint(eager=True)
+    ).transform(_cc)
     deg = sym.groupBy("u").agg(F.count("*").alias("d"))
     state = (
         deg.filter(F.col("d") == 1)
         .select(F.col("u").alias("node"), F.col("u").alias("root"), F.lit(0).alias("dist"))
-        .localCheckpoint(eager=True)
+        .transform(_cc)
     )
     while max_iter > 0:
         max_iter -= 1
@@ -244,7 +252,7 @@ def _heavier_class_per_path(grown: DataFrame, max_iter: int = 10_000) -> DataFra
             .groupBy("node")
             .agg(F.min(F.struct("root", "dist")).alias("m"))
             .select("node", F.col("m.root").alias("root"), F.col("m.dist").alias("dist"))
-            .localCheckpoint(eager=True)
+            .transform(_cc)
         )
         changed = (
             merged.join(
