@@ -538,6 +538,18 @@ def q_sssp(spark, sf_dir):
     return sssp_distances(g, source).select("node", F.round("dist", 6).alias("dist"))
 
 
+def q_sssp_algebraic(spark, sf_dir):
+    """Weighted SSSP as the GraphBLAS MinPlus fixpoint (operators/semirings.py
+    sssp_algebraic — reference cpp/algebraic/GraphBLAS.h MxV + Semirings.h
+    MinPlusSemiring): identical result to q_sssp by construction, so it
+    shares the Bellman-Ford fixed-unroll oracle."""
+    from networkit_spark.operators.semirings import sssp_algebraic
+
+    g = _g(spark, sf_dir)
+    source = int(g.nodes().agg(F.min("node")).collect()[0][0])
+    return sssp_algebraic(g, source).select("node", F.round("dist", 6).alias("dist"))
+
+
 def q_closeness(spark, sf_dir):
     from networkit_spark.operators.centrality import closeness_sampled
 
@@ -744,6 +756,17 @@ def q_matching(spark, sf_dir):
     from networkit_spark.operators.matching import local_max_matching
 
     return local_max_matching(_g(spark, sf_dir)).orderBy("src", "dst")
+
+
+def q_path_growing(spark, sf_dir):
+    """PathGrowingMatcher (operators/matching.py path_growing_matching,
+    reference cpp/matching/PathGrowingMatcher.cpp): concurrent heaviest-edge
+    handshake growth + per-path 2-coloring. Deterministic (global
+    (weight DESC, src, dst) tie-break), so the oracle unrolls the same
+    handshake rounds and replays the coloring with a recursive path walk."""
+    from networkit_spark.operators.matching import path_growing_matching
+
+    return path_growing_matching(_g(spark, sf_dir)).orderBy("src", "dst")
 
 
 def q_linkpred_eval(spark, sf_dir):
@@ -1245,13 +1268,16 @@ def q_docs_per_source(spark, sf_dir):
 
 
 def q_max_flow(spark, sf_dir):
-    """Max-flow / min-cut on a 12-node capacity graph (operators/flow.py
-    Edmonds-Karp, reference cpp/flow/EdmondsKarp.cpp:54-95). Returns one row:
-    the flow value and the inclusion-minimal min-cut source side — both
-    UNIQUE across all maximum flows, so the oracle can brute-force them by
-    enumerating every source-side subset (max-flow = min-cut duality)."""
+    """Max-flow / min-cut on a 12-node capacity graph via the bulk-synchronous
+    push-relabel scale path (operators/flow.py push_relabel; the Edmonds-Karp
+    parity path, reference cpp/flow/EdmondsKarp.cpp:54-95, is gated against
+    the same duality oracle in tests/test_flow.py). Returns one row: the flow
+    value and the inclusion-minimal min-cut source side — both UNIQUE across
+    all maximum flows (the residual-reachable set from s is the same for
+    every maximum flow), so the oracle can brute-force them by enumerating
+    every source-side subset (max-flow = min-cut duality)."""
     from networkit_spark.graph import Graph
-    from networkit_spark.operators.flow import edmonds_karp
+    from networkit_spark.operators.flow import push_relabel
 
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     base = (
@@ -1268,7 +1294,7 @@ def q_max_flow(spark, sf_dir):
         .agg(F.count("*").cast("double").alias("weight"))
     )
     g = Graph(edges, directed=False, weighted=True)
-    res = edmonds_karp(g, 0, 11)
+    res = push_relabel(g, 0, 11)
     members = sorted(int(r["node"]) for r in res.source_set.collect())
     return spark.createDataFrame(
         [(float(res.flow_value), ",".join(str(m) for m in members))],
@@ -1315,6 +1341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eigenvector": q_eigenvector,
         "ppr": q_ppr,
         "sssp_dist": q_sssp,
+        "sssp_algebraic": q_sssp_algebraic,
         "closeness": q_closeness,
         "clustering_stats": q_clustering_stats,
         "component_sizes": q_component_sizes,
@@ -1352,6 +1379,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "betweenness": q_betweenness,
         "matching": q_matching,
+        "path_growing": q_path_growing,
         "luby_mis": q_luby_mis,
         "spanning_forest": q_spanning_forest,
         "linkpred_eval": q_linkpred_eval,
@@ -2819,6 +2847,102 @@ def _matching_sql() -> str:
     return _with(*ctes, select=f"SELECT src, dst, weight FROM ({union}) m")
 
 
+PG_ROUNDS = 40        # path-growing handshake round unroll (converges ≪ here)
+PG_COLOR_DEPTH = 128  # recursive path-walk depth cap (≥ longest grown path)
+
+
+def _path_growing_sql() -> str:
+    """PathGrowingMatcher (ref cpp/matching/PathGrowingMatcher.cpp, Spark
+    analog operators/matching.py:86): unrolled heaviest-edge handshake
+    rounds with the live-end death rule, then per-path 2-coloring via a
+    recursive min-root walk from the degree-1 path endpoints — every step
+    mirrors the distributed implementation exactly (same (weight DESC,
+    src, dst) tie-break, same per-path heavier-class winner)."""
+    ctes = [
+        edges_sql(N_NODES),
+        "pe0 AS MATERIALIZED (SELECT src, dst, weight FROM edges)",
+        "ends0 AS MATERIALIZED (SELECT CAST(NULL AS BIGINT) AS node WHERE FALSE)",
+    ]
+    for r in range(PG_ROUNDS):
+        ctes.append(f"""pb{r} AS MATERIALIZED (
+  SELECT src, dst, weight FROM (
+    SELECT node, src, dst, weight,
+           ROW_NUMBER() OVER (PARTITION BY node ORDER BY weight DESC, src, dst) AS rn
+    FROM (
+      SELECT src AS node, src, dst, weight FROM pe{r}
+      UNION ALL
+      SELECT dst AS node, src, dst, weight FROM pe{r}
+    ) i
+  ) t WHERE rn = 1
+)""")
+        ctes.append(f"""pp{r} AS MATERIALIZED (
+  SELECT src, dst, weight FROM pb{r} GROUP BY src, dst, weight HAVING COUNT(*) = 2
+)""")
+        # death rule (matching.py:176-199): an end dies on its second grown
+        # edge; of two fresh endpoints the smaller id (src) dies
+        ctes.append(f"""pf{r} AS MATERIALIZED (
+  SELECT src, dst,
+         src IN (SELECT node FROM ends{r}) AS se,
+         dst IN (SELECT node FROM ends{r}) AS de
+  FROM pp{r}
+)""")
+        ctes.append(f"""dead{r} AS MATERIALIZED (
+  SELECT src AS node FROM pf{r} WHERE se OR NOT de
+  UNION
+  SELECT dst AS node FROM pf{r} WHERE de
+)""")
+        ctes.append(f"""ends{r + 1} AS MATERIALIZED (
+  SELECT node FROM ends{r} WHERE node NOT IN (SELECT node FROM dead{r})
+  UNION
+  SELECT node FROM (
+    SELECT src AS node FROM pf{r} UNION SELECT dst AS node FROM pf{r}
+  ) ep WHERE node NOT IN (SELECT node FROM dead{r})
+)""")
+        ctes.append(f"""pe{r + 1} AS MATERIALIZED (
+  SELECT e.src, e.dst, e.weight FROM pe{r} e
+  WHERE e.src NOT IN (SELECT node FROM dead{r})
+    AND e.dst NOT IN (SELECT node FROM dead{r})
+)""")
+    grown_union = " UNION ALL ".join(f"SELECT * FROM pp{r}" for r in range(PG_ROUNDS))
+    body = ",\n".join(c.strip() for c in ctes)
+    return f"""WITH RECURSIVE {body},
+grown AS MATERIALIZED (SELECT src, dst, weight FROM ({grown_union}) g),
+gsym AS MATERIALIZED (
+  SELECT src AS u, dst AS v FROM grown UNION ALL SELECT dst AS u, src AS v FROM grown
+),
+gseeds AS MATERIALIZED (
+  SELECT u AS node FROM gsym GROUP BY u HAVING COUNT(*) = 1
+),
+walk(node, root, dist) AS (
+  SELECT node, node AS root, 0 AS dist FROM gseeds
+  UNION
+  SELECT s.v AS node, w.root, w.dist + 1 AS dist
+  FROM walk w JOIN gsym s ON s.u = w.node
+  WHERE w.dist < {PG_COLOR_DEPTH}
+),
+lab AS MATERIALIZED (
+  SELECT node, root, dist FROM (
+    SELECT node, root, dist,
+           ROW_NUMBER() OVER (PARTITION BY node ORDER BY root, dist) AS rn
+    FROM walk
+  ) q WHERE rn = 1
+),
+colored AS MATERIALIZED (
+  SELECT g.src, g.dst, g.weight, lu.root AS path,
+         (LEAST(lu.dist, lv.dist) % 2) AS color
+  FROM grown g JOIN lab lu ON g.src = lu.node JOIN lab lv ON g.dst = lv.node
+),
+winner AS MATERIALIZED (
+  SELECT path, color FROM (
+    SELECT path, color,
+           ROW_NUMBER() OVER (PARTITION BY path ORDER BY SUM(weight) DESC, color) AS rn
+    FROM colored GROUP BY path, color
+  ) q WHERE rn = 1
+)
+SELECT c.src, c.dst, c.weight
+FROM colored c JOIN winner w ON c.path = w.path AND c.color = w.color"""
+
+
 LUBY_ROUNDS = 10  # MIS round unroll (dense graph resolves in ~3 rounds)
 
 
@@ -3890,6 +4014,7 @@ def oracle_sql() -> dict[str, str]:
         "eigenvector": _eigenvector_sql(),
         "ppr": _ppr_sql(),
         "sssp_dist": _sssp_sql(),
+        "sssp_algebraic": _sssp_sql(),
         "closeness": _closeness_sql(),
         "clustering_stats": _clustering_stats_sql(),
         "component_sizes": _component_sizes_query_sql(),
@@ -3926,6 +4051,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs": _simhash_pairs_sql(),
         "betweenness": _betweenness_sql(),
         "matching": _matching_sql(),
+        "path_growing": _path_growing_sql(),
         "luby_mis": _luby_sql(),
         "spanning_forest": _spanning_forest_sql(),
         "linkpred_eval": _linkpred_eval_sql(),

@@ -74,3 +74,19 @@ from .community import hashing_overlapper
 from .coloring import jones_plassmann_coloring
 
 __all__ = [n for n in dir() if not n.startswith("_")]
+
+from .flow import push_relabel
+from .matching import local_max_matching, path_growing_matching, matching_coarsening
+from .semirings import (
+    SEMIRINGS,
+    mxv,
+    mxm,
+    ewise,
+    adjacency_matrix,
+    bfs_algebraic,
+    sssp_algebraic,
+    reachability,
+)
+from .graphlayout import fruchterman_reingold, multilevel_layout
+
+__all__ = [n for n in dir() if not n.startswith("_")]

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from ..functions.dedup import hash60
 from ..graph import Graph
+from ..plans.ckpt import clean_local_checkpoint as _cc
 
 _HSPACE = float(2 ** 60)
 
@@ -46,7 +47,7 @@ def _pivot_distances(graph: Graph, pivots: list[int], max_iter: int = 10_000) ->
     sym.count()
     dist = spark.createDataFrame(
         [(p, p, 0.0) for p in pivots], "pivot long, node long, dist double"
-    ).localCheckpoint(eager=True)
+    ).transform(_cc)
     changed = dist
     while max_iter > 0 and not changed.isEmpty():
         max_iter -= 1
@@ -64,13 +65,13 @@ def _pivot_distances(graph: Graph, pivots: list[int], max_iter: int = 10_000) ->
             dist.unionByName(relax)
             .groupBy("pivot", "node")
             .agg(F.min("dist").alias("dist"))
-        ).localCheckpoint(eager=True)
+        ).transform(_cc)
         changed = (
             merged.alias("a")
             .join(dist.alias("b"), ["pivot", "node"], "left")
             .filter(F.col("b.dist").isNull() | (F.col("a.dist") < F.col("b.dist")))
             .select("pivot", "node", F.col("a.dist").alias("dist"))
-            .localCheckpoint(eager=True)
+            .transform(_cc)
         )
         dist = merged
     sym.unpersist()
@@ -160,6 +161,7 @@ def fruchterman_reingold(
     precision: float = 1e-3,
     grid: int | None = None,
     seed: int = 42,
+    init: DataFrame | None = None,
 ) -> DataFrame:
     """Force-directed layout in the unit square — reference
     cpp/viz/FruchtermanReingold.cpp:23-160: repulsion opt²/d² between node
@@ -173,7 +175,10 @@ def fruchterman_reingold(
     (one cell holds everything — tests pin this against a NumPy replica);
     ``grid=None`` auto-sizes ~sqrt(n)/8 cells per axis so cell occupancy
     stays O(1) and each iteration is a keyed self-join, not a cross join.
-    Init coordinates are seeded-hash uniforms (reference: global RNG).
+    Init coordinates are seeded-hash uniforms (reference: global RNG);
+    ``init`` (node, x, y) seeds them instead — the reference's
+    ``useGivenLayout=true`` mode (Layouter.h), used by the multilevel
+    prolongation.
 
     Returns (node, x, y).
     """
@@ -189,9 +194,21 @@ def fruchterman_reingold(
             F.concat_ws(":", F.col("node").cast("string"), F.lit(tag), F.lit(str(seed)))
         ) / F.lit(_HSPACE)
 
-    pos = graph.nodes().select(
-        "node", h01("x").alias("x"), h01("y").alias("y")
-    ).localCheckpoint(eager=True)
+    if init is not None:
+        pos = (
+            graph.nodes()
+            .join(init.select("node", "x", "y"), "node", "left")
+            .select(
+                "node",
+                F.coalesce("x", h01("x")).alias("x"),
+                F.coalesce("y", h01("y")).alias("y"),
+            )
+            .transform(_cc)
+        )
+    else:
+        pos = graph.nodes().select(
+            "node", h01("x").alias("x"), h01("y").alias("y")
+        ).transform(_cc)
     sym = graph.sym().select("src", "dst").persist()
     sym.count()
 
@@ -264,7 +281,7 @@ def fruchterman_reingold(
                 F.least(F.greatest(F.col("x"), F.lit(0.0)), F.lit(1.0)).alias("x"),
                 F.least(F.greatest(F.col("y"), F.lit(0.0)), F.lit(1.0)).alias("y"),
             )
-            .localCheckpoint(eager=True)
+            .transform(_cc)
         )
         change = (
             moved.agg(
@@ -280,3 +297,45 @@ def fruchterman_reingold(
             break
     sym.unpersist()
     return pos
+
+
+def multilevel_layout(
+    graph: Graph,
+    n_thresh: int = 64,
+    max_iter: int = 50,
+    seed: int = 42,
+    _level: int = 0,
+) -> DataFrame:
+    """Multilevel force-directed layout — reference
+    cpp/viz/MultilevelLayouter.cpp:34-79: below ``n_thresh`` nodes lay out
+    directly with Fruchterman-Reingold; otherwise PLP-cluster, coarsen by
+    the clustering (ParallelPartitionCoarsening), recursively lay out the
+    coarse graph, prolong (every fine node takes its coarse cluster's
+    coordinate, MultilevelLayouter.cpp:68-71), and FR-refine from the given
+    layout. Returns (node, x, y) in the unit square.
+
+    Each level's refinement runs over the FINE graph but starts pre-placed,
+    so it needs few iterations — the standard multilevel speedup; all steps
+    (PLP, coarsen, FR) are the existing distributed operators.
+    """
+    from .community import coarsen, plp
+
+    n = graph.num_nodes()
+    if n <= n_thresh or _level >= 20:
+        return fruchterman_reingold(graph, max_iter=max_iter, seed=seed + _level)
+    labels = plp(graph, fixed_iters=4).transform(_cc)
+    cg = coarsen(graph, labels)
+    if cg.num_nodes() >= n:  # clustering did not shrink the graph: stop
+        return fruchterman_reingold(graph, max_iter=max_iter, seed=seed + _level)
+    coarse_pos = multilevel_layout(
+        cg, n_thresh=n_thresh, max_iter=max_iter, seed=seed, _level=_level + 1
+    )
+    init = (
+        labels.join(
+            coarse_pos.select(F.col("node").alias("label"), "x", "y"), "label"
+        )
+        .select("node", "x", "y")
+    )
+    return fruchterman_reingold(
+        graph, max_iter=max(10, max_iter // 2), seed=seed + _level, init=init
+    )

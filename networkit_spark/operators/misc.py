@@ -228,6 +228,116 @@ def diameter_exact(graph: Graph, max_rounds: Optional[int] = None) -> int:
     return lb
 
 
+def estimated_vertex_diameter(graph: Graph, samples: int, seed: int = 42) -> int:
+    """Diameter.h estimatedSamples mode (Diameter.cpp:232-271): for each of
+    ``samples`` sampled nodes, BFS and take (largest + second-largest
+    distance) + 1 as a vertex-diameter estimate; return the max.
+
+    Spark shape: sampled starts are the ``samples`` smallest seeded-hash
+    nodes (reference: randomNode draws — documented determinism deviation,
+    same convention as graphlayout._pivots), and ALL sample BFSs run as ONE
+    batched multi-source frontier (distance.multi_source_bfs), so the cost
+    is one BFS's worth of supersteps."""
+    from .distance import multi_source_bfs
+
+    h = hash60(F.concat_ws(":", F.col("node").cast("string"), F.lit(str(seed))))
+    starts = [
+        int(r["node"])
+        for r in graph.nodes()
+        .select("node", h.alias("h"))
+        .orderBy("h", "node")
+        .limit(samples)
+        .collect()
+    ]
+    dist = multi_source_bfs(graph, starts)
+    # per source: largest distance value and the second-largest VALUE
+    # (duplicates count — two nodes at max distance give maxD2 == maxD,
+    # Diameter.cpp:243-251's running scan)
+    ranked = (
+        dist.groupBy("source", "dist")
+        .agg(F.count("*").alias("c"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("source").orderBy(F.col("dist").desc())
+            ),
+        )
+    )
+    rows = (
+        ranked.filter(F.col("rk") <= 2)
+        .groupBy("source")
+        .agg(
+            F.max("dist").alias("d1"),
+            F.min("dist").alias("d2"),
+            F.max(F.when(F.col("rk") == 1, F.col("c"))).alias("c1"),
+        )
+        .select(
+            (
+                F.col("d1")
+                + F.when(F.col("c1") >= 2, F.col("d1")).otherwise(
+                    F.when(F.col("d2") < F.col("d1"), F.col("d2")).otherwise(F.lit(0))
+                )
+                + 1
+            ).alias("vd")
+        )
+        .agg(F.max("vd").alias("vd"))
+        .collect()
+    )
+    return int(rows[0]["vd"] or 0)
+
+
+def estimated_vertex_diameter_pedantic(graph: Graph) -> int:
+    """Diameter.h estimatedPedantic mode (Diameter.cpp:276-318): unweighted
+    graphs take, PER CONNECTED COMPONENT, a BFS from the component's
+    first node in iteration order (here: its smallest id — the reference
+    scans nodes in id order and starts at the first unvisited one) and
+    estimate maxD + maxD2 (+1 overall); weighted graphs return the largest
+    component's size. All component BFSs batch into one multi-source
+    frontier."""
+    from .components import connected_components
+    from .distance import multi_source_bfs
+
+    comp = connected_components(graph)
+    if graph.weighted:
+        sizes = comp.groupBy("component").count().agg(F.max("count")).collect()
+        return int(sizes[0][0] or 0)
+    starts = [
+        int(r["m"])
+        for r in comp.groupBy("component").agg(F.min("node").alias("m")).collect()
+    ]
+    dist = multi_source_bfs(graph, starts)
+    ranked = (
+        dist.groupBy("source", "dist")
+        .agg(F.count("*").alias("c"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("source").orderBy(F.col("dist").desc())
+            ),
+        )
+    )
+    rows = (
+        ranked.filter(F.col("rk") <= 2)
+        .groupBy("source")
+        .agg(
+            F.max("dist").alias("d1"),
+            F.min("dist").alias("d2"),
+            F.max(F.when(F.col("rk") == 1, F.col("c"))).alias("c1"),
+        )
+        .select(
+            (
+                F.col("d1")
+                + F.when(F.col("c1") >= 2, F.col("d1")).otherwise(
+                    F.when(F.col("d2") < F.col("d1"), F.col("d2")).otherwise(F.lit(0))
+                )
+            ).alias("vd")
+        )
+        .agg(F.max("vd").alias("vd"))
+        .collect()
+    )
+    return int(rows[0]["vd"] or 0) + 1
+
+
 def algebraic_distance(
     graph: Graph, num_systems: int = 8, num_iters: int = 10, omega: float = 0.5, seed: int = 42
 ) -> DataFrame:
@@ -572,7 +682,7 @@ def pseudo_random_spanning_tree(graph: Graph, seed: int = 42) -> DataFrame:
     )
 
 
-def union_maximum_spanning_forest(graph: Graph) -> DataFrame:
+def union_maximum_spanning_forest(graph: Graph, max_levels: int = 10_000) -> DataFrame:
     """UnionMaximumSpanningForest (reference
     cpp/graph/UnionMaximumSpanningForest.cpp): mark every edge contained in
     AT LEAST ONE maximum-weight spanning forest. Criterion (the reference's
@@ -587,14 +697,32 @@ def union_maximum_spanning_forest(graph: Graph) -> DataFrame:
     the min-label fixpoint runs over component ids, not nodes, so per-level
     work is proportional to the number of merging components, and node labels
     are updated with one mapping join. Level count = |distinct weights| —
-    bounded for multiplicity/score weights; at web scale quantize weights
-    into bounded buckets first.
+    bounded for multiplicity/score weights; when the cardinality exceeds
+    ``max_levels`` (continuous weights at web scale), weights are
+    automatically quantized into ``max_levels`` equi-width buckets before the
+    level loop, so both the driver-side level list and the round count stay
+    bounded. The quantized run is an approximation: edges whose weights fall
+    in the same bucket are treated as equal (a superset of the exact UMSF is
+    marked); the returned ``weight`` column is always the ORIGINAL weight.
 
     Returns (src, dst, weight, in_umsf:boolean).
     """
+    edges = graph.edges
+    if edges.select("weight").distinct().limit(max_levels + 1).count() > max_levels:
+        lo, hi = edges.agg(F.min("weight"), F.max("weight")).first()
+        width = (float(hi) - float(lo)) / max_levels or 1.0
+        edges = edges.withColumnRenamed("weight", "_orig_w").withColumn(
+            "weight",
+            F.least(
+                F.floor((F.col("_orig_w") - F.lit(float(lo))) / F.lit(width)),
+                F.lit(max_levels - 1),
+            ).cast("double"),
+        )
+    else:
+        edges = edges.withColumn("_orig_w", F.col("weight"))
     levels = [
         r["weight"]
-        for r in graph.edges.select("weight").distinct().orderBy(F.desc("weight")).collect()
+        for r in edges.select("weight").distinct().orderBy(F.desc("weight")).collect()
     ]
     labels = (
         graph.nodes()
@@ -606,14 +734,17 @@ def union_maximum_spanning_forest(graph: Graph) -> DataFrame:
         lu = labels.select(F.col("node").alias("src"), F.col("component").alias("cu"))
         lv = labels.select(F.col("node").alias("dst"), F.col("component").alias("cv"))
         lvl = (
-            graph.edges.filter(F.col("weight") == w)
+            edges.filter(F.col("weight") == w)
             .join(lu, "src")
             .join(lv, "dst")
-            .select("src", "dst", "weight", "cu", "cv")
+            .select("src", "dst", "_orig_w", "cu", "cv")
             .localCheckpoint(eager=True)
         )
         out = lvl.select(
-            "src", "dst", "weight", (F.col("cu") != F.col("cv")).alias("in_umsf")
+            "src",
+            "dst",
+            F.col("_orig_w").alias("weight"),
+            (F.col("cu") != F.col("cv")).alias("in_umsf"),
         )
         marked = out if marked is None else marked.unionByName(out)
         # contracted merge: min-label fixpoint over component ids

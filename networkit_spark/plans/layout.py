@@ -104,12 +104,31 @@ def build_csr_blocks(
     return blocks, need
 
 
+# semiring name -> (numpy ⊗, numpy ⊕ ufunc for the in-UDF reduceat combine)
+_NP_SEMIRING = {
+    "arithmetic": (np.multiply, np.add),
+    "min_plus": (np.add, np.minimum),
+    "max_plus": (np.add, np.maximum),
+    "min_max": (np.maximum, np.minimum),
+    "max_min": (np.minimum, np.maximum),
+    "logical": (np.minimum, np.maximum),
+}
+
+
 def spmv_superstep(
-    blocks: DataFrame, need: DataFrame, ranks: DataFrame
+    blocks: DataFrame, need: DataFrame, ranks: DataFrame, semiring=None
 ) -> DataFrame:
     """One gather-scatter: route scores to buckets, block-local NumPy
     multiply with in-UDF combine, global reduce by dst. Returns
-    (dst, mass) = Σ_{src→dst} p·score[src]."""
+    (dst, mass) = ⊕_{src→dst} p ⊗ score[src] — (+,×) by default; any
+    :mod:`..operators.semirings` semiring generalizes it (reference
+    GraphBLAS.h:197-238 MxV; Semirings.h:25-170), which subsumes BFS/SSSP
+    as algebraic supersteps over the same salted CSR blocks."""
+    from ..operators.semirings import ARITHMETIC
+
+    sr = semiring or ARITHMETIC
+    np_mult, np_red = _NP_SEMIRING[sr.name]
+    zero = sr.zero
     routed = (
         ranks.join(need, ranks.node == need.src)
         .select("bucket", "src", "score")
@@ -129,14 +148,21 @@ def spmv_superstep(
             offsets = np.asarray(row["offsets"], dtype=np.int64)
             dsts = np.asarray(row["dsts"], dtype=np.int64)
             ps = np.asarray(row["ps"], dtype=np.float64)
-            sc = smap.reindex(srcs).fillna(0.0).to_numpy()
+            # absent vector entries read as the semiring zero (sparse input)
+            sc = smap.reindex(srcs).fillna(zero).to_numpy()
             # expand per-src score across its CSR slice
             reps = np.diff(offsets)
             edge_scores = np.repeat(sc, reps)
-            contrib = ps * edge_scores
+            contrib = np_mult(ps, edge_scores)
             # in-UDF partial aggregation (map-side combine in NumPy)
-            u, inv = np.unique(dsts, return_inverse=True)
-            mass = np.bincount(inv, weights=contrib)
+            if np_red is np.add:
+                u, inv = np.unique(dsts, return_inverse=True)
+                mass = np.bincount(inv, weights=contrib)
+            else:
+                order = np.argsort(dsts, kind="mergesort")
+                d_sorted, c_sorted = dsts[order], contrib[order]
+                u, starts = np.unique(d_sorted, return_index=True)
+                mass = np_red.reduceat(c_sorted, starts)
             out_frames.append(pd.DataFrame({"dst": u, "mass": mass}))
         return pd.concat(out_frames, ignore_index=True)
 
@@ -145,7 +171,10 @@ def spmv_superstep(
         .cogroup(routed.groupBy("bucket"))
         .applyInPandas(multiply, CONTRIB_SCHEMA)
     )
-    return contribs.groupBy("dst").agg(F.sum("mass").alias("mass"))
+    out = contribs.groupBy("dst").agg(sr.add_agg(F.col("mass")).alias("mass"))
+    if zero in (float("inf"), float("-inf")):
+        out = out.filter(F.col("mass") != F.lit(zero))
+    return out
 
 
 def pagerank_csr(

@@ -34,6 +34,8 @@ UNROLLED = [
     ("coreness", "CORE_HINDEX_ROUNDS"),
     ("betweenness", "BW_ROUNDS"),
     ("matching", "MATCH_ROUNDS"),
+    ("path_growing", "PG_ROUNDS"),
+    ("path_growing", "PG_COLOR_DEPTH"),
     ("luby_mis", "LUBY_ROUNDS"),
     ("spanning_forest", "SF_OUT_ROUNDS"),
     ("top_closeness", "TOPC_DOUBLINGS"),

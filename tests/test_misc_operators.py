@@ -127,3 +127,88 @@ def diameter_exact_import():
     from networkit_spark.operators.misc import diameter_exact
 
     return diameter_exact
+
+
+# --- diameter estimatedSamples / estimatedPedantic modes (Diameter.h:17) ----
+
+def _ref_vd_from(dists):
+    """Reference estimateFrom (Diameter.cpp:239-256): top-2 distance values
+    (duplicates count) summed, +1."""
+    top = sorted(dists, reverse=True)
+    d1 = top[0] if top else 0
+    d2 = top[1] if len(top) > 1 else 0
+    return d1 + d2 + 1
+
+
+def test_estimated_vertex_diameter_path(spark):
+    from networkit_spark.graph import Graph
+    from networkit_spark.operators.misc import estimated_vertex_diameter
+
+    # path 0-1-2-3-4: from ANY start, maxD+maxD2+1 >= 5 only from ends;
+    # with all nodes sampled the estimate is max over starts
+    edges = [(i, i + 1, 1.0) for i in range(4)]
+    g = Graph(
+        spark.createDataFrame(edges, "src long, dst long, weight double"),
+        directed=False, weighted=False,
+    )
+    # replicate: BFS from every node
+    import collections
+    adj = collections.defaultdict(list)
+    for u, v, _ in edges:
+        adj[u].append(v); adj[v].append(u)
+    def bfs(s):
+        seen = {s: 0}; q = [s]
+        while q:
+            nq = []
+            for x in q:
+                for y in adj[x]:
+                    if y not in seen:
+                        seen[y] = seen[x] + 1; nq.append(y)
+            q = nq
+        return list(seen.values())
+    want = max(_ref_vd_from(bfs(s)) for s in range(5))
+    got = estimated_vertex_diameter(g, samples=5)
+    assert got == want == 8  # ends: 4+3+1
+
+
+def test_estimated_vertex_diameter_subset_is_lower_bound(spark):
+    from networkit_spark.graph import Graph
+    from networkit_spark.operators.misc import estimated_vertex_diameter
+
+    edges = [(i, (i + 1) % 12, 1.0) for i in range(12)]
+    g = Graph(
+        spark.createDataFrame(edges, "src long, dst long, weight double"),
+        directed=False, weighted=False,
+    )
+    all_s = estimated_vertex_diameter(g, samples=12)
+    few = estimated_vertex_diameter(g, samples=3)
+    # even cycle: from every start the antipode is unique -> maxD=6 (once),
+    # maxD2=5 -> 6+5+1, identical for every start
+    assert all_s == 12 and few == 12
+
+
+def test_estimated_vertex_diameter_pedantic_components(spark):
+    from networkit_spark.graph import Graph
+    from networkit_spark.operators.misc import estimated_vertex_diameter_pedantic
+
+    # two components: a 4-path (vd from node 0: maxD=3, maxD2=2 -> 5) and an
+    # edge (from node 10: maxD=1, maxD2=0 -> 1); reference takes max + 1
+    edges = [(0, 1, 1.0), (1, 2, 1.0), (2, 3, 1.0), (10, 11, 1.0)]
+    g = Graph(
+        spark.createDataFrame(edges, "src long, dst long, weight double"),
+        directed=False, weighted=False,
+    )
+    assert estimated_vertex_diameter_pedantic(g) == 3 + 2 + 1
+
+
+def test_estimated_vertex_diameter_pedantic_weighted(spark):
+    from networkit_spark.graph import Graph
+    from networkit_spark.operators.misc import estimated_vertex_diameter_pedantic
+
+    edges = [(0, 1, 2.0), (1, 2, 2.0), (5, 6, 1.0)]
+    g = Graph(
+        spark.createDataFrame(edges, "src long, dst long, weight double"),
+        directed=False, weighted=True,
+    )
+    # weighted mode: size of the largest component (Diameter.cpp:301-316)
+    assert estimated_vertex_diameter_pedantic(g) == 3

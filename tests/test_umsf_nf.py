@@ -64,6 +64,31 @@ def test_umsf_distinct_weights_equal_msf(spark):
     assert not got[(0, 2)] and not got[(1, 3)]
 
 
+def test_umsf_quantized_level_cap(spark):
+    """max_levels below the distinct-weight count triggers equi-width
+    quantization: the level loop is bounded, the ORIGINAL weights come back,
+    and the marked set is a superset of the exact UMSF (in-bucket ties only
+    ever ADD edges, never drop one)."""
+    edges = [(0, 1, 5.0), (1, 2, 4.0), (0, 2, 3.0), (2, 3, 2.0), (1, 3, 1.0)]
+    g = Graph.from_edge_list(spark, edges, weighted=True)
+    rows = union_maximum_spanning_forest(g, max_levels=2).collect()
+    got = {(r.src, r.dst): (r.weight, r.in_umsf) for r in rows}
+    assert {k: v[0] for k, v in got.items()} == {
+        (0, 1): 5.0, (1, 2): 4.0, (0, 2): 3.0, (2, 3): 2.0, (1, 3): 1.0
+    }
+    exact = {
+        (r.src, r.dst): r.in_umsf for r in union_maximum_spanning_forest(g).collect()
+    }
+    for k, v in exact.items():
+        if v:
+            assert got[k][1], f"exact-UMSF edge {k} lost under quantization"
+    # buckets: floor((w-1)/2) capped -> {5,4,3}=1, {2,1}=0. In-bucket ties are
+    # the superset effect: (1,3) shares bucket 0 with (2,3), so it is judged
+    # BEFORE (2,3)'s merge lands and flips to True (exact run: False), and the
+    # weight-3 cycle edge (0,2) ties with {5,4} and flips likewise.
+    assert got[(1, 3)][1] is True and got[(0, 2)][1] is True
+
+
 def test_neighborhood_function_heuristic(spark):
     # path 0-1-2-3: exact with all nodes sampled
     g = Graph.from_edge_list(spark, [(0, 1, 1.0), (1, 2, 1.0), (2, 3, 1.0)])
