@@ -4,6 +4,10 @@ local[$SPARK_GRAFT_CPUS]; prints ONE JSON line:
 
 Extra keys (informational, driver ignores them): edges/sec-per-superstep for
 PageRank (the BASELINE.md primary target) and graph size.
+
+``run_headline`` is the shared core so the sf1-scale run
+(tools/bench_sf1.py, synthetic RMAT + replicated corpus) times the IDENTICAL
+query set.
 """
 
 from __future__ import annotations
@@ -22,39 +26,25 @@ N_NODES = int(os.environ.get("SPARK_GRAFT_BENCH_NODES", "20000"))
 PR_ITERS = int(os.environ.get("SPARK_GRAFT_BENCH_PR_ITERS", "10"))
 
 
-def main():
+def run_headline(spark, edges, docs, emb, shuffle: int, pr_iters: int = PR_ITERS):
+    """Time the six headline queries over the given inputs.
+
+    ``edges``: (src, dst, weight) undirected edge DataFrame; ``docs``:
+    documents(doc_id, text, ...); ``emb``: embeddings(vec_id, embedding, ...).
+    Returns ``(timings, extra)`` dicts — same keys the driver's
+    BENCH_r{N}.json records.
+    """
     from pyspark.sql import functions as F
 
-    from networkit_spark.session import get_spark
     from networkit_spark.graph import Graph
-    from networkit_spark.testgraph import lineitem_edges
-    from networkit_spark.operators.pagerank import pagerank
+    from networkit_spark.operators.pagerank import pagerank, _transition
     from networkit_spark.operators.components import connected_components
     from networkit_spark.operators.community import plp
     from networkit_spark.operators.triangles import triangles
     from networkit_spark.functions.dedup import minhash_lsh_pairs
     from networkit_spark.functions.similarity import cosine_topk_bruteforce
 
-    # Size shuffle partitions to the DATA, not the core count (session.py:
-    # "the right knob to raise at 100 TB" — and to LOWER at bench scale).
-    # Target >= ~75k edge rows per partition: at sf0.1 (~600k rows) that is 8
-    # partitions — per-superstep task-scheduling overhead dominates wall time
-    # when 64 near-empty tasks chase 600k rows; the identical rule sized
-    # upward yields tens of thousands of partitions on a 100 TB input (then
-    # capped by cluster width). Measured on this host: 0.34 s/superstep at 8
-    # partitions vs 1.00 s at 64 for the same sf0.1 PageRank.
-    import pyarrow.parquet as pq
-
-    li_rows = pq.ParquetFile(
-        os.path.join(SF_DIR, "lineitem.parquet")
-    ).metadata.num_rows
-    shuffle = max(8, min(2 * CPUS, li_rows // 75_000))
-    spark = get_spark(
-        "networkit-spark-bench", cpus=CPUS, shuffle_partitions=shuffle
-    )
-    spark.sparkContext.setLogLevel("ERROR")
-
-    edges = lineitem_edges(spark, SF_DIR, n_nodes=N_NODES).persist()
+    edges = edges.persist()
     m = edges.count()
     g = Graph(edges, directed=False, weighted=True)
     n = g.num_nodes()
@@ -69,15 +59,13 @@ def main():
         return out
 
     # q1: PageRank, fixed supersteps — the primary target metric
-    timed("pagerank", lambda: pagerank(g, fixed_iters=PR_ITERS, num_partitions=shuffle).agg(F.sum("score")).collect())
+    timed("pagerank", lambda: pagerank(g, fixed_iters=pr_iters, num_partitions=shuffle).agg(F.sum("score")).collect())
     # edges processed per superstep = 2m (sym gather); per-superstep rate
-    extra["pagerank_eps_per_superstep"] = round(2 * m / (timings["pagerank"] / PR_ITERS), 1)
-    extra["pagerank_iters"] = PR_ITERS
+    extra["pagerank_eps_per_superstep"] = round(2 * m / (timings["pagerank"] / pr_iters), 1)
+    extra["pagerank_iters"] = pr_iters
 
     # steady-state superstep rate (BASELINE.md primary metric): cached
     # pre-partitioned transition, warm-up excluded, median of 6 supersteps
-    from networkit_spark.operators.pagerank import _transition
-
     trans = _transition(g, num_partitions=shuffle).persist()
     m_sym = trans.count()
     nodes = g.nodes().persist()
@@ -118,17 +106,49 @@ def main():
     timed("triangle_count", lambda: triangles(g).count())
     extra["tri_eps"] = round(2 * m / timings["triangle_count"], 1)
 
-    # q5: MinHash-LSH near-dup pairs over documents. The sf tables are single
-    # parquet files → ONE scan split; shingling is CPU-bound vectorized work,
-    # so spread it across the cores (a 100 TB table arrives in thousands of
-    # scan splits by itself — this repartition is the small-file analog).
-    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").repartition(CPUS)
+    # q5: MinHash-LSH near-dup pairs over documents
     timed("minhash_dedup", lambda: minhash_lsh_pairs(docs, threshold=0.5).count())
 
     # q6: ANN cosine top-10, 8 query vectors, brute force
-    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").repartition(CPUS)
     qv = emb.filter("vec_id < 8").withColumnRenamed("vec_id", "query_id")
     timed("ann_topk", lambda: cosine_topk_bruteforce(emb, qv, k=10).count())
+
+    edges.unpersist()
+    return timings, extra
+
+
+def main():
+    from networkit_spark.session import get_spark
+    from networkit_spark.testgraph import lineitem_edges
+
+    # Size shuffle partitions to the DATA, not the core count (session.py:
+    # "the right knob to raise at 100 TB" — and to LOWER at bench scale).
+    # Target >= ~75k edge rows per partition: at sf0.1 (~600k rows) that is 8
+    # partitions — per-superstep task-scheduling overhead dominates wall time
+    # when 64 near-empty tasks chase 600k rows; the identical rule sized
+    # upward yields tens of thousands of partitions on a 100 TB input (then
+    # capped by cluster width). Measured on this host: 0.34 s/superstep at 8
+    # partitions vs 1.00 s at 64 for the same sf0.1 PageRank.
+    import pyarrow.parquet as pq
+
+    li_rows = pq.ParquetFile(
+        os.path.join(SF_DIR, "lineitem.parquet")
+    ).metadata.num_rows
+    shuffle = max(8, min(2 * CPUS, li_rows // 75_000))
+    spark = get_spark(
+        "networkit-spark-bench", cpus=CPUS, shuffle_partitions=shuffle
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    edges = lineitem_edges(spark, SF_DIR, n_nodes=N_NODES)
+    # The sf tables are single parquet files → ONE scan split; shingling /
+    # dot products are CPU-bound vectorized work, so spread them across the
+    # cores (a 100 TB table arrives in thousands of scan splits by itself —
+    # this repartition is the small-file analog).
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").repartition(CPUS)
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").repartition(CPUS)
+
+    timings, extra = run_headline(spark, edges, docs, emb, shuffle)
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]

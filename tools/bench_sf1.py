@@ -1,0 +1,126 @@
+"""sf1-scale headline bench (round-2 verdict item #4).
+
+The sf0.1 wall-times are scheduling-latency-dominated (a 600k-edge SpMV
+superstep is ~0.67 s of task latency, not compute), so round-over-round
+deltas at sf0.1 are noisy.  This runs the IDENTICAL six-query headline set
+(bench.run_headline) at 10× that scale on deterministic synthetic inputs —
+no external data, per the north rule:
+
+- graph: R-MAT scale 19 / edge factor 12 (web-like quadrant skew, seed 42)
+  → ~524k nodes, ~6M undirected weighted edges, the 10× analog of the sf0.1
+  lineitem graph (20k / 599k);
+- documents: the sf0.1 documents table replicated 10× with disjoint doc_id
+  ranges (exact-duplicate replicas — the worst case for LSH bucket sizes);
+- embeddings: the sf0.1 embeddings replicated 10× with disjoint vec_ids.
+
+Inputs are materialized once to BENCH/sf1_data/*.parquet (gitignored) so the
+timed queries read parquet exactly like bench.py does.
+
+Usage: python tools/bench_sf1.py  → prints one JSON line and writes
+BENCH/bench_sf1.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+DATA_DIR = os.path.join(REPO, "BENCH", "sf1_data")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+SCALE = 19
+EDGE_FACTOR = 12
+REPLICAS = 10
+
+
+def materialize(spark) -> None:
+    from pyspark.sql import functions as F
+
+    from networkit_spark.generators import rmat
+
+    if os.path.exists(os.path.join(DATA_DIR, "_DONE")):
+        return
+    os.makedirs(DATA_DIR, exist_ok=True)
+    g = rmat(spark, scale=SCALE, edge_factor=EDGE_FACTOR, seed=42)
+    edges = (
+        g.edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+            "weight",
+        )
+        .groupBy("src", "dst")
+        .agg(F.sum("weight").alias("weight"))
+    )
+    edges.write.mode("overwrite").parquet(os.path.join(DATA_DIR, "edges.parquet"))
+
+    rep = spark.range(REPLICAS).select(F.col("id").alias("rep"))
+    docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    (
+        docs.crossJoin(rep)
+        .select(
+            (F.col("doc_id") + F.col("rep") * 1_000_000).alias("doc_id"),
+            "text", "lang", "source", "n_chars",
+        )
+        .write.mode("overwrite")
+        .parquet(os.path.join(DATA_DIR, "documents.parquet"))
+    )
+    emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    (
+        emb.crossJoin(rep)
+        .select(
+            (F.col("vec_id") + F.col("rep") * 1_000_000).alias("vec_id"),
+            "embedding", "label",
+        )
+        .write.mode("overwrite")
+        .parquet(os.path.join(DATA_DIR, "embeddings.parquet"))
+    )
+    open(os.path.join(DATA_DIR, "_DONE"), "w").write("ok\n")
+
+
+def main():
+    from networkit_spark.session import get_spark
+    from bench import run_headline
+
+    # data-sized shuffle partitions (bench.py rule: >= ~75k edge rows per
+    # partition, capped at 2*cores): ~6M edges → 64 partitions at 32 cores.
+    m_approx = EDGE_FACTOR * (2 ** SCALE)
+    shuffle = max(8, min(2 * CPUS, m_approx // 75_000))
+    spark = get_spark("networkit-spark-bench-sf1", cpus=CPUS, shuffle_partitions=shuffle)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    t0 = time.time()
+    materialize(spark)
+    gen_sec = round(time.time() - t0, 1)
+
+    edges = spark.read.parquet(os.path.join(DATA_DIR, "edges.parquet"))
+    docs = spark.read.parquet(os.path.join(DATA_DIR, "documents.parquet")).repartition(CPUS)
+    emb = spark.read.parquet(os.path.join(DATA_DIR, "embeddings.parquet")).repartition(CPUS)
+
+    timings, extra = run_headline(spark, edges, docs, emb, shuffle)
+    extra["materialize_sec"] = gen_sec
+    extra["shuffle_partitions"] = shuffle
+
+    out = {
+        "metric": "headline_total_sf1",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": 1.0,
+        "cpus": CPUS,
+        "input": f"rmat(scale={SCALE}, ef={EDGE_FACTOR}) + sf0.1 corpus x{REPLICAS}",
+        "extra": extra,
+    }
+    line = json.dumps(out)
+    print(line)
+    with open(os.path.join(REPO, "BENCH", "bench_sf1.json"), "w") as f:
+        f.write(line + "\n")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
