@@ -168,6 +168,77 @@ def q_bfs(spark, sf_dir):
     )
 
 
+APSP_SOURCES = 4  # smallest node ids; shared with the multi-source BFS oracle
+
+
+def _apsp_sources(g: Graph) -> list[int]:
+    return [
+        int(r[0]) for r in g.nodes().orderBy("node").limit(APSP_SOURCES).collect()
+    ]
+
+
+def q_apsp(spark, sf_dir):
+    """APSP restricted to a deterministic source sample — ONE batched
+    multi-source BFS (reference cpp/distance/APSP.cpp semantics per source)."""
+    from networkit_spark.operators.distance import apsp_sampled
+
+    g = _g(spark, sf_dir)
+    return apsp_sampled(g, _apsp_sources(g)).select(
+        "source", "node", F.col("dist").cast("long").alias("dist")
+    )
+
+
+def q_eccentricity(spark, sf_dir):
+    """Eccentricity.cpp per sampled source: max BFS distance."""
+    from networkit_spark.operators.distance import multi_source_bfs
+
+    g = _g(spark, sf_dir)
+    return multi_source_bfs(g, _apsp_sources(g)).groupBy("source").agg(
+        F.max("dist").cast("long").alias("ecc")
+    )
+
+
+def q_sfigality(spark, sf_dir):
+    """Sfigality.cpp: fraction of neighbors with strictly higher degree."""
+    from networkit_spark.operators.centrality import sfigality
+
+    return sfigality(_g(spark, sf_dir)).select(
+        "node", F.round("score", 6).alias("score")
+    )
+
+
+def q_partition_coverage(spark, sf_dir):
+    """LocalPartitionCoverage.cpp over the PLP labels."""
+    from networkit_spark.operators.community import local_partition_coverage
+
+    g = _g(spark, sf_dir)
+    labels = plp(g, fixed_iters=PLP_ITERS)
+    return local_partition_coverage(g, labels).select(
+        "node", F.round("coverage", 6).alias("coverage")
+    )
+
+
+def q_partition_intersection(spark, sf_dir):
+    """PartitionIntersection.cpp: finest common refinement of the PLP labels
+    and the connected-components partition."""
+    from networkit_spark.operators.community import partition_intersection
+
+    g = _g(spark, sf_dir)
+    labels = plp(g, fixed_iters=PLP_ITERS)
+    comps = connected_components(g).withColumnRenamed("component", "label")
+    return partition_intersection(labels, comps)
+
+
+def q_same_community(spark, sf_dir):
+    """SameCommunityIndex over the edge pairs with PLP labels."""
+    from networkit_spark.operators.linkprediction import same_community_index
+
+    g = _g(spark, sf_dir)
+    labels = plp(g, fixed_iters=PLP_ITERS)
+    pairs = g.edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    return same_community_index(labels, pairs)
+
+
 # ---------------------------------------------------------------------------
 # data-pipeline queries (documents / embeddings / events)
 # ---------------------------------------------------------------------------
@@ -1401,6 +1472,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "isolated_conductance": q_isolated_conductance,
         "doc_split": q_doc_split,
         "docs_per_source": q_docs_per_source,
+        # fifth wave — round 3
+        "apsp": q_apsp,
+        "eccentricity": q_eccentricity,
+        "sfigality": q_sfigality,
+        "partition_coverage": q_partition_coverage,
+        "partition_intersection": q_partition_intersection,
+        "same_community": q_same_community,
         # rows-only (no SQL-expressible oracle: FM sketches / multilevel
         # Louvain are not fixed-unroll reproducible in ANSI SQL)
         "anf_diameter": q_anf_diameter,
@@ -1446,8 +1524,10 @@ def _pagerank_sql(directed: bool = False) -> str:
     )
 
 
-def _cc_sql() -> str:
-    ctes = [edges_sql(N_NODES), "c0 AS MATERIALIZED (SELECT node, node AS component FROM nodes)"]
+def _cc_round_ctes() -> list[str]:
+    """Label-min-propagation rounds c0..c{CC_ROUNDS} (no edges CTE — callers
+    compose them with :func:`edges_sql` and possibly other CTE chains)."""
+    ctes = ["c0 AS MATERIALIZED (SELECT node, node AS component FROM nodes)"]
     for i in range(CC_ROUNDS):
         ctes.append(f"""c{i + 1} AS MATERIALIZED (
   SELECT x.node, MIN(x.component) AS component FROM (
@@ -1456,7 +1536,15 @@ def _cc_sql() -> str:
     SELECT s.dst AS node, c.component FROM sym s JOIN c{i} c ON s.src = c.node
   ) x GROUP BY x.node
 )""")
-    return _with(*ctes, select=f"SELECT node, component FROM c{CC_ROUNDS}")
+    return ctes
+
+
+def _cc_sql() -> str:
+    return _with(
+        edges_sql(N_NODES),
+        *_cc_round_ctes(),
+        select=f"SELECT node, component FROM c{CC_ROUNDS}",
+    )
 
 
 def _plp_ctes(iters: int) -> list[str]:
@@ -1576,6 +1664,125 @@ def _bfs_sql() -> str:
     return _with(
         *ctes,
         select=f"SELECT node, CAST(dist AS BIGINT) AS dist FROM b{BFS_ROUNDS}",
+    )
+
+
+def _apsp_ctes() -> list[str]:
+    """Batched multi-source BFS over the {APSP_SOURCES} smallest node ids —
+    the pair-frontier analog of _bfs_sql, unrolled past convergence."""
+    ctes = [
+        edges_sql(N_NODES),
+        f"""b0 AS MATERIALIZED (
+  SELECT node AS source, node, 0 AS dist
+  FROM (SELECT node FROM nodes ORDER BY node LIMIT {APSP_SOURCES}) s
+)""",
+    ]
+    for i in range(BFS_ROUNDS):
+        ctes.append(f"""b{i + 1} AS MATERIALIZED (
+  SELECT source, node, MIN(dist) AS dist FROM (
+    SELECT source, node, dist FROM b{i}
+    UNION ALL
+    SELECT c.source, s.dst AS node, c.dist + 1 AS dist
+    FROM sym s JOIN b{i} c ON s.src = c.node
+  ) x GROUP BY source, node
+)""")
+    return ctes
+
+
+def _apsp_sql() -> str:
+    return _with(
+        *_apsp_ctes(),
+        select=(
+            f"SELECT source, node, CAST(dist AS BIGINT) AS dist "
+            f"FROM b{BFS_ROUNDS}"
+        ),
+    )
+
+
+def _eccentricity_sql() -> str:
+    return _with(
+        *_apsp_ctes(),
+        select=(
+            f"SELECT source, CAST(MAX(dist) AS BIGINT) AS ecc "
+            f"FROM b{BFS_ROUNDS} GROUP BY source"
+        ),
+    )
+
+
+def _sfigality_sql() -> str:
+    return _with(
+        edges_sql(N_NODES),
+        """j AS MATERIALIZED (
+  SELECT s.src, d1.degree AS ds, d2.degree AS dd
+  FROM sym s JOIN deg d1 ON s.src = d1.node JOIN deg d2 ON s.dst = d2.node
+),
+per AS MATERIALIZED (
+  SELECT src AS node,
+         CAST(SUM(CASE WHEN dd > ds THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+           AS score
+  FROM j GROUP BY src
+)""",
+        select=(
+            "SELECT n.node, ROUND(COALESCE(p.score, 0.0), 6) AS score "
+            "FROM nodes n LEFT JOIN per p ON n.node = p.node"
+        ),
+    )
+
+
+def _partition_coverage_sql() -> str:
+    ctes = _plp_ctes(PLP_ITERS)
+    L = f"l{PLP_ITERS}"
+    ctes.append(f"""nb AS MATERIALIZED (
+  SELECT s.src, la.label AS lu, lb.label AS lv
+  FROM sym s JOIN {L} la ON s.src = la.node JOIN {L} lb ON s.dst = lb.node
+)""")
+    ctes.append("""cov AS MATERIALIZED (
+  SELECT src AS node,
+         CAST(SUM(CASE WHEN lu = lv THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+           AS coverage
+  FROM nb GROUP BY src
+)""")
+    return _with(
+        *ctes,
+        select=(
+            "SELECT n.node, ROUND(COALESCE(c.coverage, 0.0), 6) AS coverage "
+            "FROM nodes n LEFT JOIN cov c ON n.node = c.node"
+        ),
+    )
+
+
+def _partition_intersection_sql() -> str:
+    ctes = _plp_ctes(PLP_ITERS) + _cc_round_ctes()
+    L, C = f"l{PLP_ITERS}", f"c{CC_ROUNDS}"
+    ctes.append(f"""pj AS MATERIALIZED (
+  SELECT l.node, l.label AS la, c.component AS lb
+  FROM {L} l JOIN {C} c ON l.node = c.node
+)""")
+    ctes.append(
+        "cell AS MATERIALIZED "
+        "(SELECT la, lb, MIN(node) AS cell FROM pj GROUP BY la, lb)"
+    )
+    return _with(
+        *ctes,
+        select=(
+            "SELECT p.node, c.cell AS label FROM pj p "
+            "JOIN cell c ON p.la = c.la AND p.lb = c.lb"
+        ),
+    )
+
+
+def _same_community_sql() -> str:
+    ctes = _plp_ctes(PLP_ITERS)
+    L = f"l{PLP_ITERS}"
+    return _with(
+        *ctes,
+        select=(
+            f"SELECT e.src AS u, e.dst AS v, "
+            f"CAST(CASE WHEN la.label = lb.label THEN 1.0 ELSE 0.0 END "
+            f"AS DOUBLE) AS same_community "
+            f"FROM edges e JOIN {L} la ON e.src = la.node "
+            f"JOIN {L} lb ON e.dst = lb.node"
+        ),
     )
 
 
@@ -4072,4 +4279,10 @@ def oracle_sql() -> dict[str, str]:
         "isolated_conductance": _isolated_conductance_sql(),
         "doc_split": _doc_split_sql(),
         "docs_per_source": _docs_per_source_sql(),
+        "apsp": _apsp_sql(),
+        "eccentricity": _eccentricity_sql(),
+        "sfigality": _sfigality_sql(),
+        "partition_coverage": _partition_coverage_sql(),
+        "partition_intersection": _partition_intersection_sql(),
+        "same_community": _same_community_sql(),
     }
