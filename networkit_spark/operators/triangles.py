@@ -23,46 +23,53 @@ from pyspark.sql import DataFrame, functions as F
 from ..graph import Graph
 
 
-def oriented_edges(graph: Graph) -> DataFrame:
-    """Degree-ordered orientation: keep (u,v) with (deg(u),u) < (deg(v),v)
+def _oriented_with_key(graph: Graph) -> DataFrame:
+    """Degree-ordered orientation carrying the dst endpoint's ordering key:
+    (src, dst, ddst) rows with (deg(src),src) < (deg(dst),dst)
     (reference TriangleEdgeScore.cpp:23-26 orientation, flipped to
     low→high so wedges form at the low-degree endpoint)."""
     deg = graph.degrees()
     e = graph.sym().select("src", "dst").filter(F.col("src") != F.col("dst"))
-    e = (
+    return (
         e.join(deg.withColumnRenamed("node", "src").withColumnRenamed("degree", "dsrc"), "src")
         .join(deg.withColumnRenamed("node", "dst").withColumnRenamed("degree", "ddst"), "dst")
         .filter(
             (F.col("dsrc") < F.col("ddst"))
             | ((F.col("dsrc") == F.col("ddst")) & (F.col("src") < F.col("dst")))
         )
-        .select("src", "dst")
+        .select("src", "dst", "ddst")
     )
-    return e
+
+
+def oriented_edges(graph: Graph) -> DataFrame:
+    """Degree-ordered orientation: keep (u,v) with (deg(u),u) < (deg(v),v)."""
+    return _oriented_with_key(graph).select("src", "dst")
 
 
 def triangles(graph: Graph) -> DataFrame:
     """All triangles as (a, b, c) rows, each exactly once, a = apex (lowest
-    (deg,id) vertex), and (b, c) ordered by id."""
-    o = oriented_edges(graph)
+    (deg,id) vertex), and (b, c) ordered by id.
+
+    The wedge pair is ordered by the SAME (deg,id) key used for the
+    orientation, so the closing edge b→c is itself an oriented edge — the
+    close is a semi-join against the oriented set, and the undirected
+    edge-set build (a second sym() scan + a distinct shuffle over 2m rows)
+    drops out of the plan entirely. The oriented set is persisted: it feeds
+    both sides of the wedge join and the close."""
+    o = _oriented_with_key(graph).persist()
     e1 = o.alias("e1")
     e2 = o.alias("e2")
+    # (ddst,dst) lexicographic: b strictly before c in orientation order
     wedges = e1.join(e2, F.col("e1.src") == F.col("e2.src")).filter(
-        F.col("e1.dst") < F.col("e2.dst")
+        (F.col("e1.ddst") < F.col("e2.ddst"))
+        | ((F.col("e1.ddst") == F.col("e2.ddst")) & (F.col("e1.dst") < F.col("e2.dst")))
     ).select(
         F.col("e1.src").alias("a"), F.col("e1.dst").alias("b"), F.col("e2.dst").alias("c")
     )
-    # close the wedge: (b,c) must be an edge; orientation of (b,c) is unknown
-    # relative to (deg,id) order of b vs c, so check the undirected edge set
-    # canonicalized by id (cheaper than re-deriving order).
-    und = (
-        graph.sym()
-        .select(F.least("src", "dst").alias("x"), F.greatest("src", "dst").alias("y"))
-        .filter(F.col("x") != F.col("y"))
-        .distinct()
-    )
-    return wedges.join(
-        und, (wedges.b == und.x) & (wedges.c == und.y), "left_semi"
+    closing = o.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    closed = wedges.join(closing, ["b", "c"], "left_semi")
+    return closed.select(
+        "a", F.least("b", "c").alias("b"), F.greatest("b", "c").alias("c")
     )
 
 
