@@ -649,6 +649,35 @@ def q_clustering_stats(spark, sf_dir):
     )
 
 
+def q_approx_clustering(spark, sf_dir):
+    """Sampled clustering coefficients (reference
+    ClusteringCoefficient.cpp:133-165 approxAvgLocal, :221-281 approxGlobal):
+    one deterministic hash-seeded wedge trial per degree>=2 node; global
+    weights votes by deg*(deg-1) like the reference's weighted node draw."""
+    from networkit_spark.operators.triangles import (
+        approx_avg_local_clustering,
+        approx_global_clustering,
+    )
+
+    g = _g(spark, sf_dir)
+    avg = approx_avg_local_clustering(g, seed=42)
+    glob = approx_global_clustering(g, seed=42)
+    return spark.range(1).select(
+        F.round(F.lit(avg), 6).alias("approx_avg_lcc"),
+        F.round(F.lit(glob), 6).alias("approx_global_cc"),
+    )
+
+
+def q_gini_degree(spark, sf_dir):
+    """Gini coefficient of the degree distribution (reference
+    _NetworKit.pyx:8879-8889 stats.gini) via the distributed exact-rank
+    formula G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n."""
+    from networkit_spark.functions.stats import gini
+
+    val = gini(_g(spark, sf_dir).degrees(), "degree", "node")
+    return spark.range(1).select(F.round(F.lit(val), 6).alias("gini"))
+
+
 def q_component_sizes(spark, sf_dir):
     from networkit_spark.operators.components import component_sizes
 
@@ -1415,6 +1444,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sssp_algebraic": q_sssp_algebraic,
         "closeness": q_closeness,
         "clustering_stats": q_clustering_stats,
+        "approx_clustering": q_approx_clustering,
+        "gini_degree": q_gini_degree,
         "component_sizes": q_component_sizes,
         "largest_component": q_largest_component,
         "partition_compare": q_partition_compare,
@@ -2478,11 +2509,50 @@ def _clustering_stats_sql() -> str:
         edges_sql(N_NODES),
         _TRI_CTES,
         select="""SELECT
-  ROUND((SELECT AVG(CASE WHEN d.degree >= 2
-         THEN 2.0 * t.triangles / (d.degree * (d.degree - 1)) ELSE 0.0 END)
-         FROM tpn t JOIN deg d ON t.node = d.node), 6) AS avg_lcc,
+  ROUND((SELECT AVG(2.0 * t.triangles / (d.degree * (d.degree - 1)))
+         FROM tpn t JOIN deg d ON t.node = d.node
+         WHERE d.degree >= 2), 6) AS avg_lcc,
   ROUND(3.0 * (SELECT COUNT(*) FROM tri)
         / (SELECT SUM(degree * (degree - 1) / 2.0) FROM deg), 6) AS global_cc""",
+    )
+
+
+def _approx_clustering_sql() -> str:
+    """Mirror of operators/triangles.wedge_trials: the same md5-hash60 neighbor
+    indices over the same id-ranked neighbor lists."""
+    h = "CAST(('0x' || substr(md5(CAST(node AS VARCHAR) || ':42:{tag}'), 1, 15)) AS BIGINT)"
+    return _with(
+        edges_sql(N_NODES),
+        """ranked AS MATERIALIZED (
+  SELECT src AS node, dst AS nbr,
+         ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) - 1 AS r
+  FROM sym
+)""",
+        f"""picks AS MATERIALIZED (
+  SELECT node, degree, i1, j + CASE WHEN j >= i1 THEN 1 ELSE 0 END AS i2
+  FROM (
+    SELECT node, degree,
+           {h.format(tag='a')} % degree AS i1,
+           {h.format(tag='b')} % (degree - 1) AS j
+    FROM deg WHERE degree >= 2
+  ) q
+)""",
+        """trials AS MATERIALIZED (
+  SELECT p.node, p.degree,
+         CASE WHEN EXISTS (
+           SELECT 1 FROM edges e
+           WHERE e.src = LEAST(r1.nbr, r2.nbr)
+             AND e.dst = GREATEST(r1.nbr, r2.nbr)
+         ) THEN 1 ELSE 0 END AS closed
+  FROM picks p
+  JOIN ranked r1 ON r1.node = p.node AND r1.r = p.i1
+  JOIN ranked r2 ON r2.node = p.node AND r2.r = p.i2
+)""",
+        select=(
+            "SELECT ROUND(AVG(CAST(closed AS DOUBLE)), 6) AS approx_avg_lcc,"
+            " ROUND(SUM(closed * degree * (degree - 1.0))"
+            " / SUM(degree * (degree - 1.0)), 6) AS approx_global_cc FROM trials"
+        ),
     )
 
 
@@ -4224,6 +4294,16 @@ def oracle_sql() -> dict[str, str]:
         "sssp_algebraic": _sssp_sql(),
         "closeness": _closeness_sql(),
         "clustering_stats": _clustering_stats_sql(),
+        "approx_clustering": _approx_clustering_sql(),
+        "gini_degree": _with(
+            E,
+            select=(
+                "SELECT ROUND(2.0 * SUM(r * degree) / (COUNT(*) * SUM(degree))"
+                " - (COUNT(*) + 1.0) / COUNT(*), 6) AS gini FROM ("
+                "SELECT CAST(degree AS DOUBLE) AS degree,"
+                " ROW_NUMBER() OVER (ORDER BY degree, node) AS r FROM deg) q"
+            ),
+        ),
         "component_sizes": _component_sizes_query_sql(),
         "largest_component": _largest_component_sql(),
         "partition_compare": _partition_compare_sql(),

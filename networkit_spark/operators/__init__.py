@@ -6,6 +6,8 @@ from .triangles import (
     node_triangle_counts,
     local_clustering_coefficient,
     global_clustering_coefficient,
+    approx_avg_local_clustering,
+    approx_global_clustering,
     triangle_edge_score,
 )
 from .kcore import k_core, coreness

@@ -111,8 +111,17 @@ def local_clustering_coefficient(graph: Graph) -> DataFrame:
 
 def average_local_clustering_coefficient(graph: Graph) -> float:
     """ClusteringCoefficient::avgLocal (reference
-    cpp/global/ClusteringCoefficient.cpp:18-108)."""
-    row = local_clustering_coefficient(graph).agg(F.avg("lcc").alias("c")).collect()[0]
+    cpp/global/ClusteringCoefficient.cpp:110-131): the average of c(u) over
+    nodes with degree >= 2 only — degree-0/1 nodes are excluded from the
+    denominator, not counted as zeros (.cpp:120-124)."""
+    deg = graph.degrees()
+    row = (
+        local_clustering_coefficient(graph)
+        .join(deg, "node")
+        .filter(F.col("degree") >= 2)
+        .agg(F.avg("lcc").alias("c"))
+        .collect()[0]
+    )
     return float(row["c"] or 0.0)
 
 
@@ -127,6 +136,90 @@ def global_clustering_coefficient(graph: Graph) -> float:
     if not wedges:
         return 0.0
     return 3.0 * tri / wedges
+
+
+def wedge_trials(graph: Graph, seed: int = 42) -> DataFrame:
+    """One deterministic Schank–Wagner wedge trial per node of degree >= 2:
+    (node, degree, closed) where closed = 1 iff the sampled neighbor pair is
+    adjacent (reference ClusteringCoefficient.cpp:133-165 approxAvgLocal trial
+    body: pick two distinct random neighbors of v, test hasEdge(u, w)).
+
+    Determinism/scale: instead of RNG draws, the two neighbor indices come
+    from the portable md5-based hash60 of (node, seed) — i1 uniform on
+    [0, deg), i2 uniform on the remaining deg-1 slots — over the node's
+    neighbor list ranked by id. Every step is a per-node window or hash join
+    (no global sort, no driver loop), and the same arithmetic is expressible
+    in ANSI SQL for the DuckDB oracle. Trials use the simple neighbor sets
+    (dedup'd, self-loops dropped), matching the reference's simple graphs."""
+    from ..functions.dedup import hash60
+    from pyspark.sql.window import Window
+
+    nbrs = (
+        graph.sym()
+        .select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    w = Window.partitionBy("src").orderBy("dst")
+    ranked = nbrs.select(
+        F.col("src").alias("node"),
+        F.col("dst").alias("nbr"),
+        (F.row_number().over(w) - 1).alias("r"),
+    ).persist()
+    deg = ranked.groupBy("node").agg(F.count("*").alias("degree"))
+    h1 = hash60(F.concat_ws(":", F.col("node").cast("string"), F.lit(str(seed)), F.lit("a")))
+    h2 = hash60(F.concat_ws(":", F.col("node").cast("string"), F.lit(str(seed)), F.lit("b")))
+    picks = (
+        deg.filter(F.col("degree") >= 2)
+        .withColumn("i1", h1 % F.col("degree"))
+        .withColumn("j", h2 % (F.col("degree") - 1))
+        .withColumn("i2", F.col("j") + F.when(F.col("j") >= F.col("i1"), 1).otherwise(0))
+    )
+    r1 = ranked.select("node", F.col("nbr").alias("n1"), F.col("r").alias("i1"))
+    r2 = ranked.select("node", F.col("nbr").alias("n2"), F.col("r").alias("i2"))
+    pairs = picks.join(r1, ["node", "i1"]).join(r2, ["node", "i2"])
+    und = nbrs.filter(F.col("src") < F.col("dst"))
+    closed = pairs.join(
+        und,
+        (und.src == F.least(pairs.n1, pairs.n2)) & (und.dst == F.greatest(pairs.n1, pairs.n2)),
+        "left_semi",
+    ).select("node", "degree", F.lit(1).alias("closed"))
+    return (
+        picks.select("node", "degree")
+        .join(closed.select("node", "closed"), "node", "left")
+        .select("node", "degree", F.coalesce("closed", F.lit(0)).alias("closed"))
+    )
+
+
+def approx_avg_local_clustering(graph: Graph, seed: int = 42) -> float:
+    """approxAvgLocal (reference ClusteringCoefficient.cpp:133-165): estimate
+    of the degree>=2-restricted average local clustering coefficient from one
+    wedge trial per node. Deviation from the reference noted: the reference
+    draws `trials` i.i.d. nodes; this runs exactly one deterministic trial at
+    EVERY eligible node (a stratified estimator with the same expectation and
+    lower variance), so the estimate is reproducible across partitionings."""
+    row = wedge_trials(graph, seed).agg(F.avg("closed").alias("c")).collect()[0]
+    return float(row["c"] or 0.0)
+
+
+def approx_global_clustering(graph: Graph, seed: int = 42) -> float:
+    """approxGlobal (reference ClusteringCoefficient.cpp:221-281): the
+    reference samples nodes with probability proportional to deg·(deg-1)
+    (prefix-sum + binary search, .cpp:225-232) and runs one wedge trial per
+    draw. Stratified dual: one deterministic trial per node, votes weighted
+    by deg·(deg-1) — identical expectation (exactGlobal), no driver-side
+    prefix sum."""
+    row = (
+        wedge_trials(graph, seed)
+        .agg(
+            (
+                F.sum(F.col("closed") * F.col("degree") * (F.col("degree") - 1))
+                / F.sum(F.col("degree") * (F.col("degree") - 1))
+            ).alias("c")
+        )
+        .collect()[0]
+    )
+    return float(row["c"] or 0.0)
 
 
 def triangle_edge_score(graph: Graph) -> DataFrame:
