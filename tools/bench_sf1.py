@@ -101,9 +101,26 @@ def main():
     docs = spark.read.parquet(os.path.join(DATA_DIR, "documents.parquet")).repartition(CPUS)
     emb = spark.read.parquet(os.path.join(DATA_DIR, "embeddings.parquet")).repartition(CPUS)
 
+    # The sandbox host's deliverable compute swings >2x over minutes
+    # (external contention — identical triangle runs measured 34-104 s), so a
+    # single pass conflates host drift with engine cost. Run ROUNDS passes
+    # and keep each query's MINIMUM (noise is additive; same methodology as
+    # tools/scaling_bench.py).
+    rounds = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "1"))
     timings, extra = run_headline(spark, edges, docs, emb, shuffle)
+    all_rounds = [timings]
+    for _ in range(rounds - 1):
+        t, e = run_headline(spark, edges, docs, emb, shuffle)
+        all_rounds.append(t)
+        # keep the extra dict from the round with the fastest pagerank
+        if t["pagerank"] < timings["pagerank"]:
+            extra = e
+        timings = {k: min(timings[k], t[k]) for k in timings}
     extra["materialize_sec"] = gen_sec
     extra["shuffle_partitions"] = shuffle
+    extra["rounds"] = rounds
+    if rounds > 1:
+        extra["rounds_raw"] = all_rounds
 
     out = {
         "metric": "headline_total_sf1",
