@@ -1195,6 +1195,7 @@ def q_graphml_roundtrip(spark, sf_dir):
 CT_ITERS = 24
 CT_OMEGA = 0.5
 CT_PAIRS = [(0, 1), (2, 3), (4, 5), (6, 7), (8, 9), (10, 11), (12, 13), (14, 15)]
+CT_CG_ITERS = 12
 SEC_Q = 2
 SEC_ITERS = 16
 
@@ -1233,6 +1234,26 @@ def q_commute_time(spark, sf_dir):
         "v",
         F.round("resistance", 6).alias("resistance"),
         F.round("commute_time", 3).alias("commute_time"),
+    )
+
+
+def q_commute_time_cg(spark, sf_dir):
+    """Same 8 commute-time pairs solved by the batched diagonal-preconditioned
+    Conjugate Gradient (reference cpp/numerics/ConjugateGradient.h:68-106)
+    instead of damped Jacobi: 12 CG iterations reach machine precision where
+    24 Jacobi sweeps are still ~1e-1 off — the scale path for the Laplacian
+    family. tol=0 pins the iteration count so the unrolled SQL oracle runs
+    the identical schedule."""
+    from networkit_spark.operators.algebraic import effective_resistance
+
+    g = _g(spark, sf_dir)
+    vol = g.sym().agg(F.sum("weight")).collect()[0][0] or 0.0
+    er = effective_resistance(g, CT_PAIRS, iters=CT_CG_ITERS, method="cg")
+    return er.select(
+        "u",
+        "v",
+        F.round("resistance", 6).alias("resistance"),
+        F.round(F.lit(float(vol)) * F.col("resistance"), 3).alias("commute_time"),
     )
 
 
@@ -1491,6 +1512,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gml_roundtrip": q_gml_roundtrip,
         "graphml_roundtrip": q_graphml_roundtrip,
         "commute_time": q_commute_time,
+        "commute_time_cg": q_commute_time_cg,
         "spanning_edge": q_spanning_edge,
         "anf_nf": q_anf_nf,
         # fourth wave — training-pipeline depth
@@ -3881,6 +3903,98 @@ rhs AS MATERIALIZED (
     )
 
 
+def _cg_ctes(iters: int) -> list[str]:
+    """Unrolled diagonal-preconditioned CG on the Laplacian, mirroring
+    operators/algebraic.conjugate_gradient exactly (including the pap>0 /
+    rz>0 guards, so a converged system is a fixed point on both engines).
+    State s{i}: (sys, node, b, d, x, r, p)."""
+    ctes = [
+        """s0 AS MATERIALIZED (
+  SELECT sy.sys, n.node,
+         COALESCE(r.b, 0) AS b,
+         COALESCE(w.wdeg, 0) AS d,
+         CAST(0 AS DOUBLE) AS x,
+         COALESCE(r.b, 0) AS r,
+         CASE WHEN COALESCE(w.wdeg, 0) > 0
+              THEN COALESCE(r.b, 0) / w.wdeg ELSE 0 END AS p
+  FROM nodes n
+  CROSS JOIN (SELECT DISTINCT sys FROM pairs) sy
+  LEFT JOIN wdeg w ON n.node = w.node
+  LEFT JOIN rhs r ON r.sys = sy.sys AND r.node = n.node
+)""",
+        """rz0 AS MATERIALIZED (
+  SELECT sys, SUM(CASE WHEN d > 0 THEN r * r / d ELSE 0 END) AS rz
+  FROM s0 GROUP BY sys
+)""",
+    ]
+    for i in range(1, iters + 1):
+        j = i - 1
+        ctes.append(f"""ap{i} AS MATERIALIZED (
+  SELECT st.sys, st.node, st.d * st.p - COALESCE(a.apn, 0) AS ap
+  FROM s{j} st LEFT JOIN (
+    SELECT st2.sys, y.dst AS node, SUM(y.weight * st2.p) AS apn
+    FROM sym y JOIN s{j} st2 ON y.src = st2.node
+    GROUP BY st2.sys, y.dst
+  ) a ON a.sys = st.sys AND a.node = st.node
+)""")
+        ctes.append(f"""al{i} AS MATERIALIZED (
+  SELECT st.sys,
+         CASE WHEN SUM(st.p * ap.ap) > 0
+              THEN MAX(rz.rz) / SUM(st.p * ap.ap) ELSE 0 END AS alpha
+  FROM s{j} st
+  JOIN ap{i} ap ON ap.sys = st.sys AND ap.node = st.node
+  JOIN rz{j} rz ON rz.sys = st.sys
+  GROUP BY st.sys
+)""")
+        ctes.append(f"""t{i} AS MATERIALIZED (
+  SELECT st.sys, st.node, st.b, st.d,
+         st.x + al.alpha * st.p AS x,
+         st.r - al.alpha * ap.ap AS r,
+         st.p AS p
+  FROM s{j} st
+  JOIN ap{i} ap ON ap.sys = st.sys AND ap.node = st.node
+  JOIN al{i} al ON al.sys = st.sys
+)""")
+        ctes.append(f"""rz{i} AS MATERIALIZED (
+  SELECT sys, SUM(CASE WHEN d > 0 THEN r * r / d ELSE 0 END) AS rz
+  FROM t{i} GROUP BY sys
+)""")
+        ctes.append(f"""s{i} AS MATERIALIZED (
+  SELECT t.sys, t.node, t.b, t.d, t.x, t.r,
+         (CASE WHEN t.d > 0 THEN t.r / t.d ELSE 0 END)
+         + (CASE WHEN o.rz > 0 THEN n.rz / o.rz ELSE 0 END) * t.p AS p
+  FROM t{i} t
+  JOIN rz{i} n ON n.sys = t.sys
+  JOIN rz{j} o ON o.sys = t.sys
+)""")
+    return ctes
+
+
+def _commute_time_cg_sql() -> str:
+    pairs_vals = ", ".join(f"({i}, {u}, {v})" for i, (u, v) in enumerate(CT_PAIRS))
+    rhs = f"""pairs AS MATERIALIZED (
+  SELECT * FROM (VALUES {pairs_vals}) t(sys, u, v)
+),
+rhs AS MATERIALIZED (
+  SELECT sys, u AS node, CAST(1 AS DOUBLE) AS b FROM pairs
+  UNION ALL SELECT sys, v AS node, CAST(-1 AS DOUBLE) AS b FROM pairs
+)"""
+    last = f"s{CT_CG_ITERS}"
+    return _with(
+        edges_sql(N_NODES),
+        rhs,
+        *_cg_ctes(CT_CG_ITERS),
+        "vol AS MATERIALIZED (SELECT SUM(weight) AS vol FROM sym)",
+        select=(
+            f"SELECT p.u, p.v, ROUND(ABS(xu.x - xv.x), 6) AS resistance, "
+            f"ROUND(vol.vol * ABS(xu.x - xv.x), 3) AS commute_time "
+            f"FROM pairs p CROSS JOIN vol "
+            f"JOIN {last} xu ON xu.sys = p.sys AND xu.node = p.u "
+            f"JOIN {last} xv ON xv.sys = p.sys AND xv.node = p.v"
+        ),
+    )
+
+
 def _spanning_edge_sql() -> str:
     from networkit_spark.functions.dedup import hash60_sql
 
@@ -4348,6 +4462,7 @@ def oracle_sql() -> dict[str, str]:
         "gml_roundtrip": _roundtrip_sql(),
         "graphml_roundtrip": _roundtrip_sql(),
         "commute_time": _commute_time_sql(),
+        "commute_time_cg": _commute_time_cg_sql(),
         "spanning_edge": _spanning_edge_sql(),
         "anf_nf": _anf_nf_sql(),
         "repetition_profile": _repetition_profile_sql(),

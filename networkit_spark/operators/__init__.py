@@ -51,6 +51,7 @@ from .simulation import seir_simulation
 from .graphlayout import pivot_mds
 from .algebraic import (
     laplacian_smooth,
+    conjugate_gradient,
     effective_resistance,
     commute_time_distance,
     spanning_edge_centrality,

@@ -137,6 +137,155 @@ def laplacian_smooth(
     return state.select("sys", "node", "x")
 
 
+def conjugate_gradient(
+    graph: Graph,
+    rhs: DataFrame,
+    iters: int = 50,
+    tol: float = 1e-10,
+    num_partitions: Optional[int] = None,
+) -> DataFrame:
+    """Diagonal-preconditioned Conjugate Gradient on the graph Laplacian,
+    batched over systems (reference cpp/numerics/ConjugateGradient.h:68-106
+    solve loop; DiagonalPreconditioner). ``rhs`` is ``(sys, node, b)``;
+    returns ``(sys, node, x)``.
+
+    Per iteration: ONE adjacency SpMV shuffle (the PageRank shape — cached
+    pre-partitioned ``sym``, only the O(#systems·n) state moves) plus two
+    O(#systems)-row scalar aggregates (alpha's denominator, then the
+    residual pair), mirroring the reference's two inner products per
+    iteration. CG converges in O(sqrt(cond)) supersteps vs damped Jacobi's
+    O(cond) — for the Laplacian solves behind effective resistance /
+    commute time this is the scale path; Jacobi stays the default where the
+    unrolled-SQL oracle needs a fixed contraction schedule.
+
+    Valid on the singular Laplacian when every ``b`` sums to zero per
+    system (all callers pass ``e_u - e_v`` differences): the Krylov space
+    then stays orthogonal to the constant nullspace. Early exit when every
+    system's ||r||^2 <= tol^2 * ||b||^2 (reference's relative residual,
+    ConjugateGradient.h:72).
+    """
+    from ..plans.ckpt import clean_local_checkpoint
+
+    sym = _sym_cached(graph, num_partitions)
+    wdeg = sym.groupBy("src").agg(F.sum("weight").alias("d")).withColumnRenamed(
+        "src", "node"
+    )
+    sys_ids = rhs.select("sys").distinct()
+    z0 = F.when(F.col("d") > 0, F.col("b") / F.col("d")).otherwise(F.lit(0.0))
+    state = (
+        graph.nodes()
+        .crossJoin(sys_ids)
+        .join(wdeg, "node", "left")
+        .join(rhs, ["sys", "node"], "left")
+        .select(
+            "sys",
+            "node",
+            F.coalesce("b", F.lit(0.0)).alias("b"),
+            F.coalesce("d", F.lit(0.0)).alias("d"),
+            F.lit(0.0).alias("x"),
+        )
+        .withColumn("r", F.col("b"))
+        .withColumn("p", z0)
+        .localCheckpoint(eager=True)
+    )
+    # per-system targets: ||b||^2 and rz = r.z (z = D^-1 r)
+    t0 = {
+        row["sys"]: (float(row["bb"]), float(row["rz"]))
+        for row in state.groupBy("sys")
+        .agg(
+            F.sum(F.col("b") * F.col("b")).alias("bb"),
+            F.sum(
+                F.when(F.col("d") > 0, F.col("r") * F.col("r") / F.col("d")).otherwise(
+                    0.0
+                )
+            ).alias("rz"),
+        )
+        .collect()
+    }
+    bb = {s: v[0] for s, v in t0.items()}
+    rz = {s: v[1] for s, v in t0.items()}
+    spark = graph.edges.sparkSession
+    prev = None
+    for _ in range(iters):
+        ap_n = (
+            sym.join(state, sym.src == state.node)
+            .groupBy("sys", "dst")
+            .agg(F.sum(F.col("weight") * F.col("p")).alias("apn"))
+            .withColumnRenamed("dst", "node")
+        )
+        st = state.join(ap_n, ["sys", "node"], "left").withColumn(
+            "ap", F.col("d") * F.col("p") - F.coalesce("apn", F.lit(0.0))
+        )
+        st = clean_local_checkpoint(st)
+        pap = {
+            row["sys"]: float(row["pap"])
+            for row in st.groupBy("sys")
+            .agg(F.sum(F.col("p") * F.col("ap")).alias("pap"))
+            .collect()
+        }
+        alpha = {
+            s: (rz[s] / pap[s]) if pap.get(s, 0.0) > 0 else 0.0 for s in rz
+        }
+        a_df = F.broadcast(
+            spark.createDataFrame(
+                [(int(s), float(a)) for s, a in alpha.items()], "sys long, alpha double"
+            )
+        )
+        st2 = st.join(a_df, "sys").select(
+            "sys",
+            "node",
+            "b",
+            "d",
+            (F.col("x") + F.col("alpha") * F.col("p")).alias("x"),
+            (F.col("r") - F.col("alpha") * F.col("ap")).alias("r"),
+            "p",
+        )
+        st2 = clean_local_checkpoint(st2)
+        if prev is not None:
+            try:
+                prev.unpersist(True)
+            except Exception:
+                pass
+        res = {
+            row["sys"]: (float(row["rr"]), float(row["rzn"]))
+            for row in st2.groupBy("sys")
+            .agg(
+                F.sum(F.col("r") * F.col("r")).alias("rr"),
+                F.sum(
+                    F.when(
+                        F.col("d") > 0, F.col("r") * F.col("r") / F.col("d")
+                    ).otherwise(0.0)
+                ).alias("rzn"),
+            )
+            .collect()
+        }
+        beta = {
+            s: (res[s][1] / rz[s]) if rz.get(s, 0.0) > 0 else 0.0 for s in rz
+        }
+        rz = {s: res[s][1] for s in res}
+        b_df = F.broadcast(
+            spark.createDataFrame(
+                [(int(s), float(bv)) for s, bv in beta.items()], "sys long, beta double"
+            )
+        )
+        znew = F.when(F.col("d") > 0, F.col("r") / F.col("d")).otherwise(F.lit(0.0))
+        state = st2.join(b_df, "sys").select(
+            "sys",
+            "node",
+            "b",
+            "d",
+            "x",
+            "r",
+            (znew + F.col("beta") * F.col("p")).alias("p"),
+        )
+        state = clean_local_checkpoint(state)
+        prev = state
+        if all(res[s][0] <= tol * tol * bb.get(s, 0.0) for s in res):
+            break
+    sym.unpersist()
+    return state.select("sys", "node", "x")
+
+
 def _pairs_df(graph: Graph, pairs) -> DataFrame:
     spark = graph.edges.sparkSession
     if isinstance(pairs, DataFrame):
@@ -154,6 +303,8 @@ def effective_resistance(
     omega: float = 0.5,
     num_partitions: Optional[int] = None,
     checkpoint_every: int = 2,
+    method: str = "jacobi",
+    tol: float = 0.0,
 ) -> DataFrame:
     """Effective resistance ``R(u, v) = (e_u - e_v)^T L^+ (e_u - e_v)`` for
     each pair, all pairs batched into one smoothing run. Returns
@@ -161,15 +312,25 @@ def effective_resistance(
 
     Matches CommuteTimeDistance.cpp:48-59 semantics: one linear system per
     pair with rhs ``e_u - e_v``; the answer is ``|x_u - x_v|``.
+
+    ``method="cg"`` swaps the damped-Jacobi sweeps for the preconditioned
+    Conjugate Gradient (reference's actual solver family): far fewer
+    supersteps at equal accuracy (O(sqrt(cond)) vs O(cond)) — use it at
+    scale; ``iters`` then caps CG iterations.
     """
     p = _pairs_df(graph, pairs)
     rhs = p.select("sys", F.col("u").alias("node"), F.lit(1.0).alias("b")).unionByName(
         p.select("sys", F.col("v").alias("node"), F.lit(-1.0).alias("b"))
     )
-    x = laplacian_smooth(
-        graph, rhs, iters=iters, omega=omega, num_partitions=num_partitions,
-        checkpoint_every=checkpoint_every,
-    )
+    if method == "cg":
+        x = conjugate_gradient(
+            graph, rhs, iters=iters, tol=tol, num_partitions=num_partitions
+        )
+    else:
+        x = laplacian_smooth(
+            graph, rhs, iters=iters, omega=omega, num_partitions=num_partitions,
+            checkpoint_every=checkpoint_every,
+        )
     xu = x.select("sys", F.col("node").alias("u"), F.col("x").alias("xu"))
     xv = x.select("sys", F.col("node").alias("v"), F.col("x").alias("xv"))
     return (

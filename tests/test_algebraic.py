@@ -112,3 +112,50 @@ def test_laplacian_smooth_isolated_nodes_stay_zero(spark):
     x = {r["node"]: r["x"] for r in laplacian_smooth(g, rhs, iters=50).collect()}
     assert x[2] == 0.0 and x[3] == 0.0
     assert x[0] - x[1] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_conjugate_gradient_matches_pinv(spark):
+    """Diagonal-preconditioned CG (ConjugateGradient.h:68-106) reaches the
+    pseudo-inverse answer to machine precision within n iterations, where
+    the same budget of Jacobi sweeps is still ~1e-1 off — the reason
+    method='cg' is the scale path for the Laplacian family."""
+    edges = [
+        (0, 1, 1.0), (1, 2, 2.0), (2, 3, 1.0), (3, 0, 1.5),
+        (0, 2, 0.5), (3, 4, 1.0), (4, 5, 2.5), (5, 0, 1.0),
+    ]
+    n = 6
+    A = np.zeros((n, n))
+    for u, v, w in edges:
+        A[u, v] += w
+        A[v, u] += w
+    Lp = np.linalg.pinv(np.diag(A.sum(1)) - A)
+    pairs = [(0, 3), (1, 5), (2, 4)]
+    exact = {(u, v): Lp[u, u] + Lp[v, v] - 2 * Lp[u, v] for u, v in pairs}
+
+    df = spark.createDataFrame(edges, "src long, dst long, weight double")
+    g = Graph(df, weighted=True)
+    got = {
+        (r["u"], r["v"]): r["resistance"]
+        for r in effective_resistance(g, pairs, iters=12, method="cg").collect()
+    }
+    for p in pairs:
+        assert got[p] == pytest.approx(exact[p], abs=1e-10), p
+
+    jac = {
+        (r["u"], r["v"]): r["resistance"]
+        for r in effective_resistance(g, pairs, iters=12, method="jacobi").collect()
+    }
+    assert max(abs(jac[p] - exact[p]) for p in pairs) > 1e-3
+
+
+def test_conjugate_gradient_early_exit(spark):
+    """With a positive tolerance CG stops once every system's relative
+    residual is under tol (ConjugateGradient.h:72) — result still correct."""
+    from networkit_spark.operators.algebraic import conjugate_gradient
+
+    g = _graph(spark, [(0, 1), (1, 2), (2, 3)])  # path: R(0,3)=3
+    rhs = spark.createDataFrame(
+        [(0, 0, 1.0), (0, 3, -1.0)], "sys long, node long, b double"
+    )
+    x = {r["node"]: r["x"] for r in conjugate_gradient(g, rhs, iters=50, tol=1e-8).collect()}
+    assert x[0] - x[3] == pytest.approx(3.0, abs=1e-6)
