@@ -78,7 +78,7 @@ from .coloring import jones_plassmann_coloring
 
 __all__ = [n for n in dir() if not n.startswith("_")]
 
-from .flow import push_relabel
+from .flow import push_relabel, push_relabel_batched
 from .matching import local_max_matching, path_growing_matching, matching_coarsening
 from .semirings import (
     SEMIRINGS,

@@ -13,14 +13,18 @@ Spark shape
 The residual graph is an arc DataFrame ``(u, v, r)`` (two arcs per
 undirected edge, ``r(u,v) + r(v,u) == 2w`` invariant). Each BFS *wave* is a
 distributed frontier join over arcs with ``r > 0`` — at web scale a wave is
-a full shuffle-join exactly like ``bfs_distances``. The *augmentation
-sequence* however is inherently sequential (each path must observe the
-previous path's residuals) — same as the reference, whose run() is a serial
-while-loop; no known work-efficient fully-parallel max-flow exists. We keep
-the per-wave work distributed and the driver state O(path length).
-CutClustering additionally loops nodes serially (reference does too,
-CutClustering.cpp:63-78 — the nested-cut property makes the loop order
-load-bearing); use it at community scale, not corpus scale.
+a full shuffle-join exactly like ``bfs_distances``. Edmonds-Karp's
+*augmentation sequence* is inherently sequential (each path must observe
+the previous path's residuals) — same as the reference, whose run() is a
+serial while-loop; it is kept as the parity path. The scale path is
+bulk-synchronous push-relabel (:func:`push_relabel`), and its batched form
+(:func:`push_relabel_batched`) runs MANY independent flow systems
+concurrently over sys-keyed state — CutClustering uses it to replace the
+reference's serial per-node loop (CutClustering.cpp:63-78) with waves of
+concurrent flows while replaying the assignment in the reference's
+descending-degree order (the nested-cut property makes the *apply* order
+load-bearing, not the *compute* order: every cut is computed on the
+original augmented graph).
 
 The min-cut value and the inclusion-minimal source side are UNIQUE across
 all maximum flows (max-flow/min-cut duality + submodularity), so tests pin
@@ -163,45 +167,65 @@ def edmonds_karp(graph: Graph, source: int, sink: int, max_augment: int = 100_00
 
 
 def _global_heights(
-    spark, arcs: DataFrame, state: DataFrame, source: int, sink: int, n: int
+    spark, arcs: DataFrame, state: DataFrame, src_df: DataFrame, sink: int, n: int
 ) -> DataFrame:
-    """Global relabeling heuristic: exact residual BFS distances, batched as
-    ONE keyed multi-source BFS over the reversed positive-residual arcs —
-    phase 't' from the sink (h = dist-to-sink) and phase 's' from the source
-    (h = n + dist-to-source for nodes that cannot reach the sink). Heights
-    are only ever RAISED (max with the current label): any valid labeling
-    lower-bounds both exact distances, so taking the max keeps the labeling
-    valid and monotone — the standard termination/correctness arguments are
-    untouched, while pushes now route along shortest residual paths."""
+    """Global relabeling heuristic, batched over systems: exact residual BFS
+    distances computed as ONE (sys, phase)-keyed multi-source BFS over each
+    system's reversed positive-residual arcs — phase 't' from the sink
+    (h = dist-to-sink) and phase 's' from that system's source (h = n +
+    dist-to-source for nodes that cannot reach the sink). Heights are only
+    ever RAISED (max with the current label): any valid labeling lower-bounds
+    both exact distances, so taking the max keeps the labeling valid and
+    monotone — the standard termination/correctness arguments are untouched,
+    while pushes now route along shortest residual paths."""
     rev = arcs.filter(F.col("r") > _EPS).select(
-        F.col("v").alias("a"), F.col("u").alias("b")
+        "sys", F.col("v").alias("a"), F.col("u").alias("b")
     ).transform(_cc)
-    dist = spark.createDataFrame(
-        [(sink, "t", 0), (source, "s", 0)], "node long, phase string, d long"
-    ).transform(_cc)
+    dist = (
+        src_df.select(
+            "sys",
+            F.col("source").alias("node"),
+            F.lit("s").alias("phase"),
+            F.lit(0).alias("d"),
+        )
+        .unionByName(
+            src_df.select(
+                "sys",
+                F.lit(sink).alias("node"),
+                F.lit("t").alias("phase"),
+                F.lit(0).alias("d"),
+            )
+        )
+        .transform(_cc)
+    )
     frontier = dist
     while True:
         step = (
-            rev.join(F.broadcast(frontier), rev.a == frontier.node)
-            .select(F.col("b").alias("node"), "phase", (F.col("d") + 1).alias("d"))
-            .groupBy("node", "phase")
+            rev.join(
+                F.broadcast(frontier.select("sys", F.col("node").alias("a"), "phase", "d")),
+                ["sys", "a"],
+            )
+            .select("sys", F.col("b").alias("node"), "phase", (F.col("d") + 1).alias("d"))
+            .groupBy("sys", "node", "phase")
             .agg(F.min("d").alias("d"))
         )
         new = step.join(
-            dist.select("node", "phase"), ["node", "phase"], "left_anti"
+            dist.select("sys", "node", "phase"), ["sys", "node", "phase"], "left_anti"
         ).transform(_cc)
         if new.isEmpty():
             break
         dist = dist.unionByName(new).transform(_cc)
         frontier = new
-    ht = dist.filter(F.col("phase") == "t").select("node", F.col("d").alias("dt"))
-    hs = dist.filter(F.col("phase") == "s").select("node", F.col("d").alias("ds"))
+    ht = dist.filter(F.col("phase") == "t").select("sys", "node", F.col("d").alias("dt"))
+    hs = dist.filter(F.col("phase") == "s").select("sys", "node", F.col("d").alias("ds"))
     return (
-        state.join(ht, "node", "left")
-        .join(hs, "node", "left")
+        state.join(ht, ["sys", "node"], "left")
+        .join(hs, ["sys", "node"], "left")
+        .join(src_df, "sys")
         .select(
+            "sys",
             "node",
-            F.when(F.col("node") == source, F.lit(n))
+            F.when(F.col("node") == F.col("source"), F.lit(n))
             .otherwise(
                 F.greatest(
                     F.col("h"),
@@ -214,94 +238,155 @@ def _global_heights(
     )
 
 
-def push_relabel(
+@dataclass
+class BatchedFlowResult:
+    """Outcome of ``push_relabel_batched``: per-system flow values
+    ``(sys, flow)``, per-system min-cut source sides ``(sys, node)``, and the
+    sys-keyed residual arcs ``(sys, u, v, cap, r)``."""
+
+    flow_values: DataFrame
+    source_sets: DataFrame
+    residual: DataFrame
+
+
+def _reachable_batched(arcs: DataFrame, src_df: DataFrame) -> DataFrame:
+    """Per-system residual-reachable set ``(sys, node)`` from each system's
+    source — one keyed BFS over positive-residual arcs for ALL systems."""
+    reached = src_df.select("sys", F.col("source").alias("node")).transform(_cc)
+    frontier = reached
+    pos = arcs.filter(F.col("r") > _EPS).select(
+        "sys", F.col("u").alias("node"), "v"
+    ).transform(_cc)
+    while True:
+        step = (
+            pos.join(F.broadcast(frontier), ["sys", "node"])
+            .select("sys", F.col("v").alias("node"))
+            .distinct()
+        )
+        new = step.join(reached, ["sys", "node"], "left_anti").transform(_cc)
+        if new.isEmpty():
+            return reached
+        reached = reached.unionByName(new).transform(_cc)
+        frontier = new
+
+
+def push_relabel_batched(
     graph: Graph,
-    source: int,
+    sources: list,
     sink: int,
     max_rounds: int = 100_000,
     relabel_every: int = 3,
-) -> FlowResult:
-    """Max flow via bulk-synchronous push-relabel (Goldberg-Tarjan) — the
-    scale path that removes Edmonds-Karp's per-augmentation driver BFS
-    (round-2 verdict 'What's wrong' #2): every superstep, ALL active nodes
-    discharge concurrently (saturating/non-saturating pushes along their
-    admissible arcs, allocated by a per-node running sum) and every active
-    node with no admissible arc relabels to 1 + min neighbor height. No
-    driver round-trips inside a superstep; the only driver state is the
-    active-node count. Every ``relabel_every`` rounds the global-relabeling
-    heuristic (:func:`_global_heights`) raises all heights to the exact
-    residual BFS distances — the standard accelerant that makes pushes
-    follow shortest residual paths, cutting round counts from O(n²)-ish to
-    a few per BFS phase. Same FlowResult contract as :func:`edmonds_karp`
-    (the min-cut source side — residual-reachable from s — is unique across
-    all maximum flows, so both algorithms return identical values/cuts).
+) -> BatchedFlowResult:
+    """Max flow via bulk-synchronous push-relabel (Goldberg-Tarjan), batched
+    over independent systems — the scale path that removes Edmonds-Karp's
+    per-augmentation driver BFS. ``sources`` is ``[(sys, source_node), ...]``;
+    all systems share the ``sink`` and run CONCURRENTLY over sys-keyed state
+    ``(sys, node, h, e)`` and sys-keyed residual arcs ``(sys, u, v, cap, r)``
+    (memory = #systems × m arc rows — the caller picks the wave size).
 
-    Concurrent-push safety: a push needs h(u) = h(v) + 1, so u→v and v→u
-    can never both be admissible in one superstep; pushes out of u are
-    capped by u's excess via the running-sum allocation, and pushes INTO a
-    node only raise its excess. Heights only rise (≤ 2n), giving the
-    standard termination bound; synchronous rounds are O(n²) worst-case —
-    each round is one arc-height join + two grouped aggregates, all
-    distributed.
+    Every superstep, ALL active nodes of ALL systems discharge concurrently
+    (saturating/non-saturating pushes along their admissible arcs, allocated
+    by a per-(sys, node) running sum) and every active node with no
+    admissible arc relabels to 1 + min neighbor height. No driver
+    round-trips inside a superstep; the only driver state is the combined
+    active-node count. Every ``relabel_every`` rounds the global-relabeling
+    heuristic (:func:`_global_heights`, itself sys-keyed) raises all heights
+    to the exact residual BFS distances — the standard accelerant that makes
+    pushes follow shortest residual paths. Systems that finish early simply
+    have no active rows and contribute no work to later rounds.
+
+    Concurrent-push safety (per system; systems never interact): a push
+    needs h(u) = h(v) + 1, so u→v and v→u can never both be admissible in
+    one superstep; pushes out of u are capped by u's excess via the
+    running-sum allocation, and pushes INTO a node only raise its excess.
+    Heights only rise (≤ 2n), giving the standard termination bound.
     """
     from pyspark.sql import Window
 
     spark = graph.edges.sparkSession
     n = graph.num_nodes()
-    arcs = _residual_arcs(graph)
+    src_df = F.broadcast(
+        spark.createDataFrame(
+            [(int(s), int(u)) for s, u in sources], "sys long, source long"
+        )
+    )
+    sys_ids = F.broadcast(
+        spark.createDataFrame([(int(s),) for s, _ in sources], "sys long")
+    )
+    arcs = _residual_arcs(graph).crossJoin(sys_ids).select("sys", "u", "v", "cap", "r")
 
-    # initial preflow: saturate every arc out of the source
-    init = arcs.filter(F.col("u") == source).select(
-        F.col("v").alias("node"), F.col("cap").alias("f")
+    # initial preflow: saturate every arc out of each system's source
+    init = (
+        arcs.join(src_df, "sys")
+        .filter(F.col("u") == F.col("source"))
+        .select("sys", "source", F.col("v").alias("node"), F.col("cap").alias("f"))
     )
     # arc update expressed as a delta join (same shape as each round's update)
     deltas0 = init.select(
-        F.lit(source).alias("u"), F.col("node").alias("v"), (-F.col("f")).alias("delta")
+        "sys", F.col("source").alias("u"), F.col("node").alias("v"), (-F.col("f")).alias("delta")
     ).unionByName(
-        init.select(F.col("node").alias("u"), F.lit(source).alias("v"), F.col("f").alias("delta"))
+        init.select(
+            "sys", F.col("node").alias("u"), F.col("source").alias("v"), F.col("f").alias("delta")
+        )
     )
     arcs = (
-        arcs.join(deltas0, ["u", "v"], "left")
-        .select("u", "v", "cap", (F.col("r") + F.coalesce("delta", F.lit(0.0))).alias("r"))
+        arcs.join(deltas0, ["sys", "u", "v"], "left")
+        .select(
+            "sys", "u", "v", "cap", (F.col("r") + F.coalesce("delta", F.lit(0.0))).alias("r")
+        )
         .transform(_cc)
     )
     state = (
         graph.nodes()
-        .join(init, "node", "left")
+        .crossJoin(sys_ids)
+        .join(src_df, "sys")
+        .join(init.select("sys", "node", "f"), ["sys", "node"], "left")
         .select(
+            "sys",
             "node",
-            F.when(F.col("node") == source, F.lit(n)).otherwise(F.lit(0)).alias("h"),
-            F.when(F.col("node") == source, F.lit(0.0))
+            F.when(F.col("node") == F.col("source"), F.lit(n)).otherwise(F.lit(0)).alias("h"),
+            F.when(F.col("node") == F.col("source"), F.lit(0.0))
             .otherwise(F.coalesce("f", F.lit(0.0)))
             .alias("e"),
         )
         .transform(_cc)
     )
 
-    for rnd in range(max_rounds):
-        act = state.filter(
-            (F.col("e") > _EPS) & ~F.col("node").isin([source, sink])
+    def _active(st):
+        return (
+            st.join(src_df, "sys")
+            .filter(
+                (F.col("e") > _EPS)
+                & (F.col("node") != F.col("source"))
+                & (F.col("node") != sink)
+            )
+            .select("sys", "node", "h", "e")
         )
+
+    for rnd in range(max_rounds):
+        act = _active(state)
         if act.isEmpty():
             break
         if rnd % relabel_every == 0:
-            state = _global_heights(
-                spark, arcs, state, source, sink, n
-            ).transform(_cc)
-            act = state.filter(
-                (F.col("e") > _EPS) & ~F.col("node").isin([source, sink])
-            )
+            state = _global_heights(spark, arcs, state, src_df, sink, n).transform(_cc)
+            act = _active(state)
         pos = arcs.filter(F.col("r") > _EPS)
-        hu = act.select(F.col("node").alias("u"), F.col("h").alias("hu"), F.col("e").alias("eu"))
-        hv = state.select(F.col("node").alias("v"), F.col("h").alias("hv"))
-        cand = pos.join(hu, "u").join(hv, "v")
+        hu = act.select(
+            "sys", F.col("node").alias("u"), F.col("h").alias("hu"), F.col("e").alias("eu")
+        )
+        hv = state.select("sys", F.col("node").alias("v"), F.col("h").alias("hv"))
+        cand = pos.join(hu, ["sys", "u"]).join(hv, ["sys", "v"])
         adm = cand.filter(F.col("hu") == F.col("hv") + 1)
-        w = Window.partitionBy("u").orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+        w = (
+            Window.partitionBy("sys", "u")
+            .orderBy("v")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
         pushes = (
             adm.withColumn("before", F.coalesce(F.sum("r").over(w), F.lit(0.0)))
             .withColumn("p", F.least(F.col("r"), F.col("eu") - F.col("before")))
             .filter(F.col("p") > _EPS)
-            .select("u", "v", "p")
+            .select("sys", "u", "v", "p")
             .transform(_cc)
         )
         # relabel: active nodes with NO admissible arc — EXCLUDING nodes that
@@ -314,33 +399,47 @@ def push_relabel(
         # progress holds: a round with no pushes has no receivers, so every
         # stuck active node relabels.
         relabel = (
-            cand.groupBy("u")
+            cand.groupBy("sys", "u")
             .agg(
                 F.min(F.when(F.col("hu") == F.col("hv") + 1, F.lit(0))).alias("has_adm"),
                 F.min("hv").alias("min_hv"),
             )
             .filter(F.col("has_adm").isNull())
-            .join(pushes.select(F.col("v").alias("u")).distinct(), "u", "left_anti")
-            .select(F.col("u").alias("node"), (F.col("min_hv") + 1).alias("new_h"))
+            .join(
+                pushes.select("sys", F.col("v").alias("u")).distinct(),
+                ["sys", "u"],
+                "left_anti",
+            )
+            .select("sys", F.col("u").alias("node"), (F.col("min_hv") + 1).alias("new_h"))
         )
-        arc_delta = pushes.select("u", "v", (-F.col("p")).alias("delta")).unionByName(
-            pushes.select(F.col("v").alias("u"), F.col("u").alias("v"), F.col("p").alias("delta"))
-        ).groupBy("u", "v").agg(F.sum("delta").alias("delta"))
+        arc_delta = (
+            pushes.select("sys", "u", "v", (-F.col("p")).alias("delta"))
+            .unionByName(
+                pushes.select(
+                    "sys", F.col("v").alias("u"), F.col("u").alias("v"), F.col("p").alias("delta")
+                )
+            )
+            .groupBy("sys", "u", "v")
+            .agg(F.sum("delta").alias("delta"))
+        )
         arcs = (
-            arcs.join(arc_delta, ["u", "v"], "left")
-            .select("u", "v", "cap", (F.col("r") + F.coalesce("delta", F.lit(0.0))).alias("r"))
+            arcs.join(arc_delta, ["sys", "u", "v"], "left")
+            .select(
+                "sys", "u", "v", "cap", (F.col("r") + F.coalesce("delta", F.lit(0.0))).alias("r")
+            )
             .transform(_cc)
         )
         e_delta = (
-            pushes.select(F.col("u").alias("node"), (-F.col("p")).alias("de"))
-            .unionByName(pushes.select(F.col("v").alias("node"), F.col("p").alias("de")))
-            .groupBy("node")
+            pushes.select("sys", F.col("u").alias("node"), (-F.col("p")).alias("de"))
+            .unionByName(pushes.select("sys", F.col("v").alias("node"), F.col("p").alias("de")))
+            .groupBy("sys", "node")
             .agg(F.sum("de").alias("de"))
         )
         state = (
-            state.join(e_delta, "node", "left")
-            .join(relabel, "node", "left")
+            state.join(e_delta, ["sys", "node"], "left")
+            .join(relabel, ["sys", "node"], "left")
             .select(
+                "sys",
                 "node",
                 F.coalesce("new_h", F.col("h")).alias("h"),
                 (F.col("e") + F.coalesce("de", F.lit(0.0))).alias("e"),
@@ -348,14 +447,37 @@ def push_relabel(
             .transform(_cc)
         )
     else:
-        raise RuntimeError("push_relabel: max_rounds exceeded")
+        raise RuntimeError("push_relabel_batched: max_rounds exceeded")
 
-    flow_value = float(
-        state.filter(F.col("node") == sink).collect()[0]["e"]
+    flow_values = state.filter(F.col("node") == sink).select(
+        "sys", F.col("e").alias("flow")
     )
-    reached, _ = _bfs_residual(spark, arcs, source, sink)
+    return BatchedFlowResult(
+        flow_values=flow_values,
+        source_sets=_reachable_batched(arcs, src_df),
+        residual=arcs,
+    )
+
+
+def push_relabel(
+    graph: Graph,
+    source: int,
+    sink: int,
+    max_rounds: int = 100_000,
+    relabel_every: int = 3,
+) -> FlowResult:
+    """Single-system wrapper over :func:`push_relabel_batched` (sys = 0).
+    Same FlowResult contract as :func:`edmonds_karp` (the min-cut source
+    side — residual-reachable from s — is unique across all maximum flows,
+    so both algorithms return identical values/cuts)."""
+    b = push_relabel_batched(
+        graph, [(0, source)], sink, max_rounds=max_rounds, relabel_every=relabel_every
+    )
+    flow_value = float(b.flow_values.collect()[0]["flow"])
     return FlowResult(
-        flow_value=flow_value, residual=arcs, source_set=reached.select("node")
+        flow_value=flow_value,
+        residual=b.residual.select("u", "v", "cap", "r"),
+        source_set=b.source_sets.select("node"),
     )
 
 
@@ -368,11 +490,27 @@ def min_st_cut(graph: Graph, source: int, sink: int) -> DataFrame:
     return edmonds_karp(graph, source, sink).source_set
 
 
-def cut_clustering(graph: Graph, alpha: float) -> DataFrame:
+def cut_clustering(
+    graph: Graph, alpha: float, method: str = "batched", batch: int = 16
+) -> DataFrame:
     """Flake et al. cut clustering (CutClustering.cpp:16-80): (node, cluster)
     with cluster = the representative whose min-cut source side absorbed the
     node. Deterministic: nodes processed by (-degree, node id), matching the
-    reference's descending-degree bucket sort (.cpp:37-61)."""
+    reference's descending-degree bucket sort (.cpp:37-61).
+
+    ``method="batched"`` (default) runs the per-node max-flows in WAVES of
+    ``batch`` systems through :func:`push_relabel_batched` — one concurrent
+    sys-keyed push-relabel per wave instead of one driver-synchronized
+    Edmonds-Karp per node. Semantically identical to the sequential loop:
+    each node's min-cut source side is computed on the ORIGINAL augmented
+    graph (order-independent), and the wave's cuts are applied in the same
+    descending-degree order with the same skip-if-assigned /
+    overwrite-unconditionally rules (a node assigned by an earlier cut in
+    the same wave has its own precomputed cut discarded, exactly as the
+    serial loop would never compute it). Wave memory is ``batch × m``
+    residual-arc rows — tune ``batch`` to executor memory; driver
+    round-trips shrink by the same factor. ``method="sequential"`` keeps the
+    literal reference-shaped per-node Edmonds-Karp loop for parity tests."""
     spark = graph.edges.sparkSession
     n_sink = int(graph.nodes().agg(F.max("node")).collect()[0][0]) + 1
 
@@ -388,19 +526,43 @@ def cut_clustering(graph: Graph, alpha: float) -> DataFrame:
         base.unionByName(sink_edges), directed=False, weighted=True
     )
 
-    degs = graph.degrees().collect()  # driver loop mirrors the reference's
-    order = sorted(degs, key=lambda r: (-r["degree"], r["node"]))
+    degs = graph.degrees().collect()  # assignment replay mirrors the reference's
+    order = [int(r["node"]) for r in sorted(degs, key=lambda t: (-t["degree"], t["node"]))]
     assigned: dict = {}
-    for row in order:
-        u = int(row["node"])
-        if u in assigned:
-            continue
-        res = edmonds_karp(aug, u, n_sink)
-        members = [int(r["node"]) for r in res.source_set.collect()]
+
+    def _apply(u: int, members: list) -> None:
         for v in members:
             # reference overwrites unconditionally: a later cut may absorb
             # earlier clusters wholesale (CutClustering.cpp:72-76)
             assigned[v] = u
+
+    if method == "sequential":
+        for u in order:
+            if u in assigned:
+                continue
+            res = edmonds_karp(aug, u, n_sink)
+            _apply(u, [int(r["node"]) for r in res.source_set.collect()])
+    else:
+        pos = 0
+        while pos < len(order):
+            wave = []
+            while pos < len(order) and len(wave) < batch:
+                u = order[pos]
+                pos += 1
+                if u not in assigned:
+                    wave.append(u)
+            if not wave:
+                continue
+            b = push_relabel_batched(
+                aug, [(i, u) for i, u in enumerate(wave)], n_sink
+            )
+            members_by_sys: dict = {i: [] for i in range(len(wave))}
+            for r in b.source_sets.collect():
+                members_by_sys[int(r["sys"])].append(int(r["node"]))
+            for i, u in enumerate(wave):
+                if u in assigned:
+                    continue  # absorbed by an earlier cut in this wave
+                _apply(u, members_by_sys[i])
     out = spark.createDataFrame(
         sorted(assigned.items()), "node long, cluster long"
     )

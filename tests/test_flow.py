@@ -214,3 +214,46 @@ def test_push_relabel_two_paths(spark):
     g = Graph.from_edge_list(spark, TWO_PATHS_EDGES, weighted=False, num_nodes=11)
     res = push_relabel(g, 0, 10)
     assert res.flow_value == pytest.approx(2.0)
+
+
+def test_push_relabel_batched_multi_system(spark):
+    """Three flow systems (different sources, shared sink) solved in ONE
+    concurrent sys-keyed run match per-source Edmonds-Karp values and the
+    unique min-cut source sides."""
+    from networkit_spark.operators.flow import push_relabel_batched
+
+    edges = [
+        (0, 1, 3.0), (0, 2, 1.0), (1, 2, 1.0), (1, 3, 2.0), (2, 4, 2.0),
+        (3, 4, 1.0), (3, 5, 2.0), (4, 5, 3.0), (2, 3, 1.0),
+    ]
+    g = Graph.from_edge_list(spark, edges, weighted=True, num_nodes=6)
+    sources = [(0, 0), (1, 1), (2, 2)]
+    b = push_relabel_batched(g, sources, sink=5)
+    flows = {r["sys"]: r["flow"] for r in b.flow_values.collect()}
+    sets: dict = {}
+    for r in b.source_sets.collect():
+        sets.setdefault(r["sys"], set()).add(r["node"])
+    for sys_id, src in sources:
+        want_val, want_set = python_edmonds_karp(edges, 6, src, 5)
+        assert flows[sys_id] == pytest.approx(want_val), src
+        assert sets[sys_id] == set(want_set), src
+
+
+def test_cut_clustering_batched_equals_sequential(spark):
+    """Wave-batched cut clustering (batch=3 forces multiple waves and the
+    absorbed-within-wave skip) is row-identical to the sequential
+    reference-shaped loop — including representative ids."""
+    clique_a = [(a, b, 1.0) for a in range(4) for b in range(a + 1, 4)]
+    clique_b = [(a, b, 1.0) for a in range(4, 8) for b in range(a + 1, 8)]
+    edges = clique_a + clique_b + [(3, 4, 1.0)]
+    g = Graph.from_edge_list(spark, edges, weighted=True, num_nodes=8)
+
+    seq = {
+        r["node"]: r["cluster"]
+        for r in cut_clustering(g, alpha=0.6, method="sequential").collect()
+    }
+    bat = {
+        r["node"]: r["cluster"]
+        for r in cut_clustering(g, alpha=0.6, method="batched", batch=3).collect()
+    }
+    assert bat == seq
