@@ -76,3 +76,42 @@ def test_plain_ckpt_compounds_documenting_the_pathology(spark):
         ).localCheckpoint(eager=True)
         a, b = a2, b2
     assert _size_bits(a) > 64
+
+
+def test_superstep_manifest_partition_lineage_and_verify(spark, tmp_path):
+    """SuperstepDriver manifests carry per-partition (rows, sum_hash)
+    lineage; try_resume re-derives the partitioning-independent totals from
+    the reloaded parquet and refuses a tampered checkpoint."""
+    import json
+    import os
+
+    from networkit_spark.plans.iterate import SuperstepDriver
+
+    ckpt = str(tmp_path / "ck")
+    init = spark.range(200).select("id", (F.col("id") * 1.0).alias("x"))
+
+    def step(df, i):
+        return df.select("id", (F.col("x") + 1.0).alias("x")), None
+
+    driver = SuperstepDriver(max_iter=3, checkpoint_dir=ckpt, checkpoint_every=2)
+    driver.run(init, step)
+
+    manifest = json.load(open(os.path.join(ckpt, "manifest.json")))
+    stats = manifest["partition_stats"]
+    assert sum(s["rows"] for s in stats) == 200
+    assert all(s["sum_hash"] >= 0 for s in stats)
+
+    resumed = driver.try_resume(spark)
+    assert resumed.iteration == 3
+    assert sorted(r["x"] for r in resumed.df.collect())[0] == 3.0
+
+    # tamper: drop one parquet part file -> totals no longer match
+    data_dir = manifest["data_path"]
+    parts = [f for f in os.listdir(data_dir) if f.endswith(".parquet")]
+    if len(parts) > 1:
+        os.remove(os.path.join(data_dir, parts[0]))
+        try:
+            driver.try_resume(spark)
+            raise AssertionError("tampered checkpoint accepted")
+        except RuntimeError as e:
+            assert "checkpoint verification failed" in str(e)

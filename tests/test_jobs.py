@@ -65,6 +65,14 @@ def test_submit_pagerank_with_resume(edges_parquet, spark, tmp_path):
     assert manifest["iteration"] == 4
     assert len(manifest["metrics"]) == 4
     assert manifest["partitions"] >= 1
+    # per-partition lineage: one (rows, sum_hash) record per partition, and
+    # the totals must match the written data exactly (re-verified on resume)
+    stats = manifest["partition_stats"]
+    # one record per NON-EMPTY partition (groupBy partition id)
+    assert 1 <= len(stats) <= manifest["partitions"]
+    # lineage totals cover the full rank vector: one row per graph node
+    n_rows = spark.read.parquet(os.path.join(ckpt, "iter_00004")).count()
+    assert sum(s["rows"] for s in stats) == n_rows > 0
 
     # Phase 2: resume from the durable checkpoint, run to 8 total.
     out2 = str(tmp_path / "pr_resumed")
