@@ -1188,6 +1188,13 @@ def q_graphml_roundtrip(spark, sf_dir):
     return _interchange_roundtrip(spark, sf_dir, "graphml")
 
 
+def q_metis_roundtrip(spark, sf_dir):
+    """METIS writer∘reader identity (ref cpp/io/METISGraphWriter.cpp /
+    METISGraphReader.cpp): positional 1-based adjacency lines; the writer's
+    dense sorted-order remap is exactly the oracle's rank map."""
+    return _interchange_roundtrip(spark, sf_dir, "metis")
+
+
 # -- Laplacian-solve operators (algebraic.py) --------------------------------
 # Fixed Jacobi sweep counts: the Spark side runs the SAME fixed iteration
 # count as the unrolled SQL oracle (like PR_ITERS), so no convergence margin
@@ -1511,6 +1518,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dynbfs_update": q_dynbfs,
         "gml_roundtrip": q_gml_roundtrip,
         "graphml_roundtrip": q_graphml_roundtrip,
+        "metis_roundtrip": q_metis_roundtrip,
         "commute_time": q_commute_time,
         "commute_time_cg": q_commute_time_cg,
         "spanning_edge": q_spanning_edge,
@@ -4461,6 +4469,7 @@ def oracle_sql() -> dict[str, str]:
         "dynbfs_update": _dynbfs_sql(),
         "gml_roundtrip": _roundtrip_sql(),
         "graphml_roundtrip": _roundtrip_sql(),
+        "metis_roundtrip": _roundtrip_sql(),
         "commute_time": _commute_time_sql(),
         "commute_time_cg": _commute_time_cg_sql(),
         "spanning_edge": _spanning_edge_sql(),

@@ -138,6 +138,27 @@ def read_metis(spark: SparkSession, path: str):
     return Graph(edges, directed=False, weighted=False, num_nodes=n)
 
 
+def write_metis(graph, path: str) -> None:
+    """METISGraphWriter analog (cpp/io/METISGraphWriter.cpp:16-40): header
+    ``n m``, then line i holds the 1-based neighbor list of dense node i-1.
+    Node ids are densely remapped in sorted order before serializing — the
+    positional format cannot represent gapped ids (same rule as
+    ``write_graphtool_binary``). Driver-side single-file writer like the
+    other interchange writers: the format is line-positional, so rows must
+    be emitted in node order from one process."""
+    nodes = [r["node"] for r in graph.nodes().orderBy("node").toLocalIterator()]
+    remap = {u: i for i, u in enumerate(nodes)}
+    adj: dict = {}
+    for r in graph.sym().select("src", "dst").toLocalIterator():
+        adj.setdefault(remap[r["src"]], []).append(remap[r["dst"]])
+    n = len(nodes)
+    m = sum(len(v) for v in adj.values()) // 2
+    with open(path, "w") as f:
+        f.write(f"{n} {m}\n")
+        for i in range(n):
+            f.write(" ".join(str(j + 1) for j in sorted(adj.get(i, []))) + "\n")
+
+
 def write_partition(labels: DataFrame, path: str) -> None:
     """PartitionWriter analog — plain parquet of (node, label)."""
     labels.write.mode("overwrite").parquet(path)

@@ -30,6 +30,7 @@ import xml.etree.ElementTree as ET
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..plans.order import zip_with_index
+from .edgelist import read_metis, write_metis  # noqa: F401 — interchange registry
 
 
 def _dense_remap(raw: DataFrame) -> DataFrame:

@@ -58,6 +58,26 @@ def test_metis_reader(spark, tmp_path):
     ]
 
 
+def test_metis_writer_roundtrip_gapped_ids(spark, tmp_path):
+    """write_metis densely remaps gapped node ids in sorted order
+    (METISGraphWriter.cpp:16-40 analog); reader recovers the remapped edge
+    set exactly."""
+    from networkit_spark.sources.edgelist import write_metis
+
+    edges = [(10, 20), (20, 40), (40, 10), (40, 70)]
+    g = Graph.from_edge_list(spark, edges, num_nodes=None)
+    path = str(tmp_path / "g.graph")
+    write_metis(g, path)
+    lines = open(path).read().splitlines()
+    assert lines[0] == "4 4"
+    g2 = read_metis(spark, path)
+    assert g2.num_nodes() == 4
+    # sorted-order remap: 10->0, 20->1, 40->2, 70->3
+    assert sorted(map(tuple, g2.edges.select("src", "dst").collect())) == [
+        (0, 1), (0, 2), (1, 2), (2, 3)
+    ]
+
+
 def test_pages_extraction_byte_identical(spark):
     """input_hint invariant: pandas-UDF extraction == stored text, per url,
     byte-for-byte (sha256)."""
