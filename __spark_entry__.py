@@ -535,6 +535,19 @@ def q_intrapartition_density(spark, sf_dir):
     )
 
 
+def q_local_coverage(spark, sf_dir):
+    """LocalPartitionCoverage (cpp/centrality/LocalPartitionCoverage.cpp:43):
+    per node, the fraction of neighbors sharing its partition — over the
+    same deterministic PLP labels as the other partition-measure queries."""
+    from networkit_spark.operators.community import local_partition_coverage
+
+    g = _g(spark, sf_dir)
+    labels = plp(g, fixed_iters=PLP_ITERS)
+    return local_partition_coverage(g, labels).select(
+        "node", F.round("coverage", 6).alias("coverage")
+    )
+
+
 # ---------------------------------------------------------------------------
 # second-wave queries: pages pipeline, more centralities, distances, measures
 # ---------------------------------------------------------------------------
@@ -1462,6 +1475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparsify_jaccard": q_sparsify_jaccard,
         "rand_measure": q_rand_measure,
         "intrapartition_density": q_intrapartition_density,
+        "local_coverage": q_local_coverage,
         # second wave — pages pipeline + wider operator surface
         "pages_edges": q_pages_edges,
         "pages_text_ok": q_pages_text_ok,
@@ -2369,6 +2383,22 @@ def _rand_sql() -> str:
             "SELECT ROUND(1.0 - (s11.v + (n2.n * (n2.n - 1) / 2.0 - sa.v - sb.v + s11.v))"
             " / (n2.n * (n2.n - 1) / 2.0), 6) AS rand_distance FROM s11, sa, sb, n2"
         ),
+    )
+
+
+def _local_coverage_sql() -> str:
+    ctes = _plp_ctes(PLP_ITERS)
+    L = f"l{PLP_ITERS}"
+    ctes.append(f"""cov AS MATERIALIZED (
+  SELECT s.src AS node,
+         SUM(CASE WHEN lu.label = lv.label THEN 1 ELSE 0 END) * 1.0 / COUNT(*) AS c
+  FROM sym s JOIN {L} lu ON s.src = lu.node JOIN {L} lv ON s.dst = lv.node
+  GROUP BY s.src
+)""")
+    return _with(
+        *ctes,
+        select="""SELECT n.node, ROUND(COALESCE(cov.c, 0.0), 6) AS coverage
+FROM nodes n LEFT JOIN cov ON n.node = cov.node""",
     )
 
 
@@ -4407,6 +4437,7 @@ def oracle_sql() -> dict[str, str]:
         "sparsify_jaccard": _sparsify_sql(),
         "rand_measure": _rand_sql(),
         "intrapartition_density": _density_sql(),
+        "local_coverage": _local_coverage_sql(),
         "pages_edges": _pages_edges_sql(),
         "pages_text_ok": _pages_text_ok_sql(),
         "katz": _katz_sql(),
