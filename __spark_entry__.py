@@ -1201,6 +1201,22 @@ def q_graphml_roundtrip(spark, sf_dir):
     return _interchange_roundtrip(spark, sf_dir, "graphml")
 
 
+GEN_ER_N = 300
+GEN_ER_P = 0.02
+GEN_ER_SEED = 42
+
+
+def q_gen_er(spark, sf_dir):
+    """Erdős–Rényi generator (reference cpp/generators/ErdosRenyiGenerator.h:
+    20-39) with the portable md5 hash and an integer Bernoulli threshold —
+    the one §2 generator whose edge set an external engine can reproduce
+    bit-exactly. sf_dir unused: generators synthesize their own input."""
+    from networkit_spark.generators import erdos_renyi
+
+    g = erdos_renyi(spark, n=GEN_ER_N, p=GEN_ER_P, seed=GEN_ER_SEED, hash_fn="md5")
+    return g.edges.select("src", "dst").orderBy("src", "dst")
+
+
 def q_metis_roundtrip(spark, sf_dir):
     """METIS writer∘reader identity (ref cpp/io/METISGraphWriter.cpp /
     METISGraphReader.cpp): positional 1-based adjacency lines; the writer's
@@ -1533,6 +1549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gml_roundtrip": q_gml_roundtrip,
         "graphml_roundtrip": q_graphml_roundtrip,
         "metis_roundtrip": q_metis_roundtrip,
+        "gen_er": q_gen_er,
         "commute_time": q_commute_time,
         "commute_time_cg": q_commute_time_cg,
         "spanning_edge": q_spanning_edge,
@@ -2384,6 +2401,21 @@ def _rand_sql() -> str:
             " / (n2.n * (n2.n - 1) / 2.0), 6) AS rand_distance FROM s11, sa, sb, n2"
         ),
     )
+
+
+def _gen_er_sql() -> str:
+    from networkit_spark.functions.dedup import hash60_sql
+
+    thresh = int(GEN_ER_P * float(2**60))
+    key = (
+        f"CAST(a.range AS VARCHAR) || ':' || CAST(b.range AS VARCHAR) || ':{GEN_ER_SEED}'"
+    )
+    return f"""
+SELECT a.range AS src, b.range AS dst
+FROM range({GEN_ER_N}) a, range({GEN_ER_N}) b
+WHERE a.range < b.range AND ({hash60_sql(key)}) < {thresh}
+ORDER BY src, dst
+"""
 
 
 def _local_coverage_sql() -> str:
@@ -4501,6 +4533,7 @@ def oracle_sql() -> dict[str, str]:
         "gml_roundtrip": _roundtrip_sql(),
         "graphml_roundtrip": _roundtrip_sql(),
         "metis_roundtrip": _roundtrip_sql(),
+        "gen_er": _gen_er_sql(),
         "commute_time": _commute_time_sql(),
         "commute_time_cg": _commute_time_cg_sql(),
         "spanning_edge": _spanning_edge_sql(),

@@ -19,12 +19,22 @@ def _uniform(*cols) -> F.Column:
 
 
 def erdos_renyi(
-    spark: SparkSession, n: int, p: float, seed: int = 42, directed: bool = False
+    spark: SparkSession,
+    n: int,
+    p: float,
+    seed: int = 42,
+    directed: bool = False,
+    hash_fn: str = "xxhash",
 ) -> Graph:
     """G(n, p) via per-pair Bernoulli on hash(i, j, seed)
     (reference ErdosRenyiGenerator.h:20-39 uses sequential skip-sampling —
     inherently serial; the distributed analog enumerates the pair space,
-    fine for fixture sizes, O(n²) rows). Use :func:`rmat` for scale."""
+    fine for fixture sizes, O(n²) rows). Use :func:`rmat` for scale.
+
+    ``hash_fn="md5"`` swaps the JVM xxhash64 for the portable 60-bit md5
+    hash with an INTEGER threshold (hash60 < floor(p·2^60)) — bit-identical
+    in any engine with md5, which is how the ``gen_er`` oracle hard-verifies
+    the Bernoulli machinery cross-engine."""
     pairs = (
         spark.range(n).withColumnRenamed("id", "src")
         .crossJoin(spark.range(n).withColumnRenamed("id", "dst"))
@@ -32,9 +42,19 @@ def erdos_renyi(
     pairs = pairs.filter(
         F.col("src") != F.col("dst") if directed else F.col("src") < F.col("dst")
     )
-    edges = pairs.filter(
-        _uniform("src", "dst", F.lit(seed)) < p
-    ).withColumn("weight", F.lit(1.0))
+    if hash_fn == "md5":
+        from .functions.dedup import hash60
+
+        key = F.concat_ws(
+            ":",
+            F.col("src").cast("string"),
+            F.col("dst").cast("string"),
+            F.lit(str(seed)),
+        )
+        keep = hash60(key) < int(p * float(2**60))
+    else:
+        keep = _uniform("src", "dst", F.lit(seed)) < p
+    edges = pairs.filter(keep).withColumn("weight", F.lit(1.0))
     return Graph(edges, directed=directed, weighted=False, num_nodes=n)
 
 

@@ -118,6 +118,24 @@ def test_erdos_renyi_deterministic(spark):
     assert 100 < m < 260  # E[m] = C(60,2)*0.1 = 177
 
 
+def test_erdos_renyi_md5_matches_python_replica(spark):
+    """Portable md5 mode: edge set equals a pure-Python hashlib replica of
+    the integer-threshold Bernoulli (the gen_er oracle's contract)."""
+    import hashlib
+
+    n, p, seed = 40, 0.1, 7
+    g = erdos_renyi(spark, n, p, seed=seed, hash_fn="md5")
+    got = sorted((r["src"], r["dst"]) for r in g.edges.select("src", "dst").collect())
+    thresh = int(p * float(2**60))
+    want = [
+        (i, j)
+        for i in range(n)
+        for j in range(i + 1, n)
+        if int(hashlib.md5(f"{i}:{j}:{seed}".encode()).hexdigest()[:15], 16) < thresh
+    ]
+    assert got == want and len(want) > 20
+
+
 def test_rmat_shape(spark):
     g = rmat(spark, scale=8, edge_factor=8, seed=1)
     assert g.num_nodes() == 256
