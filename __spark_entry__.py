@@ -1201,6 +1201,17 @@ def q_graphml_roundtrip(spark, sf_dir):
     return _interchange_roundtrip(spark, sf_dir, "graphml")
 
 
+def q_graph_transforms(spark, sf_dir):
+    """Graph transform composition (reference Graph.h:556,930-945):
+    transpose ∘ induced-subgraph(node % 3 == 0) ∘ to_undirected over the
+    directed lineitem graph — hard-verifies the transform family that was
+    previously pytest-only."""
+    g = _g(spark, sf_dir, directed=True).transpose()
+    keep = g.nodes().filter(F.col("node") % 3 == 0)
+    sub = g.subgraph_from_nodes(keep).to_undirected()
+    return sub.edges.select("src", "dst", "weight").orderBy("src", "dst")
+
+
 GEN_ER_N = 300
 GEN_ER_P = 0.02
 GEN_ER_SEED = 42
@@ -1550,6 +1561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graphml_roundtrip": q_graphml_roundtrip,
         "metis_roundtrip": q_metis_roundtrip,
         "gen_er": q_gen_er,
+        "graph_transforms": q_graph_transforms,
         "commute_time": q_commute_time,
         "commute_time_cg": q_commute_time_cg,
         "spanning_edge": q_spanning_edge,
@@ -2400,6 +2412,21 @@ def _rand_sql() -> str:
             "SELECT ROUND(1.0 - (s11.v + (n2.n * (n2.n - 1) / 2.0 - sa.v - sb.v + s11.v))"
             " / (n2.n * (n2.n - 1) / 2.0), 6) AS rand_distance FROM s11, sa, sb, n2"
         ),
+    )
+
+
+def _graph_transforms_sql() -> str:
+    return _with(
+        edges_sql(N_NODES, directed=True),
+        """tr AS MATERIALIZED (
+  SELECT dst AS src, src AS dst, weight FROM edges
+)""",
+        """sub AS MATERIALIZED (
+  SELECT src, dst, weight FROM tr WHERE src % 3 = 0 AND dst % 3 = 0
+)""",
+        select="""SELECT LEAST(src, dst) AS src, GREATEST(src, dst) AS dst,
+  SUM(weight) AS weight
+FROM sub GROUP BY 1, 2 ORDER BY src, dst""",
     )
 
 
@@ -4534,6 +4561,7 @@ def oracle_sql() -> dict[str, str]:
         "graphml_roundtrip": _roundtrip_sql(),
         "metis_roundtrip": _roundtrip_sql(),
         "gen_er": _gen_er_sql(),
+        "graph_transforms": _graph_transforms_sql(),
         "commute_time": _commute_time_sql(),
         "commute_time_cg": _commute_time_cg_sql(),
         "spanning_edge": _spanning_edge_sql(),
