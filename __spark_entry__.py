@@ -1235,6 +1235,26 @@ def q_metis_roundtrip(spark, sf_dir):
     return _interchange_roundtrip(spark, sf_dir, "metis")
 
 
+def q_snap_roundtrip(spark, sf_dir):
+    """SNAP writer∘reader identity (ref cpp/io/SNAPGraphWriter.cpp /
+    SNAPGraphReader.cpp): the writer is a DISTRIBUTED text sink (order-free
+    format, one part file per partition); the reader's numeric-aware dense
+    remap is the oracle's rank map."""
+    import os
+    import shutil
+    import tempfile
+
+    from networkit_spark.sources import formats as io_formats
+
+    g = _sparse_ugraph(spark, sf_dir)
+    path = os.path.join(tempfile.gettempdir(), f"nk_gate_{os.getpid()}_snap")
+    io_formats.write_snap(g, path)
+    g2 = io_formats.read_snap(spark, path)
+    out = g2.edges.select("src", "dst").orderBy("src", "dst").localCheckpoint()
+    shutil.rmtree(path, ignore_errors=True)
+    return out
+
+
 # -- Laplacian-solve operators (algebraic.py) --------------------------------
 # Fixed Jacobi sweep counts: the Spark side runs the SAME fixed iteration
 # count as the unrolled SQL oracle (like PR_ITERS), so no convergence margin
@@ -1560,6 +1580,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gml_roundtrip": q_gml_roundtrip,
         "graphml_roundtrip": q_graphml_roundtrip,
         "metis_roundtrip": q_metis_roundtrip,
+        "snap_roundtrip": q_snap_roundtrip,
         "gen_er": q_gen_er,
         "graph_transforms": q_graph_transforms,
         "commute_time": q_commute_time,
@@ -4560,6 +4581,7 @@ def oracle_sql() -> dict[str, str]:
         "gml_roundtrip": _roundtrip_sql(),
         "graphml_roundtrip": _roundtrip_sql(),
         "metis_roundtrip": _roundtrip_sql(),
+        "snap_roundtrip": _roundtrip_sql(),
         "gen_er": _gen_er_sql(),
         "graph_transforms": _graph_transforms_sql(),
         "commute_time": _commute_time_sql(),

@@ -87,6 +87,20 @@ def read_snap(
     return Graph(edges, directed=directed, weighted=False)
 
 
+def write_snap(graph, path: str) -> None:
+    """SNAPGraphWriter analog (cpp/io/SNAPGraphWriter.cpp:16-43): whitespace
+    edge list ('#' comment lines tolerated by the reader). DISTRIBUTED sink —
+    a directory of part files, which ``spark.read.text``/:func:`read_snap`
+    accept — unlike the positional single-file interchange writers: the SNAP
+    format has no line-order dependence, so every executor writes its own
+    partition."""
+    graph.edges.select(
+        F.concat(
+            F.col("src").cast("string"), F.lit("\t"), F.col("dst").cast("string")
+        ).alias("value")
+    ).write.mode("overwrite").text(path)
+
+
 def read_konect(spark: SparkSession, path: str, ignore_loops: bool = True):
     """KONECTGraphReader analog: '%' comments; the FIRST header line
     ``% (sym|asym|bip) (unweighted|positive|posweighted|signed|weighted|...)``
