@@ -133,6 +133,75 @@ def dynamic_barabasi_albert_events(
     return log.df(spark)
 
 
+def dynamic_forest_fire_events(
+    spark: SparkSession,
+    steps: int,
+    p: float = 0.4,
+    directed: bool = False,
+    r: float = 1.0,
+    seed: int = 42,
+) -> DataFrame:
+    """DynamicForestFireGenerator.cpp:23-138 (Leskovec et al. forest fire):
+    per step a new node picks a uniform ambassador, burns outward BFS-style —
+    at each active node a geometric number of unvisited neighbors catch fire
+    (burn until the first uniform draw exceeds ``p``; for directed graphs
+    in-neighbors additionally burn at rate ``p*r``) — and the new node links
+    to EVERY burned node. Step 0 emits the single seed node, as the
+    reference's firstCall branch does."""
+    rng = random.Random(seed)
+    log = _EventLog()
+    fwd: dict[int, set] = {}
+    bwd: dict[int, set] = {}
+
+    def add_edge(a: int, b: int) -> None:
+        fwd.setdefault(a, set()).add(b)
+        bwd.setdefault(b, set()).add(a)
+        if not directed:
+            fwd.setdefault(b, set()).add(a)
+            bwd.setdefault(a, set()).add(b)
+
+    def select_edges(u: int, prob: float, nbrs: dict, visited: set) -> list:
+        valid = sorted(x for x in nbrs.get(u, ()) if x not in visited)
+        chosen = []
+        while valid and rng.random() <= prob:
+            i = rng.randrange(len(valid))
+            chosen.append(valid[i])
+            valid[i] = valid[-1]
+            valid.pop()
+        return chosen
+
+    n = 0
+    if steps > 0:
+        log.emit("NODE_ADDITION", 0)
+        log.emit("TIME_STEP")
+        n = 1
+        steps -= 1
+    for _ in range(steps):
+        a = rng.randrange(n)
+        v = n
+        n += 1
+        log.emit("NODE_ADDITION", v)
+        visited = {a}
+        active = [a]
+        burned = [a]
+        while active:
+            w = active.pop(0)
+            edges = select_edges(w, p, fwd, visited)
+            if directed:
+                edges += [
+                    x for x in select_edges(w, p * r, bwd, visited) if x not in edges
+                ]
+            for x in edges:
+                visited.add(x)
+                active.append(x)
+                burned.append(x)
+        for w in burned:
+            add_edge(v, w)
+            log.emit("EDGE_ADDITION", v, w, 1.0)
+        log.emit("TIME_STEP")
+    return log.df(spark)
+
+
 def dynamic_path_events(spark: SparkSession, steps: int) -> DataFrame:
     """DynamicPathGenerator analog: a path growing one node per step."""
     log = _EventLog()

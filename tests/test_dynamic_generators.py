@@ -105,6 +105,38 @@ def test_path_and_pubweb_streams(spark):
     assert g2.edges.filter(F.col("src") >= F.col("dst")).count() == 0
 
 
+def test_forest_fire_stream(spark):
+    """DynamicForestFireGenerator.cpp:23-138 analog: every new node links to
+    its ambassador (burned first) plus a geometric spread; the fold is a
+    valid growing graph, deterministic per seed, and one EDGE_ADDITION's
+    endpoint set per step always contains the new node."""
+    from networkit_spark.streaming.dynamic_generators import (
+        dynamic_forest_fire_events,
+    )
+
+    ev1 = dynamic_forest_fire_events(spark, steps=12, p=0.5, seed=11)
+    ev2 = dynamic_forest_fire_events(spark, steps=12, p=0.5, seed=11)
+    assert ev1.collect() == ev2.collect()
+
+    rows = ev1.orderBy("seq").collect()
+    # step 0 emits exactly the seed node
+    assert rows[0]["type"] == "NODE_ADDITION" and rows[1]["type"] == "TIME_STEP"
+    # each later step: one NODE_ADDITION v, then >=1 EDGE_ADDITION all from v
+    adds = [r for r in rows if r["type"] == "EDGE_ADDITION"]
+    assert adds, "no edges burned"
+    by_node: dict = {}
+    for r in adds:
+        by_node.setdefault(r["u"], []).append(r["v"])
+    for v, targets in by_node.items():
+        assert all(t < v for t in targets)  # burns only existing nodes
+        assert len(set(targets)) == len(targets)  # distinct burned set
+    g = Graph(_fold(spark, ev1), weighted=True)
+    assert g.num_edges() == len(adds)
+    # higher p burns (weakly) more per step on the same seed
+    hot = dynamic_forest_fire_events(spark, steps=12, p=0.9, seed=11)
+    assert hot.filter(F.col("type") == "EDGE_ADDITION").count() >= len(adds)
+
+
 def test_stochastic_blockmodel(spark):
     from networkit_spark.generators import stochastic_blockmodel
 
