@@ -1368,6 +1368,42 @@ def q_chunks(spark, sf_dir):
     return chunk_documents(docs, chunk_tokens=32, overlap=4)
 
 
+WINNOW_K = 5
+WINNOW_W = 4
+
+
+def q_token_stats(spark, sf_dir):
+    """Token budget estimation per document: whitespace tokens plus the
+    BPE-ish regex pre-tokenizer count (contraction pieces / letter runs /
+    digit runs / punctuation runs — functions/text.py BPE_ISH_PATTERN,
+    lookahead-free so RE2 engines count identically)."""
+    from networkit_spark.functions.text import bpe_token_count, token_count
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        token_count("text").cast("long").alias("ws_tokens"),
+        bpe_token_count("text").cast("long").alias("bpe_tokens"),
+    )
+
+
+def q_winnow_fp(spark, sf_dir):
+    """Winnowing document fingerprints (Schleimer-Wilkerson-Aiken MOSS
+    scheme; functions/text.py winnow_fingerprints): min md5-60 k-gram hash
+    per sliding window, distinct — the rolling-hash fingerprint operator for
+    overlap detection. One (doc_id, fp) row per selected fingerprint over a
+    doc_id % 3 sample."""
+    from networkit_spark.functions.text import winnow_fingerprints
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") % 3 == 0
+    )
+    return docs.select(
+        "doc_id",
+        F.explode(winnow_fingerprints("text", k=WINNOW_K, w=WINNOW_W)).alias("fp"),
+    )
+
+
 def q_contamination(spark, sf_dir):
     """Train/test decontamination: 5-gram collision join of the corpus
     against a probe set carved deterministically out of it (docs with
@@ -1590,6 +1626,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # fourth wave — training-pipeline depth
         "repetition_profile": q_repetition_profile,
         "chunks": q_chunks,
+        "token_stats": q_token_stats,
+        "winnow_fp": q_winnow_fp,
         "contamination": q_contamination,
         "maximal_cliques": q_maximal_cliques,
         "max_flow": q_max_flow,
@@ -4191,6 +4229,40 @@ def _anf_nf_sql() -> str:
     return _with(*ctes, select=hop_selects)
 
 
+def _token_stats_sql() -> str:
+    from networkit_spark.functions.text import BPE_ISH_PATTERN
+
+    pat = BPE_ISH_PATTERN.replace("'", "''")
+    return f"""
+SELECT doc_id,
+  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+  CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS bpe_tokens
+FROM documents
+"""
+
+
+def _winnow_fp_sql() -> str:
+    k, w = WINNOW_K, WINNOW_W
+    gram_hash = (
+        f"CAST(('0x' || substr(md5(substr(text, i, {k})), 1, 15)) AS BIGINT)"
+    )
+    return f"""
+WITH h AS MATERIALIZED (
+  SELECT doc_id,
+    [{gram_hash} FOR i IN generate_series(1, length(text) - {k - 1})] AS hs
+  FROM documents WHERE doc_id % 3 = 0
+), fps AS (
+  SELECT doc_id,
+    list_sort(list_distinct(
+      [list_min(list_slice(hs, i, i + {w - 1}))
+       FOR i IN generate_series(1, len(hs) - {w - 1})]
+    )) AS fp_list
+  FROM h
+)
+SELECT doc_id, unnest(fp_list) AS fp FROM fps
+"""
+
+
 def _repetition_profile_sql() -> str:
     return """
 WITH b AS MATERIALIZED (
@@ -4590,6 +4662,8 @@ def oracle_sql() -> dict[str, str]:
         "anf_nf": _anf_nf_sql(),
         "repetition_profile": _repetition_profile_sql(),
         "chunks": _chunks_sql(),
+        "token_stats": _token_stats_sql(),
+        "winnow_fp": _winnow_fp_sql(),
         "contamination": _contamination_sql(),
         "maximal_cliques": _maximal_cliques_sql(),
         "max_flow": _max_flow_sql(),

@@ -91,6 +91,63 @@ def fingerprint64_sql(expr: str) -> str:
     return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
 
 
+BPE_ISH_PATTERN = r"'(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+"""GPT-2-style pre-tokenizer classes (contraction pieces, letter runs, digit
+runs, punctuation runs) WITHOUT the lookahead clauses — RE2 engines (DuckDB)
+have no lookahead, and dropping it keeps the count identical across Java
+regex and RE2 so the oracle can replicate it."""
+
+
+def bpe_token_count(col) -> Column:
+    """BPE-ish subword-boundary token count: number of BPE_ISH_PATTERN
+    matches. Whole-stage-codegen (regexp_count); approximates a BPE
+    tokenizer's pre-tokenization granularity for budget estimation without
+    shipping a merges table."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(BPE_ISH_PATTERN))
+
+
+def kgram_hashes(col, k: int = 5) -> Column:
+    """POSITIONAL (non-distinct) character k-gram 60-bit md5 hashes —
+    array<long>, one per window start; empty array below k chars. The
+    rolling-hash analog: md5 replaces Rabin-Karp's incremental polynomial
+    (same positional output, portable across engines; Spark evaluates the
+    k-gram substrings vectorized, the asymptotics stay O(len))."""
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.length(c) - F.lit(k - 1)
+    return F.when(
+        n >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.conv(F.substring(F.md5(c.substr(i, F.lit(k))), 1, 15), 16, 10).cast(
+                "long"
+            ),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+
+
+def winnow_fingerprints(col, k: int = 5, w: int = 4) -> Column:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken —
+    SIGMOD'03 'local algorithms for document fingerprinting', the MOSS
+    scheme): take the min k-gram hash in every window of ``w`` consecutive
+    positions, distinct, sorted — array<long>. Guarantees every exact match
+    of length >= w+k-1 shares a fingerprint, with expected density 2/(w+1).
+    Integer-exact and engine-portable (md5-based hashes, min, distinct)."""
+    hashes = kgram_hashes(col, k)
+    n_win = F.size(hashes) - F.lit(w - 1)
+    return F.when(
+        n_win >= 1,
+        F.array_sort(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), n_win),
+                    lambda i: F.array_min(F.slice(hashes, i, w)),
+                )
+            )
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+
+
 def analyze_documents(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """One-pass text profile: (id, n_chars, n_tokens, stopword_en, alpha,
     quality, lang_pred, fp64)."""

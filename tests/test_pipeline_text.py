@@ -110,3 +110,38 @@ def test_ngram_contamination_dedupes_repeated_grams(spark):
     got = ngram_contamination(docs, probes, n=5).collect()
     # the gram "a b c d e" appears twice in the doc but counts once
     assert len(got) == 1 and got[0]["n_hits"] == 1
+
+
+def test_winnow_fingerprints_guarantee(spark):
+    """Winnowing (Schleimer-Wilkerson-Aiken): any exact substring match of
+    length >= w + k - 1 shares at least one fingerprint; disjoint-alphabet
+    texts share none; density is far below the raw k-gram count."""
+    from networkit_spark.functions.text import winnow_fingerprints
+
+    shared = "the winnowing guarantee holds here"
+    rows = spark.createDataFrame(
+        [
+            (1, "prefix one " + shared + " suffix alpha"),
+            (2, "other start " + shared + " tail omega"),
+            (3, "zzzzqqqqxxxxwwwwvvvvkkkkjjjjhhhhgggg"),
+        ],
+        ["doc_id", "text"],
+    ).select("doc_id", winnow_fingerprints("text", k=5, w=4).alias("fps"))
+    fps = {r["doc_id"]: set(r["fps"]) for r in rows.collect()}
+    assert fps[1] & fps[2], "common substring >= w+k-1 must share a fingerprint"
+    assert not (fps[1] & fps[3])
+    # density: ~2/(w+1) of positions, with a hard upper bound of #windows
+    n_positions = len("prefix one " + shared + " suffix alpha") - 4
+    assert 0 < len(fps[1]) < n_positions
+
+
+def test_bpe_token_count_classes(spark):
+    """BPE-ish pre-tokenizer counts contraction pieces, letter runs, digit
+    runs and punctuation runs as separate tokens."""
+    from networkit_spark.functions.text import bpe_token_count
+
+    df = spark.createDataFrame(
+        [(1, "it's 2024, isn't it?!")], ["doc_id", "text"]
+    ).select(bpe_token_count("text").alias("n"))
+    # it|'s|2024|,|isn|'t|it|?! -> 8
+    assert df.collect()[0]["n"] == 8
