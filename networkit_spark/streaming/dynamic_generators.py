@@ -202,6 +202,86 @@ def dynamic_forest_fire_events(
     return log.df(spark)
 
 
+def dynamic_hyperbolic_events(
+    spark: SparkSession,
+    n: int,
+    steps: int,
+    avg_degree: float = 6.0,
+    gamma: float = 3.0,
+    move_each_step: float = 0.3,
+    move_distance: float = 0.1,
+    seed: int = 42,
+) -> DataFrame:
+    """DynamicHyperbolicGenerator.cpp:27-60,169-214,280-310 analog (threshold
+    model, T=0): n nodes get hyperbolic-disk coordinates (θ uniform, r from
+    the quasi-uniform cosh CDF with α=(γ−1)/2, disk radius R as in the static
+    generator); each step a seeded ``move_each_step`` fraction of nodes
+    drifts — radial movement applied in cosh-CDF space with boundary bounce
+    and center crossing (moveNode's newcosh reflection, π angle flip),
+    angular movement scaled by 1/r — and the edge set (hyperbolic distance
+    ≤ R) is re-derived; the emitted stream is the EDGE_REMOVAL/EDGE_ADDITION
+    diff per step. Driver-sequential event producer like the others here;
+    the distributed threshold graph at scale is generators.hyperbolic."""
+    import math
+
+    rng = random.Random(seed)
+    alpha = (gamma - 1.0) / 2.0
+    R = 2.0 * math.log(8.0 * n / (math.pi * avg_degree))
+    maxcdf, mincdf = math.cosh(alpha * R), 1.0
+    angles = [rng.uniform(0.0, 2.0 * math.pi) for _ in range(n)]
+    radii = [
+        math.acosh(1.0 + (maxcdf - 1.0) * rng.random()) / alpha for _ in range(n)
+    ]
+    rad_mv = [rng.uniform(-move_distance, move_distance) for _ in range(n)]
+    ang_mv = [rng.uniform(-move_distance, move_distance) for _ in range(n)]
+    coshR = math.cosh(R)
+
+    def linked(i: int, j: int) -> bool:
+        d = math.cosh(radii[i]) * math.cosh(radii[j]) - math.sinh(
+            radii[i]
+        ) * math.sinh(radii[j]) * math.cos(angles[i] - angles[j])
+        return d <= coshR + 1e-12
+
+    def edge_set() -> set:
+        return {
+            (i, j) for i in range(n) for j in range(i + 1, n) if linked(i, j)
+        }
+
+    def move(i: int) -> None:
+        newcosh = math.cosh(alpha * radii[i]) + alpha * rad_mv[i]
+        newphi = angles[i]
+        if newcosh > maxcdf:
+            newcosh -= 2.0 * (newcosh - maxcdf)
+            rad_mv[i] *= -1.0
+        if newcosh < mincdf:
+            newcosh += 2.0 * (mincdf - newcosh)
+            rad_mv[i] *= -1.0
+            newphi += math.pi if newphi <= math.pi else -math.pi
+        newr = min(math.acosh(max(newcosh, 1.0)) / alpha, R * (1.0 - 1e-12))
+        newphi = (newphi + ang_mv[i] / max(newr, 1e-9)) % (2.0 * math.pi)
+        angles[i], radii[i] = newphi, newr
+
+    log = _EventLog()
+    for i in range(n):
+        log.emit("NODE_ADDITION", i)
+    cur = edge_set()
+    for a, b in sorted(cur):
+        log.emit("EDGE_ADDITION", a, b, 1.0)
+    log.emit("TIME_STEP")
+    for _ in range(steps):
+        movers = [i for i in range(n) if rng.random() < move_each_step]
+        for i in movers:
+            move(i)
+        new = edge_set()
+        for a, b in sorted(cur - new):
+            log.emit("EDGE_REMOVAL", a, b)
+        for a, b in sorted(new - cur):
+            log.emit("EDGE_ADDITION", a, b, 1.0)
+        cur = new
+        log.emit("TIME_STEP")
+    return log.df(spark)
+
+
 def dynamic_path_events(spark: SparkSession, steps: int) -> DataFrame:
     """DynamicPathGenerator analog: a path growing one node per step."""
     log = _EventLog()

@@ -137,6 +137,45 @@ def test_forest_fire_stream(spark):
     assert hot.filter(F.col("type") == "EDGE_ADDITION").count() >= len(adds)
 
 
+def test_hyperbolic_stream_diff_validity(spark):
+    """DynamicHyperbolicGenerator analog: deterministic per seed; replaying
+    the stream adds only absent and removes only present edges; movement
+    actually produces both event kinds; with move_each_step=0 the stream is
+    static after the initial block."""
+    from networkit_spark.streaming.dynamic_generators import (
+        dynamic_hyperbolic_events,
+    )
+
+    ev = dynamic_hyperbolic_events(spark, n=24, steps=6, move_each_step=0.5, seed=5)
+    assert (
+        ev.collect()
+        == dynamic_hyperbolic_events(
+            spark, n=24, steps=6, move_each_step=0.5, seed=5
+        ).collect()
+    )
+    live: set = set()
+    kinds: set = set()
+    for r in ev.orderBy("seq").collect():
+        if r["type"] == "EDGE_ADDITION":
+            e = (r["u"], r["v"])
+            assert e not in live, e
+            live.add(e)
+            kinds.add("add")
+        elif r["type"] == "EDGE_REMOVAL":
+            e = (r["u"], r["v"])
+            assert e in live, e
+            live.remove(e)
+            kinds.add("rm")
+    assert kinds == {"add", "rm"}, "movement must churn the threshold graph"
+    assert live, "final graph should be non-empty"
+
+    frozen = dynamic_hyperbolic_events(spark, n=24, steps=3, move_each_step=0.0, seed=5)
+    after_first = frozen.filter(
+        (F.col("type") != "TIME_STEP") & (F.col("ts") > F.lit("2020-01-01 00:00:00"))
+    )
+    assert after_first.count() == 0
+
+
 def test_stochastic_blockmodel(spark):
     from networkit_spark.generators import stochastic_blockmodel
 
