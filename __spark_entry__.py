@@ -1212,6 +1212,14 @@ def q_graph_transforms(spark, sf_dir):
     return sub.edges.select("src", "dst", "weight").orderBy("src", "dst")
 
 
+def q_gt_roundtrip(spark, sf_dir):
+    """graph-tool binary writer∘reader identity (ref cpp/io/
+    GraphToolBinaryWriter.cpp:18-120 / GraphToolBinaryReader.cpp:18-135):
+    variable-width adjacency byte stream; node ids densely remapped in
+    sorted order before serializing = the oracle's rank map."""
+    return _interchange_roundtrip(spark, sf_dir, "graphtool_binary")
+
+
 GEN_ER_N = 300
 GEN_ER_P = 0.02
 GEN_ER_SEED = 42
@@ -1617,6 +1625,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graphml_roundtrip": q_graphml_roundtrip,
         "metis_roundtrip": q_metis_roundtrip,
         "snap_roundtrip": q_snap_roundtrip,
+        "gt_roundtrip": q_gt_roundtrip,
         "gen_er": q_gen_er,
         "graph_transforms": q_graph_transforms,
         "commute_time": q_commute_time,
@@ -4654,6 +4663,7 @@ def oracle_sql() -> dict[str, str]:
         "graphml_roundtrip": _roundtrip_sql(),
         "metis_roundtrip": _roundtrip_sql(),
         "snap_roundtrip": _roundtrip_sql(),
+        "gt_roundtrip": _roundtrip_sql(),
         "gen_er": _gen_er_sql(),
         "graph_transforms": _graph_transforms_sql(),
         "commute_time": _commute_time_sql(),
