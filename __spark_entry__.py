@@ -1295,6 +1295,25 @@ def q_anf_nf(spark, sf_dir):
     )
 
 
+def q_anf_effective_diameter(spark, sf_dir):
+    """Cross-engine-exact ANF effective diameter: md5 FM sketches with the
+    per-node reach estimate snapped to a 1/2^20 integer lattice before the
+    per-hop sum (operators/distance.py effective_diameter_sketch_grid) —
+    the hard-oracle companion to the rows-only xxhash `anf_diameter`."""
+    from networkit_spark.operators.distance import effective_diameter_sketch_grid
+
+    d = effective_diameter_sketch_grid(
+        _g(spark, sf_dir),
+        ratio=0.9,
+        num_sketches=ANF_SKETCHES,
+        hops=ANF_HOPS,
+        seed=42,
+    )
+    return spark.range(1).select(
+        F.round(F.lit(float(d)), 6).alias("effective_diameter")
+    )
+
+
 def q_commute_time(spark, sf_dir):
     """Batched effective-resistance / commute-time distance for 8 fixed node
     pairs: one damped-Jacobi smoothing run solves all 8 Laplacian systems
@@ -1632,6 +1651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "commute_time_cg": q_commute_time_cg,
         "spanning_edge": q_spanning_edge,
         "anf_nf": q_anf_nf,
+        "anf_effective_diameter": q_anf_effective_diameter,
         # fourth wave — training-pipeline depth
         "repetition_profile": q_repetition_profile,
         "chunks": q_chunks,
@@ -4199,7 +4219,9 @@ rhs AS MATERIALIZED (
     )
 
 
-def _anf_nf_sql() -> str:
+def _anf_ctes() -> tuple[list, str]:
+    """Shared ANF sketch-propagation CTEs (md5 FM masks, ANF_HOPS OR-steps);
+    returns (ctes, per-sketch lzb expression)."""
     from networkit_spark.functions.dedup import hash60_sql
 
     S = ANF_SKETCHES
@@ -4231,11 +4253,42 @@ def _anf_nf_sql() -> str:
 )"""
         )
     lzb = " + ".join(f"(bit_count(xor(m{s}, m{s} + 1)) - 1)" for s in range(S))
+    return ctes, lzb
+
+
+def _anf_nf_sql() -> str:
+    ctes, lzb = _anf_ctes()
     hop_selects = " UNION ALL ".join(
         f"SELECT CAST({k} AS INT) AS hop, CAST(SUM({lzb}) AS BIGINT) AS lzb_total FROM h{k}"
         for k in range(1, ANF_HOPS + 1)
     )
     return _with(*ctes, select=hop_selects)
+
+
+def _anf_eff_diam_sql() -> str:
+    ctes, lzb = _anf_ctes()
+    S, H, GRID = ANF_SKETCHES, ANF_HOPS, 1 << 20
+    est = (
+        f"CAST(FLOOR(POWER(2.0, CAST(({lzb}) AS DOUBLE) / {S}.0) / 0.77351"
+        f" * {GRID}.0 + 0.5) AS BIGINT)"
+    )
+    tot_union = " UNION ALL ".join(
+        f"SELECT {k} AS hop, CAST(SUM({est}) AS BIGINT) AS v FROM h{k}"
+        for k in range(1, H + 1)
+    )
+    ctes.append(f"tot AS MATERIALIZED ({tot_union})")
+    ctes.append(f"fin AS MATERIALIZED (SELECT v AS final FROM tot WHERE hop = {H})")
+    ctes.append(
+        "c AS (SELECT hop, v, COALESCE(LAG(v) OVER (ORDER BY hop), 0) AS pv FROM tot)"
+    )
+    return _with(
+        *ctes,
+        select=f"""SELECT ROUND(
+  CASE WHEN v = pv THEN CAST(hop AS DOUBLE)
+       ELSE (hop - 1) + (0.9 * fin.final - pv) / (v - pv) END, 6
+) AS effective_diameter
+FROM c, fin WHERE v >= 0.9 * fin.final ORDER BY hop LIMIT 1""",
+    )
 
 
 def _token_stats_sql() -> str:
@@ -4670,6 +4723,7 @@ def oracle_sql() -> dict[str, str]:
         "commute_time_cg": _commute_time_cg_sql(),
         "spanning_edge": _spanning_edge_sql(),
         "anf_nf": _anf_nf_sql(),
+        "anf_effective_diameter": _anf_eff_diam_sql(),
         "repetition_profile": _repetition_profile_sql(),
         "chunks": _chunks_sql(),
         "token_stats": _token_stats_sql(),

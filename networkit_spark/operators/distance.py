@@ -212,6 +212,56 @@ def neighborhood_function_anf(
     return results
 
 
+def effective_diameter_sketch_grid(
+    graph: Graph,
+    ratio: float = 0.9,
+    num_sketches: int = 4,
+    hops: int = 8,
+    seed: int = 42,
+    grid: int = 1 << 20,
+) -> float:
+    """Cross-engine-exact ANF effective diameter
+    (EffectiveDiameterApproximation.cpp semantics, fixed ``hops`` unroll):
+    the portable md5 FM sketches (as in :func:`anf_sketch_stats`), with each
+    node's reach estimate 2^mean_b / 0.77351 snapped to a 1/``grid`` integer
+    lattice (floor(est·grid + 0.5) as BIGINT) BEFORE the per-hop sum — the
+    per-hop totals are then integers, immune to float summation order, and
+    an external engine reproduces them bit-exactly (the only float step,
+    pow(2, k/S) with dyadic k/S, is sub-half-ulp-identical across IEEE
+    libms; a lattice flip would need the product to land within ~1e-12 of a
+    half-integer). The smallest hop reaching ``ratio`` of the final total is
+    linearly interpolated exactly like :func:`effective_diameter_approx`."""
+    cur = _anf_init(graph, num_sketches, seed, hash_fn="md5")
+    sym = graph.sym().select("src", "dst").persist()
+
+    bs = [
+        (F.bit_count(F.col(f"m{s}").bitwiseXOR(F.col(f"m{s}") + 1)) - 1)
+        for s in range(num_sketches)
+    ]
+    mean_b = sum(bs, F.lit(0)).cast("double") / F.lit(float(num_sketches))
+    est_grid = F.floor(
+        F.pow(F.lit(2.0), mean_b) / F.lit(0.77351) * F.lit(float(grid)) + F.lit(0.5)
+    ).cast("long")
+
+    totals = []
+    for _ in range(hops):
+        cur = _anf_or_step(sym, cur, num_sketches)
+        totals.append(
+            int(cur.select(est_grid.alias("e")).agg(F.sum("e")).collect()[0][0])
+        )
+    sym.unpersist()
+    final = totals[-1]
+    target = ratio * final
+    prev_h, prev_v = 0, 0
+    for h, v in enumerate(totals, start=1):
+        if v >= target:
+            if v == prev_v:
+                return float(h)
+            return prev_h + (target - prev_v) / (v - prev_v)
+        prev_h, prev_v = h, v
+    return float(hops)
+
+
 def hop_plot_approx(graph: Graph, **kw) -> list:
     """HopPlotApproximation: fraction of reachable pairs per hop distance,
     normalized by the final (fixpoint) estimate — same ANF machinery
