@@ -925,6 +925,37 @@ def q_linkpred_eval(spark, sf_dir):
         F.round(F.lit(m["average_precision"]), 6).alias("average_precision"),
     )
 
+LPF_THRESH = 0.05
+LPF_K = 50
+
+
+def q_linkpred_filters(spark, sf_dir):
+    """LinkThresholder + PredictionsSorter composition (reference
+    cpp/linkprediction/LinkThresholder.cpp / PredictionsSorter.cpp):
+    Jaccard-scored candidate pairs filtered at >= LPF_THRESH then global
+    deterministic top-LPF_K by (score desc, u, v). Scores rounded BEFORE
+    filter/sort so both engines rank identical keys."""
+    from networkit_spark.operators.linkprediction import (
+        link_prediction_scores,
+        link_thresholder,
+        top_predictions,
+    )
+
+    g = _g(spark, sf_dir)
+    nn = g.nodes().filter(F.col("node") < LP_MAX_NODE)
+    pairs = (
+        nn.select(F.col("node").alias("u"))
+        .crossJoin(nn.select(F.col("node").alias("v")))
+        .filter(F.col("u") < F.col("v"))
+    )
+    scored = link_prediction_scores(g, pairs).select(
+        "u", "v", F.round("jaccard", 6).alias("score")
+    )
+    return top_predictions(
+        link_thresholder(scored, "score", LPF_THRESH), "score", LPF_K
+    )
+
+
 def q_betweenness(spark, sf_dir):
     from networkit_spark.operators.centrality import betweenness_sampled
 
@@ -1581,6 +1612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_window": q_events_window,
         "multimodal_decode": q_multimodal_decode,
         "link_prediction": q_link_prediction,
+        "linkpred_filters": q_linkpred_filters,
         "local_degree_score": q_local_degree_score,
         "sparsify_jaccard": q_sparsify_jaccard,
         "rand_measure": q_rand_measure,
@@ -2426,6 +2458,35 @@ FROM pairs p
 JOIN deg du ON du.node = p.u
 JOIN deg dv ON dv.node = p.v
 LEFT JOIN wed w ON w.u = p.u AND w.v = p.v""",
+    )
+
+
+def _linkpred_filters_sql() -> str:
+    return _with(
+        edges_sql(N_NODES),
+        f"pn AS MATERIALIZED (SELECT node FROM nodes WHERE node < {LP_MAX_NODE})",
+        "pairs AS MATERIALIZED (SELECT a.node AS u, b.node AS v FROM pn a JOIN pn b ON a.node < b.node)",
+        """wed AS MATERIALIZED (
+  SELECT p.u, p.v, COUNT(*) AS cn
+  FROM pairs p
+  JOIN sym e1 ON e1.src = p.u
+  JOIN sym e2 ON e2.src = p.v AND e2.dst = e1.dst
+  GROUP BY p.u, p.v
+)""",
+        """scored AS MATERIALIZED (
+  SELECT p.u, p.v,
+    ROUND(CASE WHEN du.degree + dv.degree - COALESCE(w.cn, 0) > 0
+          THEN COALESCE(w.cn, 0) / (du.degree + dv.degree - COALESCE(w.cn, 0))
+          ELSE 0.0 END, 6) AS score
+  FROM pairs p
+  JOIN deg du ON du.node = p.u
+  JOIN deg dv ON dv.node = p.v
+  LEFT JOIN wed w ON w.u = p.u AND w.v = p.v
+)""",
+        select=(
+            f"SELECT u, v, score FROM scored WHERE score >= {LPF_THRESH} "
+            f"ORDER BY score DESC, u, v LIMIT {LPF_K}"
+        ),
     )
 
 
@@ -4647,6 +4708,7 @@ def oracle_sql() -> dict[str, str]:
         "events_window": _EVENTS_SQL,
         "multimodal_decode": _MULTIMODAL_SQL,
         "link_prediction": _linkpred_sql(),
+        "linkpred_filters": _linkpred_filters_sql(),
         "local_degree_score": _lds_sql(),
         "sparsify_jaccard": _sparsify_sql(),
         "rand_measure": _rand_sql(),
