@@ -1255,6 +1255,14 @@ GEN_ER_N = 300
 GEN_ER_P = 0.02
 GEN_ER_SEED = 42
 
+# Stochastic blockmodel fixture: 3 blocks (node % 3), asymmetric-within-
+# symmetric affinity matrix so every block pair exercises a distinct
+# integer Bernoulli threshold.
+GEN_SBM_N = 120
+GEN_SBM_K = 3
+GEN_SBM_AFF = [[0.30, 0.04, 0.01], [0.04, 0.25, 0.08], [0.01, 0.08, 0.20]]
+GEN_SBM_SEED = 7
+
 
 def q_gen_er(spark, sf_dir):
     """Erdős–Rényi generator (reference cpp/generators/ErdosRenyiGenerator.h:
@@ -1264,6 +1272,25 @@ def q_gen_er(spark, sf_dir):
     from networkit_spark.generators import erdos_renyi
 
     g = erdos_renyi(spark, n=GEN_ER_N, p=GEN_ER_P, seed=GEN_ER_SEED, hash_fn="md5")
+    return g.edges.select("src", "dst").orderBy("src", "dst")
+
+
+def q_gen_sbm(spark, sf_dir):
+    """Stochastic blockmodel generator (reference cpp/generators/
+    StochasticBlockmodel.cpp:24-39) with the portable md5 hash and
+    per-block-pair integer Bernoulli thresholds — block(i) = i % k, so the
+    edge set is a pure function of (n, affinity, seed) an external engine
+    reproduces bit-exactly. sf_dir unused: generators synthesize their own
+    input."""
+    from networkit_spark.generators import stochastic_blockmodel
+
+    g = stochastic_blockmodel(
+        spark,
+        [i % GEN_SBM_K for i in range(GEN_SBM_N)],
+        GEN_SBM_AFF,
+        seed=GEN_SBM_SEED,
+        hash_fn="md5",
+    )
     return g.edges.select("src", "dst").orderBy("src", "dst")
 
 
@@ -1678,6 +1705,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snap_roundtrip": q_snap_roundtrip,
         "gt_roundtrip": q_gt_roundtrip,
         "gen_er": q_gen_er,
+        "gen_sbm": q_gen_sbm,
         "graph_transforms": q_graph_transforms,
         "commute_time": q_commute_time,
         "commute_time_cg": q_commute_time_cg,
@@ -2590,6 +2618,29 @@ def _gen_er_sql() -> str:
 SELECT a.range AS src, b.range AS dst
 FROM range({GEN_ER_N}) a, range({GEN_ER_N}) b
 WHERE a.range < b.range AND ({hash60_sql(key)}) < {thresh}
+ORDER BY src, dst
+"""
+
+
+def _gen_sbm_sql() -> str:
+    from networkit_spark.functions.dedup import hash60_sql
+
+    thresh_rows = ", ".join(
+        f"({a}, {b}, {int(GEN_SBM_AFF[a][b] * float(2**60))})"
+        for a in range(GEN_SBM_K)
+        for b in range(GEN_SBM_K)
+    )
+    key = (
+        f"CAST(a.range AS VARCHAR) || ':' || CAST(b.range AS VARCHAR)"
+        f" || ':{GEN_SBM_SEED}'"
+    )
+    return f"""
+WITH aff(ba, bb, t) AS (VALUES {thresh_rows})
+SELECT a.range AS src, b.range AS dst
+FROM range({GEN_SBM_N}) a
+CROSS JOIN range({GEN_SBM_N}) b
+JOIN aff ON aff.ba = a.range % {GEN_SBM_K} AND aff.bb = b.range % {GEN_SBM_K}
+WHERE a.range < b.range AND ({hash60_sql(key)}) < t
 ORDER BY src, dst
 """
 
@@ -4780,6 +4831,7 @@ def oracle_sql() -> dict[str, str]:
         "snap_roundtrip": _roundtrip_sql(),
         "gt_roundtrip": _roundtrip_sql(),
         "gen_er": _gen_er_sql(),
+        "gen_sbm": _gen_sbm_sql(),
         "graph_transforms": _graph_transforms_sql(),
         "commute_time": _commute_time_sql(),
         "commute_time_cg": _commute_time_cg_sql(),

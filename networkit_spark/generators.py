@@ -127,6 +127,7 @@ def stochastic_blockmodel(
     membership: "DataFrame | list[int]",
     affinity: list[list[float]],
     seed: int = 42,
+    hash_fn: str = "xxhash",
 ) -> Graph:
     """StochasticBlockmodel.cpp:24-39: pair (u, v) is an edge with
     probability ``affinity[block(u)][block(v)]`` — the full-matrix
@@ -137,6 +138,12 @@ def stochastic_blockmodel(
     block). The affinity matrix is broadcast as a tiny (a, b, p) relation;
     the edge draw is the deterministic hash-uniform, so the graph is a pure
     function of (membership, affinity, seed) independent of partitioning.
+
+    ``hash_fn="md5"`` swaps the JVM xxhash64 draw for the portable 60-bit
+    md5 hash with per-block-pair INTEGER thresholds (hash60(src:dst:seed) <
+    floor(p·2^60)) — bit-identical in any engine with md5, which is how the
+    ``gen_sbm`` oracle hard-verifies the block-Bernoulli machinery
+    cross-engine (same scheme as :func:`erdos_renyi`'s ``gen_er``).
 
     Like the reference's forNodePairs this is exact Bernoulli-per-pair —
     O(n²) pair enumeration. At corpus scale draw per-block-pair edge COUNTS
@@ -152,8 +159,12 @@ def stochastic_blockmodel(
         if len(row) != n_blocks:
             raise ValueError("affinity matrix must be square (nBlocks x nBlocks)")
     aff = spark.createDataFrame(
-        [(a, b, float(affinity[a][b])) for a in range(n_blocks) for b in range(n_blocks)],
-        "a long, b long, p double",
+        [
+            (a, b, float(affinity[a][b]), int(affinity[a][b] * float(2**60)))
+            for a in range(n_blocks)
+            for b in range(n_blocks)
+        ],
+        "a long, b long, p double, t long",
     )
     mu = membership.select(F.col("node").alias("src"), F.col("block").alias("a"))
     mv = membership.select(F.col("node").alias("dst"), F.col("block").alias("b"))
@@ -162,8 +173,19 @@ def stochastic_blockmodel(
         .filter(F.col("src") < F.col("dst"))
         .join(F.broadcast(aff), ["a", "b"])
     )
-    u = _uniform("src", "dst", F.lit(seed))
-    edges = pairs.filter(u <= F.col("p")).select(
+    if hash_fn == "md5":
+        from .functions.dedup import hash60
+
+        key = F.concat_ws(
+            ":",
+            F.col("src").cast("string"),
+            F.col("dst").cast("string"),
+            F.lit(str(seed)),
+        )
+        keep = hash60(key) < F.col("t")
+    else:
+        keep = _uniform("src", "dst", F.lit(seed)) <= F.col("p")
+    edges = pairs.filter(keep).select(
         "src", "dst", F.lit(1.0).alias("weight")
     )
     return Graph(
