@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 from ..graph import Graph
+from ..plans.ckpt import clean_local_checkpoint as _cc
 from .community import coarsen as contract_graph
 
 
@@ -41,10 +42,12 @@ def _move_phase(
     wdeg = graph.weighted_degrees().persist()
     n = wdeg.count()
     bcast = (lambda d: F.broadcast(d)) if n <= 2_000_000 else (lambda d: d)
-    labels = (
-        graph.nodes().select("node", F.col("node").alias("label"))
-        .localCheckpoint(eager=True)
-    )
+    # stats-clean checkpoints (plans/ckpt.py): labels-derived frames enter
+    # each sweep's join tree ~4 times (vols ×2, lbl_dst, cur), so plain
+    # localCheckpoint's propagated sizeInBytes is raised to the ~4th power
+    # per sweep — Catalyst planning degenerates into million-bit BigInteger
+    # products within ~6 sweeps at sf0.1 (same pathology as flow/matching).
+    labels = _cc(graph.nodes().select("node", F.col("node").alias("label")))
     # self-loop weight per node (stays intra under any move)
     for sweep in range(max_sweeps):
         vols = (
@@ -103,7 +106,7 @@ def _move_phase(
                 .otherwise(F.col("label"))
                 .alias("label"),
             )
-            .localCheckpoint(eager=True)
+            .transform(_cc)
         )
         moved = (
             new.alias("a").join(labels.alias("b"), "node")
