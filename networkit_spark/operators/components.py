@@ -22,6 +22,7 @@ from typing import Optional
 from pyspark.sql import DataFrame, functions as F
 
 from ..graph import Graph
+from ..plans.ckpt import clean_local_checkpoint as _cc
 from ..plans.iterate import SuperstepDriver
 
 
@@ -85,14 +86,17 @@ def connected_components(
         )
         if fixed_iters is not None:
             return new, None
-        new = new.localCheckpoint(eager=True)
+        new = _cc(new)
         changed = new.filter("changed").count()
         return new, float(changed)
 
+    # stats_clean: the pointer-jumping step joins the state against itself
+    # (label-of-label), so plain checkpoint stats would square per round.
     driver = SuperstepDriver(
         tol=0.0,
         max_iter=fixed_iters if fixed_iters is not None else max_iter,
         checkpoint_dir=checkpoint_dir,
+        stats_clean=True,
     )
     state = driver.run(init, step)
     sym.unpersist()
@@ -131,12 +135,12 @@ def strongly_connected_components(graph: Graph, max_outer: int = 100) -> DataFra
         return connected_components(graph)
     edges_all = graph.edges.select("src", "dst").distinct().persist()
     edges_all.count()
-    remaining = graph.nodes().select("node").localCheckpoint(eager=True)
+    remaining = _cc(graph.nodes().select("node"))
     done: DataFrame | None = None
 
     def _accum(acc, part):
         part = part.select("node", F.col("component").cast("long").alias("component"))
-        return part if acc is None else acc.unionByName(part).localCheckpoint(eager=True)
+        return part if acc is None else acc.unionByName(part).transform(_cc)
 
     for _ in range(max_outer):
         if remaining.isEmpty():
@@ -153,7 +157,7 @@ def strongly_connected_components(graph: Graph, max_outer: int = 100) -> DataFra
             keep = (
                 remaining.join(has_out, "node", "left_semi")
                 .join(has_in, "node", "left_semi")
-                .localCheckpoint(eager=True)
+                .transform(_cc)
             )
             trimmed = remaining.join(keep, "node", "left_anti")
             if trimmed.isEmpty():
@@ -165,7 +169,7 @@ def strongly_connected_components(graph: Graph, max_outer: int = 100) -> DataFra
         e = (
             edges_all.join(remaining.withColumnRenamed("node", "src"), "src", "left_semi")
             .join(remaining.withColumnRenamed("node", "dst"), "dst", "left_semi")
-            .localCheckpoint(eager=True)
+            .transform(_cc)
         )
         # -- 2. forward min-color propagation to fixpoint --------------------
         color = remaining.select("node", F.col("node").alias("color")).localCheckpoint(
@@ -180,7 +184,7 @@ def strongly_connected_components(graph: Graph, max_outer: int = 100) -> DataFra
                 color.unionByName(nbr)
                 .groupBy("node")
                 .agg(F.min("color").alias("color"))
-                .localCheckpoint(eager=True)
+                .transform(_cc)
             )
             changed = (
                 new.alias("a")
@@ -195,7 +199,7 @@ def strongly_connected_components(graph: Graph, max_outer: int = 100) -> DataFra
         visited = (
             color.filter(F.col("color") == F.col("node"))
             .select("node", F.col("node").alias("component"))
-            .localCheckpoint(eager=True)
+            .transform(_cc)
         )
         frontier = visited
         src_color = color.select(F.col("node").alias("src"), F.col("color").alias("c_src"))
@@ -207,12 +211,12 @@ def strongly_connected_components(graph: Graph, max_outer: int = 100) -> DataFra
                 .select(F.col("src").alias("node"), "component")
                 .distinct()
             )
-            frontier = cand.join(visited, "node", "left_anti").localCheckpoint(eager=True)
+            frontier = cand.join(visited, "node", "left_anti").transform(_cc)
             if frontier.isEmpty():
                 break
-            visited = visited.unionByName(frontier).localCheckpoint(eager=True)
+            visited = visited.unionByName(frontier).transform(_cc)
         done = _accum(done, visited)
-        remaining = remaining.join(visited, "node", "left_anti").localCheckpoint(eager=True)
+        remaining = remaining.join(visited, "node", "left_anti").transform(_cc)
     edges_all.unpersist()
     if done is None:
         return graph.nodes().select("node", F.col("node").alias("component"))

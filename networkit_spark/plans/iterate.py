@@ -49,12 +49,29 @@ class SuperstepDriver:
         checkpoint_dir: Optional[str] = None,
         checkpoint_every: int = 10,
         use_local_checkpoint: bool = True,
+        stats_clean: bool = False,
     ):
         self.tol = tol
         self.max_iter = max_iter
         self.checkpoint_dir = checkpoint_dir
         self.checkpoint_every = checkpoint_every
         self.use_local_checkpoint = use_local_checkpoint
+        # stats_clean: drop propagated plan statistics at each truncation
+        # (plans/ckpt.py). Required when the step's join tree contains the
+        # state more than once (e.g. pointer jumping's label-of-label join):
+        # plain localCheckpoint carries the join-estimated sizeInBytes
+        # forward, so the statistic is raised to a power each superstep and
+        # Catalyst planning degenerates into huge-BigInteger products.
+        # Additive loops (state joined only against fixed persisted inputs,
+        # like PageRank's rank ⋈ transition) don't need it.
+        self.stats_clean = stats_clean
+
+    def _truncate(self, df: DataFrame) -> DataFrame:
+        if self.stats_clean:
+            from .ckpt import clean_local_checkpoint
+
+            return clean_local_checkpoint(df)
+        return df.localCheckpoint(eager=True)
 
     # -- durable checkpoint / resume --------------------------------------
     def _manifest_path(self) -> str:
@@ -148,7 +165,7 @@ class SuperstepDriver:
         else:
             df = init_df
             if self.use_local_checkpoint:
-                df = df.localCheckpoint(eager=True)
+                df = self._truncate(df)
             state = IterationState(iteration=0, df=df)
 
         prev = None
@@ -156,7 +173,7 @@ class SuperstepDriver:
             t0 = time.time()
             new_df, residual = step(state.df, state.iteration)
             if self.use_local_checkpoint:
-                new_df = new_df.localCheckpoint(eager=True)
+                new_df = self._truncate(new_df)
             elapsed = time.time() - t0
             if prev is not None:
                 try:
