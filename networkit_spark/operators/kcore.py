@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from ..graph import Graph
+from ..plans.ckpt import clean_local_checkpoint as _cc
 
 
 def k_core(graph: Graph, k: int, max_iter: int = 100) -> DataFrame:
@@ -20,7 +21,7 @@ def k_core(graph: Graph, k: int, max_iter: int = 100) -> DataFrame:
     Returns (node). Fixpoint of: keep nodes with >= k surviving neighbors."""
     sym = graph.sym().select("src", "dst").filter(F.col("src") != F.col("dst")).persist()
     sym.count()
-    alive = graph.nodes().localCheckpoint(eager=True)
+    alive = graph.nodes().transform(_cc)
     for _ in range(max_iter):
         surv = (
             sym.join(alive.withColumnRenamed("node", "src"), "src", "left_semi")
@@ -29,7 +30,7 @@ def k_core(graph: Graph, k: int, max_iter: int = 100) -> DataFrame:
             .agg(F.count("*").alias("d"))
             .filter(F.col("d") >= k)
             .select(F.col("src").alias("node"))
-            .localCheckpoint(eager=True)
+            .transform(_cc)
         )
         n_new, n_old = surv.count(), alive.count()
         alive = surv
@@ -58,7 +59,7 @@ def coreness(graph: Graph, k_max: int | None = None) -> DataFrame:
         graph.nodes()
         .join(deg0, "node", "left")
         .select("node", F.coalesce("deg", F.lit(0)).cast("long").alias("deg"))
-        .localCheckpoint(eager=True)
+        .transform(_cc)
     )
     cores: DataFrame | None = None
     k = 1
@@ -70,24 +71,29 @@ def coreness(graph: Graph, k_max: int | None = None) -> DataFrame:
             rem = state.select("node", F.lit(k_max).alias("core"))
             cores = rem if cores is None else cores.unionByName(rem)
             break
-        to_remove = state.filter(F.col("deg") < k).select("node").localCheckpoint(eager=True)
-        if to_remove.isEmpty():
+        to_remove = state.filter(F.col("deg") < k).select("node").transform(_cc)
+        wave = to_remove.count()
+        if wave == 0:
             kmin = state.agg(F.min("deg")).collect()[0][0]
             k = int(kmin) + 1
             continue
+        # peel waves are typically tiny vs the graph — broadcast them into
+        # the decrement/removal joins explicitly (stats-clean frames are
+        # never auto-broadcast); fall back to shuffle joins for huge waves
+        bw = (lambda d: F.broadcast(d)) if wave <= 2_000_000 else (lambda d: d)
         rem = to_remove.select("node", F.lit(k - 1).alias("core"))
-        cores = rem if cores is None else cores.unionByName(rem).localCheckpoint(eager=True)
+        cores = rem if cores is None else cores.unionByName(rem).transform(_cc)
         dec = (
-            sym.join(to_remove.withColumnRenamed("node", "src"), "src", "left_semi")
+            sym.join(bw(to_remove.withColumnRenamed("node", "src")), "src", "left_semi")
             .groupBy("dst")
             .agg(F.count("*").alias("c"))
             .select(F.col("dst").alias("node"), "c")
         )
         state = (
-            state.join(to_remove, "node", "left_anti")
+            state.join(bw(to_remove), "node", "left_anti")
             .join(dec, "node", "left")
             .select("node", (F.col("deg") - F.coalesce("c", F.lit(0))).alias("deg"))
-            .localCheckpoint(eager=True)
+            .transform(_cc)
         )
     sym.unpersist()
     if cores is None:

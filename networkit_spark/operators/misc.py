@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from ..functions.dedup import hash60
 from ..graph import Graph
+from ..plans.ckpt import clean_local_checkpoint as _cc
 from .distance import bfs_distances
 
 
@@ -137,7 +138,7 @@ def diameter_bounds_sumsweep(
             F.lit(False).alias("finished"),
             F.lit(0).alias("dist"),
         )
-        .localCheckpoint(eager=True)
+        .transform(_cc)
     )
     if max_rounds is None:
         max_rounds = 10
@@ -167,7 +168,7 @@ def diameter_bounds_sumsweep(
                 new_lb.alias("lb"), new_ub.alias("ub"),
             )
             .withColumn("finished", F.col("ub") == F.col("lb"))
-            .localCheckpoint(eager=True)
+            .transform(_cc)
         )
         row = upd.agg(F.max("lb").alias("lb"), F.max("ub").alias("ub")).collect()[0]
         return upd, int(row["lb"]), int(row["ub"])
@@ -399,7 +400,7 @@ def luby_independent_set(graph: Graph, seed: int = 42, max_iter: int = 100) -> D
     their neighbors drop out. Deterministic (hash priorities), O(log n)
     rounds w.h.p. Returns (node) of the MIS."""
     sym = graph.sym().select("src", "dst").filter(F.col("src") != F.col("dst")).persist()
-    undecided = graph.nodes().localCheckpoint(eager=True)
+    undecided = graph.nodes().transform(_cc)
     chosen = None
     rnd = 0
     while rnd < max_iter:
@@ -423,10 +424,10 @@ def luby_independent_set(graph: Graph, seed: int = 42, max_iter: int = 100) -> D
             (F.col("pd") > F.col("ps"))
             | ((F.col("pd") == F.col("ps")) & (F.col("dst") > F.col("src")))
         ).select(F.col("src").alias("node")).distinct()
-        winners = pri.select("node").join(losers, "node", "left_anti").localCheckpoint(eager=True)
+        winners = pri.select("node").join(losers, "node", "left_anti").transform(_cc)
         if winners.isEmpty():
             break
-        chosen = winners if chosen is None else chosen.unionByName(winners).localCheckpoint(eager=True)
+        chosen = winners if chosen is None else chosen.unionByName(winners).transform(_cc)
         nbrs_of_winners = (
             sym.join(winners.withColumnRenamed("node", "src"), "src", "left_semi")
             .select(F.col("dst").alias("node")).distinct()
@@ -434,7 +435,7 @@ def luby_independent_set(graph: Graph, seed: int = 42, max_iter: int = 100) -> D
         undecided = (
             undecided.join(winners, "node", "left_anti")
             .join(nbrs_of_winners, "node", "left_anti")
-            .localCheckpoint(eager=True)
+            .transform(_cc)
         )
         if undecided.isEmpty():
             break
@@ -449,7 +450,7 @@ def spanning_forest(graph: Graph, max_iter: int = 64, minimum: bool = True) -> D
     tie-break by (weight, src, dst)), merges via hash-to-min on the picked
     edges. Returns the forest edges (src, dst, weight)."""
     sign = 1.0 if minimum else -1.0
-    comp = graph.nodes().select("node", F.col("node").alias("comp")).localCheckpoint(eager=True)
+    comp = graph.nodes().select("node", F.col("node").alias("comp")).transform(_cc)
     edges = graph.edges.filter(F.col("src") != F.col("dst")).persist()
     forest = None
     for _ in range(max_iter):
@@ -472,9 +473,9 @@ def spanning_forest(graph: Graph, max_iter: int = 64, minimum: bool = True) -> D
             .filter(F.col("rn") == 1)
             .select("src", "dst", "weight")
             .distinct()
-            .localCheckpoint(eager=True)
+            .transform(_cc)
         )
-        forest = picked if forest is None else forest.unionByName(picked).distinct().localCheckpoint(eager=True)
+        forest = picked if forest is None else forest.unionByName(picked).distinct().transform(_cc)
         # merge components over picked edges: hash-to-min until stable
         pe = picked.join(comp.withColumnRenamed("node", "src").withColumnRenamed("comp", "cs"), "src") \
                    .join(comp.withColumnRenamed("node", "dst").withColumnRenamed("comp", "cd"), "dst") \
@@ -490,7 +491,7 @@ def spanning_forest(graph: Graph, max_iter: int = 64, minimum: bool = True) -> D
             new_map = (
                 mapping.join(nbr, "c", "left")
                 .select("c", F.least(F.col("root"), F.coalesce("cand_root", F.col("root"))).alias("root"))
-                .localCheckpoint(eager=True)
+                .transform(_cc)
             )
             changed = (
                 new_map.alias("a").join(mapping.alias("b"), "c")
@@ -502,7 +503,7 @@ def spanning_forest(graph: Graph, max_iter: int = 64, minimum: bool = True) -> D
         comp = (
             comp.join(mapping.withColumnRenamed("c", "comp"), "comp")
             .select("node", F.col("root").alias("comp"))
-            .localCheckpoint(eager=True)
+            .transform(_cc)
         )
     edges.unpersist()
     if forest is None:
@@ -727,7 +728,7 @@ def union_maximum_spanning_forest(graph: Graph, max_levels: int = 10_000) -> Dat
     labels = (
         graph.nodes()
         .select("node", F.col("node").alias("component"))
-        .localCheckpoint(eager=True)
+        .transform(_cc)
     )
     marked = None
     for w in levels:
@@ -738,7 +739,7 @@ def union_maximum_spanning_forest(graph: Graph, max_levels: int = 10_000) -> Dat
             .join(lu, "src")
             .join(lv, "dst")
             .select("src", "dst", "_orig_w", "cu", "cv")
-            .localCheckpoint(eager=True)
+            .transform(_cc)
         )
         out = lvl.select(
             "src",
@@ -753,14 +754,14 @@ def union_maximum_spanning_forest(graph: Graph, max_levels: int = 10_000) -> Dat
             .select(F.col("cu").alias("a"), F.col("cv").alias("b"))
         )
         ce = ce.unionByName(ce.select(F.col("b").alias("a"), F.col("a").alias("b")))
-        ce = ce.distinct().localCheckpoint(eager=True)
+        ce = ce.distinct().transform(_cc)
         if ce.isEmpty():
             continue
         cmap = (
             ce.select(F.col("a").alias("c"))
             .distinct()
             .select("c", F.col("c").alias("m"))
-            .localCheckpoint(eager=True)
+            .transform(_cc)
         )
         while True:
             nbr = (
@@ -780,7 +781,7 @@ def union_maximum_spanning_forest(graph: Graph, max_levels: int = 10_000) -> Dat
                     "left",
                 )
                 .select("c", F.coalesce("mm", F.col("m")).alias("m"))
-                .localCheckpoint(eager=True)
+                .transform(_cc)
             )
             changed = (
                 new.join(cmap.withColumnRenamed("m", "old"), "c")
@@ -793,7 +794,7 @@ def union_maximum_spanning_forest(graph: Graph, max_levels: int = 10_000) -> Dat
         labels = (
             labels.join(cmap.withColumnRenamed("c", "component"), "component", "left")
             .select("node", F.coalesce("m", F.col("component")).alias("component"))
-            .localCheckpoint(eager=True)
+            .transform(_cc)
         )
     if marked is None:
         return graph.edges.select("src", "dst", "weight", F.lit(False).alias("in_umsf"))
