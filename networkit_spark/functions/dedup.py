@@ -22,6 +22,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from ..plans.ckpt import clean_local_checkpoint as _cc
+
 # linear-permutation constants: h_p(x) = (A_p * x + B_p) mod M over 31-bit
 # reduced hashes (products stay < 2^62 — identical overflow-free arithmetic
 # in Spark and DuckDB)
@@ -397,7 +399,7 @@ def dedup_clusters(
     ).persist()
     labels = df.select(
         F.col(id_col).alias("doc"), F.col(id_col).alias("canonical")
-    ).localCheckpoint(eager=True)
+    ).transform(_cc)
     for _ in range(rounds):
         nbr = (
             sym.join(labels, sym.d == labels.doc)
@@ -411,7 +413,7 @@ def dedup_clusters(
                 "doc",
                 F.least("canonical", F.coalesce("nc", "canonical")).alias("canonical"),
             )
-            .localCheckpoint(eager=True)
+            .transform(_cc)
         )
     sym.unpersist()
     return labels

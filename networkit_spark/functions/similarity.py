@@ -19,6 +19,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from ..plans.ckpt import clean_local_checkpoint as _cc
+
 
 def _norm(v):
     return F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
@@ -201,7 +203,7 @@ def ivf_train(
         cents = (
             cents.join(newc, "cid", "left")
             .select("cid", F.coalesce("ncv", "cv").alias("cv"))
-            .localCheckpoint(eager=True)
+            .transform(_cc)
         )
     units.unpersist()
     return cents

@@ -45,6 +45,7 @@ from typing import Iterable, Optional, Sequence, Tuple
 from pyspark.sql import DataFrame, functions as F
 
 from ..graph import Graph
+from ..plans.ckpt import clean_local_checkpoint as _cc
 from ..functions.dedup import hash60
 
 
@@ -101,7 +102,7 @@ def laplacian_smooth(
             F.coalesce("d", F.lit(0.0)).alias("d"),
             F.lit(0.0).alias("x"),
         )
-        .localCheckpoint(eager=True)
+        .transform(_cc)
     )
     prev = None
     for i in range(iters):
@@ -125,7 +126,7 @@ def laplacian_smooth(
             .alias("x"),
         )
         if i % checkpoint_every == checkpoint_every - 1 or i == iters - 1:
-            new = new.localCheckpoint(eager=True)
+            new = new.transform(_cc)
             if prev is not None:
                 try:
                     prev.unpersist(True)
@@ -186,7 +187,7 @@ def conjugate_gradient(
         )
         .withColumn("r", F.col("b"))
         .withColumn("p", z0)
-        .localCheckpoint(eager=True)
+        .transform(_cc)
     )
     # per-system targets: ||b||^2 and rz = r.z (z = D^-1 r)
     t0 = {

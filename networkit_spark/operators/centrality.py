@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 from ..graph import Graph
+from ..plans.ckpt import clean_local_checkpoint as _cc
 from ..plans.order import zip_with_rank
 from .distance import bfs_distances, multi_source_bfs
 
@@ -80,7 +81,7 @@ def brandes_dependencies(graph: Graph, sources: list[int]) -> DataFrame:
     sigma = (
         dist.filter(F.col("dist") == 0)
         .select("source", "node", F.lit(1.0).alias("sigma"))
-        .localCheckpoint(eager=True)
+        .transform(_cc)
     )
     for lvl in range(1, max_d + 1):
         prev = sigma.join(dist, ["source", "node"]).filter(F.col("dist") == lvl - 1)
@@ -93,12 +94,12 @@ def brandes_dependencies(graph: Graph, sources: list[int]) -> DataFrame:
             .groupBy("source", "node")
             .agg(F.sum("sigma").alias("sigma"))
         )
-        sigma = sigma.unionByName(nxt).localCheckpoint(eager=True)
+        sigma = sigma.unionByName(nxt).transform(_cc)
     # backward dependency accumulation, all sources per level superstep
     state = (
         dist.join(sigma, ["source", "node"])
         .select("source", "node", "dist", "sigma", F.lit(0.0).alias("delta"))
-        .localCheckpoint(eager=True)
+        .transform(_cc)
     )
     for lvl in range(max_d, 0, -1):
         w = state.filter(F.col("dist") == lvl).select(
@@ -127,11 +128,11 @@ def brandes_dependencies(graph: Graph, sources: list[int]) -> DataFrame:
                 "source", "node", "dist", "sigma",
                 (F.col("delta") + F.coalesce("c", F.lit(0.0))).alias("delta"),
             )
-            .localCheckpoint(eager=True)
+            .transform(_cc)
         )
     deps = state.filter(F.col("node") != F.col("source")).select(
         "source", "node", "delta"
-    ).localCheckpoint(eager=True)
+    ).transform(_cc)
     dist.unpersist()
     sym.unpersist()
     return deps
@@ -336,7 +337,7 @@ def kpath_centrality(
             F.col("start").alias("cur"),
             F.array(F.col("start")).alias("path"),
         )
-        .localCheckpoint(eager=True)
+        .transform(_cc)
     )
     sym = graph.sym().select("src", "dst").persist()
     visits = None
@@ -357,7 +358,7 @@ def kpath_centrality(
                 F.col("pick.cur").alias("cur"),
                 F.array_append(F.col("pick.path"), F.col("pick.cur")).alias("path"),
             )
-            .localCheckpoint(eager=True)
+            .transform(_cc)
         )
         v = nxt.select(F.col("cur").alias("node"))
         visits = v if visits is None else visits.unionByName(v)

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from ..functions.dedup import hash60
 from ..graph import Graph
+from ..plans.ckpt import clean_local_checkpoint as _cc
 
 
 def jones_plassmann_coloring(
@@ -45,7 +46,7 @@ def jones_plassmann_coloring(
     state = (
         graph.nodes()
         .select("node", pri.alias("pri"), F.lit(None).cast("int").alias("color"))
-        .localCheckpoint(eager=True)
+        .transform(_cc)
     )
     for _ in range(max_rounds):
         uncolored = state.filter(F.col("color").isNull())
@@ -88,7 +89,7 @@ def jones_plassmann_coloring(
                 )
                 .alias("color"),
             )
-            .localCheckpoint(eager=True)
+            .transform(_cc)
         )
     sym.unpersist()
     return state.select("node", F.col("color").cast("int").alias("color"))

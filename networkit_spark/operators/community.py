@@ -23,6 +23,7 @@ from typing import Optional
 from pyspark.sql import DataFrame, functions as F
 
 from ..graph import Graph
+from ..plans.ckpt import clean_local_checkpoint as _cc
 from ..plans.iterate import SuperstepDriver
 
 
@@ -49,7 +50,7 @@ def plp(
     sym = graph.sym().persist()
     sym.count()
     bcast = (lambda d: F.broadcast(d)) if n <= 2_000_000 else (lambda d: d)
-    labels = nodes.select("node", F.col("node").alias("label")).localCheckpoint(eager=True)
+    labels = nodes.select("node", F.col("node").alias("label")).transform(_cc)
 
     def superstep(cur: DataFrame) -> DataFrame:
         # weight of each label among u's neighbors (PLP.cpp:80-86)
@@ -70,7 +71,7 @@ def plp(
     iters = 0
     oscillating = False
     for i in range(limit):
-        new = superstep(labels).localCheckpoint(eager=True)
+        new = superstep(labels).transform(_cc)
         iters = i + 1
         if fixed_iters is None:
             diff1 = (
@@ -92,7 +93,7 @@ def plp(
                     labels = (
                         new.alias("a").join(labels.alias("b"), "node")
                         .select("node", F.least(F.col("a.label"), F.col("b.label")).alias("label"))
-                        .localCheckpoint(eager=True)
+                        .transform(_cc)
                     )
                     oscillating = True
                     break
@@ -363,7 +364,7 @@ def agglomerative_clusterer(
         )
         rl = g.nodes().join(pair, "node", "left").select(
             "node", F.coalesce("to", F.col("node")).alias("label")
-        ).localCheckpoint(eager=True)
+        ).transform(_cc)
         g = coarsen(g, rl)
         mapping = (
             mapping.join(
@@ -371,7 +372,7 @@ def agglomerative_clusterer(
                 "label",
             )
             .select("node", F.col("nl").alias("label"))
-            .localCheckpoint(eager=True)
+            .transform(_cc)
         )
     return mapping
 

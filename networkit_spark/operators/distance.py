@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from ..graph import Graph
+from ..plans.ckpt import clean_local_checkpoint as _cc
 
 
 def bfs_distances(graph: Graph, source: int, max_iter: int = 10_000) -> DataFrame:
@@ -27,7 +28,7 @@ def bfs_distances(graph: Graph, source: int, max_iter: int = 10_000) -> DataFram
         graph.nodes()
         .filter(F.col("node") == source)
         .select("node", F.lit(0).alias("dist"))
-        .localCheckpoint(eager=True)
+        .transform(_cc)
     )
     frontier = dist
     while max_iter > 0:
@@ -38,10 +39,10 @@ def bfs_distances(graph: Graph, source: int, max_iter: int = 10_000) -> DataFram
             .groupBy("node")
             .agg(F.min("dist").alias("dist"))
         )
-        new_frontier = reach.join(dist, "node", "left_anti").localCheckpoint(eager=True)
+        new_frontier = reach.join(dist, "node", "left_anti").transform(_cc)
         if new_frontier.isEmpty():
             break
-        dist = dist.unionByName(new_frontier).localCheckpoint(eager=True)
+        dist = dist.unionByName(new_frontier).transform(_cc)
         frontier = new_frontier
     sym.unpersist()
     return dist
@@ -56,7 +57,7 @@ def sssp_distances(graph: Graph, source: int, max_iter: int = 10_000) -> DataFra
         graph.nodes()
         .filter(F.col("node") == source)
         .select("node", F.lit(0.0).alias("dist"))
-        .localCheckpoint(eager=True)
+        .transform(_cc)
     )
     changed = dist
     while max_iter > 0:
@@ -69,13 +70,13 @@ def sssp_distances(graph: Graph, source: int, max_iter: int = 10_000) -> DataFra
         )
         merged = (
             dist.unionByName(relax).groupBy("node").agg(F.min("dist").alias("dist"))
-        ).localCheckpoint(eager=True)
+        ).transform(_cc)
         changed = (
             merged.alias("a")
             .join(dist.alias("b"), "node", "left")
             .filter(F.col("b.dist").isNull() | (F.col("a.dist") < F.col("b.dist")))
             .select("node", F.col("a.dist").alias("dist"))
-            .localCheckpoint(eager=True)
+            .transform(_cc)
         )
         dist = merged
         if changed.isEmpty():
@@ -116,7 +117,7 @@ def _anf_init(graph: Graph, num_sketches: int, seed: int, hash_fn: str = "xxhash
         # 2^pos with a column exponent (shiftleft needs a literal); powers of
         # two are exact in double up to 2^61
         masks.append(F.pow(F.lit(2.0), pos.cast("double")).cast("long").alias(f"m{s}"))
-    return nodes.select("node", *masks).localCheckpoint(eager=True)
+    return nodes.select("node", *masks).transform(_cc)
 
 
 def _anf_or_step(sym, cur, num_sketches: int):
@@ -135,7 +136,7 @@ def _anf_or_step(sym, cur, num_sketches: int):
                 for s in range(num_sketches)
             ],
         )
-        .localCheckpoint(eager=True)
+        .transform(_cc)
     )
 
 
@@ -295,7 +296,7 @@ def multi_source_bfs(graph: Graph, sources: list[int], max_iter: int = 10_000) -
     dist = (
         nodes.join(src_df, nodes.node == src_df.source)
         .select("source", "node", F.lit(0).alias("dist"))
-        .localCheckpoint(eager=True)
+        .transform(_cc)
     )
     frontier = dist
     hop = 0
@@ -307,10 +308,10 @@ def multi_source_bfs(graph: Graph, sources: list[int], max_iter: int = 10_000) -
             .select("source", F.col("dst").alias("node"), F.lit(hop).alias("dist"))
             .distinct()
         )
-        new = reach.join(dist, ["source", "node"], "left_anti").localCheckpoint(eager=True)
+        new = reach.join(dist, ["source", "node"], "left_anti").transform(_cc)
         if new.isEmpty():
             break
-        dist = dist.unionByName(new).localCheckpoint(eager=True)
+        dist = dist.unionByName(new).transform(_cc)
         frontier = new
     sym.unpersist()
     return dist
@@ -333,7 +334,7 @@ def effective_diameter_exact(graph: Graph, ratio: float = 0.9) -> float:
     nodes = graph.nodes()
     # pair frontier (source, node); memory O(reachable pairs) — small graphs
     dist = nodes.select(F.col("node").alias("source"), "node", F.lit(0).alias("dist"))
-    dist = dist.localCheckpoint(eager=True)
+    dist = dist.transform(_cc)
     frontier = dist
     counts = [dist.count()]
     hop = 0
@@ -344,10 +345,10 @@ def effective_diameter_exact(graph: Graph, ratio: float = 0.9) -> float:
             .select("source", F.col("dst").alias("node"), F.lit(hop).alias("dist"))
             .distinct()
         )
-        new = reach.join(dist, ["source", "node"], "left_anti").localCheckpoint(eager=True)
+        new = reach.join(dist, ["source", "node"], "left_anti").transform(_cc)
         if new.isEmpty():
             break
-        dist = dist.unionByName(new).localCheckpoint(eager=True)
+        dist = dist.unionByName(new).transform(_cc)
         frontier = new
         counts.append(counts[-1] + new.count())
     sym.unpersist()

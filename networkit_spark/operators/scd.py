@@ -46,6 +46,7 @@ from typing import Iterable, Optional, Sequence
 from pyspark.sql import DataFrame, functions as F
 
 from ..graph import Graph
+from ..plans.ckpt import clean_local_checkpoint as _cc
 
 
 def gce_expand(
@@ -66,7 +67,7 @@ def gce_expand(
 
     comm = spark.createDataFrame(
         [(int(s), int(s)) for s in seeds], "seed long, node long"
-    ).localCheckpoint(eager=True)
+    ).transform(_cc)
     active = comm.select("seed").distinct()
 
     step = 0
@@ -120,11 +121,11 @@ def gce_expand(
             .groupBy("seed")
             .agg(F.max(F.struct("absorb", "dq", "v")).alias("b"))
             .select("seed", F.col("b.v").alias("node"))
-            .localCheckpoint(eager=True)
+            .transform(_cc)
         )
         if best.count() == 0:
             break
-        comm = comm.unionByName(best).localCheckpoint(eager=True)
+        comm = comm.unionByName(best).transform(_cc)
         active = best.select("seed")
     sym.unpersist()
     return comm

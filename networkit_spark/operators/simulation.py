@@ -31,6 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from ..graph import Graph
+from ..plans.ckpt import clean_local_checkpoint as _cc
 from ..functions.dedup import hash60
 
 _HSPACE = float(2 ** 60)
@@ -57,7 +58,7 @@ def seir_simulation(
         "node",
         F.when(F.col("node") == zero, F.lit(I)).otherwise(F.lit(S)).alias("state"),
         F.lit(0).alias("ts"),
-    ).localCheckpoint(eager=True)
+    ).transform(_cc)
 
     census_rows = []
     for t in range(t_max):
@@ -107,7 +108,7 @@ def seir_simulation(
                 .otherwise(F.col("ts"))
                 .alias("ts"),
             )
-            .localCheckpoint(eager=True)
+            .transform(_cc)
         )
         state = nxt
         counts = {

@@ -4,15 +4,22 @@
 plan's statistics onto the resulting ``LogicalRDD`` (``originStats``). In a
 loop whose state frames join each other (or frames derived from themselves)
 every round — push-relabel's ``arcs ⋈ state``, path-growing's
-``edges ⋈ dead(edges)`` — join estimation MULTIPLIES the two propagated
-``sizeInBytes`` values, so the statistic's BIT LENGTH doubles per round
-(63 → 137 → 273 → … measured). By round ~6 Catalyst planning spends minutes
-per query multiplying million-bit BigIntegers (Karatsuba/Toom-Cook frames on
-the driver's planning thread) and eventually OOMs building them. Loops that
-only join checkpoints against ``persist()``-ed inputs compound additively
-(InMemoryRelation reports its real cached size) and never hit this — which
-is why PageRank/components were immune while the flow/matching loops
-livelocked on 11-node graphs.
+``edges ⋈ dead(edges)``, PLM's labels entering its sweep's join tree ~4
+times, pointer jumping's label-of-label self-join — join estimation
+MULTIPLIES the propagated ``sizeInBytes`` values, so the statistic's BIT
+LENGTH grows by the state's multiplicity in its own update tree every round
+(63 → 137 → 273 → … measured at ×2; PLM measured ×4 → an sf0.1 move phase
+hung for 20+ minutes inside Toom-Cook BigInteger products before this fix).
+Catalyst planning then spends minutes per query multiplying million-bit
+BigIntegers on the driver's planning thread and eventually OOMs building
+them. Loops that only join checkpoints against ``persist()``-ed inputs
+compound additively (one fixed multiplier per round — linear bit growth,
+harmless for hundreds of rounds; InMemoryRelation reports its real cached
+size), which is why PageRank's ``rank ⋈ transition`` superstep stays on the
+plain checkpoint while every state-self-joining loop (components, SCC trim,
+PLM, PLP, k-core peel, Luby, Borůvka/UMSF, coloring, GCE, BFS/SSSP
+frontiers, Brandes levels, dynamic SSSP cones, SEIR, dedup hash-to-min)
+routes through :func:`clean_local_checkpoint`.
 
 :func:`clean_local_checkpoint` checkpoints eagerly, then rebuilds the
 Dataset from the checkpointed ``RDD[InternalRow]`` via

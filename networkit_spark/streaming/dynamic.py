@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from ..graph import Graph
+from ..plans.ckpt import clean_local_checkpoint as _cc
 from .graph_events import apply_events
 
 
@@ -37,8 +38,8 @@ def _relax_loop(
     """Bellman-Ford supersteps restricted to a seed frontier: repeatedly
     relax out-edges of changed nodes; only improvements propagate. ``dist``
     must already be correct for every node outside the frontier's cone."""
-    dist = dist.localCheckpoint(eager=True)
-    frontier = frontier.localCheckpoint(eager=True)
+    dist = dist.transform(_cc)
+    frontier = frontier.transform(_cc)
     while max_iter > 0 and not frontier.isEmpty():
         max_iter -= 1
         cand = (
@@ -52,14 +53,14 @@ def _relax_loop(
             cand.join(dist.withColumnRenamed("dist", "old"), "node", "left")
             .filter(F.col("old").isNull() | (F.col("dist") < F.col("old")))
             .select("node", "dist")
-            .localCheckpoint(eager=True)
+            .transform(_cc)
         )
         if improved.isEmpty():
             break
         dist = (
             dist.join(improved.select("node"), "node", "left_anti")
             .unionByName(improved)
-            .localCheckpoint(eager=True)
+            .transform(_cc)
         )
         frontier = improved
     return dist
@@ -102,7 +103,7 @@ class DynSSSP:
         old_edges = self.graph.edges
         new_edges = apply_events(
             old_edges.select("src", "dst", "weight"), events
-        ).localCheckpoint(eager=True)
+        ).transform(_cc)
         new_graph = Graph(
             new_edges, directed=self.graph.directed, weighted=self.graph.weighted
         )
@@ -130,7 +131,7 @@ class DynSSSP:
                 .select("src", "dst")
                 .persist()
             )
-            affected = broken.localCheckpoint(eager=True)
+            affected = broken.transform(_cc)
             frontier = affected
             while not frontier.isEmpty():
                 nxt = (
@@ -138,9 +139,9 @@ class DynSSSP:
                     .select(F.col("dst").alias("node"))
                     .distinct()
                     .join(affected, "node", "left_anti")
-                    .localCheckpoint(eager=True)
+                    .transform(_cc)
                 )
-                affected = affected.unionByName(nxt).localCheckpoint(eager=True)
+                affected = affected.unionByName(nxt).transform(_cc)
                 frontier = nxt
             sp_dag.unpersist()
             affected = affected.filter(F.col("node") != self.source)
@@ -176,7 +177,7 @@ class DynSSSP:
 
         new_sym.unpersist()
         self.graph = new_graph
-        self.distances = dist.localCheckpoint(eager=True)
+        self.distances = dist.transform(_cc)
         return self.distances
 
 
@@ -233,10 +234,10 @@ class DynApproxBetweenness:
 
         fresh = multi_source_bfs(graph, only_sources or self.sources)
         if only_sources is None or self.dist is None:
-            self.dist = fresh.localCheckpoint(eager=True)
+            self.dist = fresh.transform(_cc)
         else:
             keep = self.dist.filter(~F.col("source").isin(only_sources))
-            self.dist = keep.unionByName(fresh).localCheckpoint(eager=True)
+            self.dist = keep.unionByName(fresh).transform(_cc)
 
     def _affected_sources(self, added: DataFrame, removed: DataFrame) -> list[int]:
         du = self.dist.select("source", F.col("node").alias("src"),
@@ -264,7 +265,7 @@ class DynApproxBetweenness:
         old_sym = self.graph.sym().select("src", "dst").distinct()
         new_edges = apply_events(
             self.graph.edges.select("src", "dst", "weight"), events
-        ).localCheckpoint(eager=True)
+        ).transform(_cc)
         new_graph = Graph(
             new_edges, directed=self.graph.directed, weighted=self.graph.weighted
         )
@@ -284,7 +285,7 @@ class DynApproxBetweenness:
         if affected:
             fresh = brandes_dependencies(new_graph, affected)
             keep = self.deps.filter(~F.col("source").isin(affected))
-            self.deps = keep.unionByName(fresh).localCheckpoint(eager=True)
+            self.deps = keep.unionByName(fresh).transform(_cc)
             self._refresh_dist(new_graph, affected)
         new_sym.unpersist()
         self.graph = new_graph

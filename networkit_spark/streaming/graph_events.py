@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..graph import Graph
+from ..plans.ckpt import clean_local_checkpoint as _cc
 
 EVENT_TYPES = [
     "NODE_ADDITION", "NODE_REMOVAL", "NODE_RESTORATION",
@@ -87,11 +88,11 @@ class GraphUpdater:
         self.edges = (
             edges if edges is not None
             else spark.createDataFrame([], "src long, dst long, weight double")
-        ).localCheckpoint(eager=True)
+        ).transform(_cc)
         self.timeline: list[tuple[int, int]] = []
 
     def update(self, events: DataFrame) -> Graph:
-        self.edges = apply_events(self.edges, events).localCheckpoint(eager=True)
+        self.edges = apply_events(self.edges, events).transform(_cc)
         m = self.edges.count()
         self.timeline.append((len(self.timeline), m))
         return Graph(self.edges, directed=False, weighted=True)
