@@ -87,6 +87,30 @@ class Graph:
         )
         return self.edges.unionByName(rev)
 
+    def sym_part(
+        self,
+        key: str = "src",
+        cols: tuple = ("src", "dst"),
+        num_partitions: "int | None" = None,
+    ) -> DataFrame:
+        """:meth:`sym` hash-partitioned by the frontier-join key.
+
+        Iterative operators join the (big, loop-invariant) adjacency against
+        an O(frontier) state frame every round. Stats-clean checkpointed
+        state frames (plans/ckpt.py) carry no size statistics, so the static
+        planner can't broadcast them — without a pinned layout every round's
+        join re-shuffles all m edge rows. Partitioned once by the join key,
+        the adjacency side of each round's shuffled hash join satisfies
+        ENSURE_REQUIREMENTS from cache and only the frontier moves — the
+        same layout rule as PageRank's pre-partitioned transition
+        (operators/pagerank.py:_transition). Callers ``persist()`` the
+        result; ``num_partitions`` defaults to the session parallelism.
+        """
+        if num_partitions is None:
+            num_partitions = self.edges.sparkSession.sparkContext.defaultParallelism
+        d = self.sym().select(*cols)
+        return d.repartition(num_partitions, key) if num_partitions else d
+
     def nodes(self) -> DataFrame:
         if self._num_nodes is not None:
             return self._spark.range(self._num_nodes).withColumnRenamed("id", "node")

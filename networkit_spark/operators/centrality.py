@@ -73,8 +73,17 @@ def brandes_dependencies(graph: Graph, sources: list[int]) -> DataFrame:
     each forward/backward level superstep processes EVERY sampled source at
     once — total supersteps = 2·max-eccentricity, independent of the number
     of samples."""
-    sym = graph.sym().select("src", "dst").persist()
+    sym = graph.sym_part().persist()
     sym.count()
+    # Backward lookup "in-neighbors of w": for undirected graphs the sym set
+    # is symmetric, so (src ∈ N(w)) rows equal (src=w, dst ∈ N(w)) rows and
+    # the dst-keyed lookup can reuse the src-partitioned cache (the state
+    # side renames node→src); directed graphs need the true dst key.
+    rsym = (
+        sym.select(F.col("src").alias("dst"), F.col("dst").alias("src"))
+        if not graph.directed
+        else graph.sym_part(key="dst").persist()
+    )
     dist = multi_source_bfs(graph, sources).persist()
     max_d = dist.agg(F.max("dist")).collect()[0][0] or 0
     # forward sweep: sigma(source, v) = # shortest s→v paths
@@ -107,7 +116,7 @@ def brandes_dependencies(graph: Graph, sources: list[int]) -> DataFrame:
             F.col("sigma").alias("sw"), F.col("delta").alias("dw"),
         )
         contrib = (
-            sym.join(w, "dst")
+            rsym.join(w, "dst")
             .select("source", F.col("src").alias("node"), "sw", "dw")
             .join(
                 state.filter(F.col("dist") == lvl - 1).select(
@@ -135,6 +144,8 @@ def brandes_dependencies(graph: Graph, sources: list[int]) -> DataFrame:
     ).transform(_cc)
     dist.unpersist()
     sym.unpersist()
+    if graph.directed:
+        rsym.unpersist()
     return deps
 
 
@@ -339,7 +350,7 @@ def kpath_centrality(
         )
         .transform(_cc)
     )
-    sym = graph.sym().select("src", "dst").persist()
+    sym = graph.sym_part().persist()
     visits = None
     frontier = walks
     for step in range(1, k + 1):

@@ -36,7 +36,7 @@ def jones_plassmann_coloring(
     uncolored neighbor has higher priority, choosing the smallest
     non-negative color absent from its colored neighborhood.
     """
-    sym = graph.sym().select("src", "dst").persist()
+    sym = graph.sym_part(key="dst").persist()
     sym.count()
     pri = F.struct(
         hash60(F.concat_ws(":", F.col("node").cast("string"), F.lit(str(seed)))).alias("h"),

@@ -47,7 +47,7 @@ def plp(
     n = nodes.count()
     if theta is None and fixed_iters is None:
         theta = max(int(n / 1e5), 0)
-    sym = graph.sym().persist()
+    sym = graph.sym_part(key="dst", cols=("src", "dst", "weight")).persist()
     sym.count()
     bcast = (lambda d: F.broadcast(d)) if n <= 2_000_000 else (lambda d: d)
     labels = nodes.select("node", F.col("node").alias("label")).transform(_cc)

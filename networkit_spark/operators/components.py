@@ -44,7 +44,7 @@ def connected_components(
     graphs the frontier collapses to the few deep chains after ~3 rounds.
     """
     nodes = graph.nodes().persist()
-    sym = graph.sym().select("src", "dst").persist()
+    sym = graph.sym_part().persist()
     sym.count()
     n = nodes.count()
     bcast = (lambda d: F.broadcast(d)) if n <= broadcast_threshold else (lambda d: d)

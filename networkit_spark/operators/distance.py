@@ -22,7 +22,7 @@ def bfs_distances(graph: Graph, source: int, max_iter: int = 10_000) -> DataFram
     Frontier superstep: dist'[v] = min(dist[v], min over in-neighbors+1).
     Converges in eccentricity(source) rounds; each round is one join +
     min-aggregate on the (small) frontier."""
-    sym = graph.sym().select("src", "dst").persist()
+    sym = graph.sym_part().persist()
     sym.count()
     dist = (
         graph.nodes()
@@ -51,7 +51,7 @@ def bfs_distances(graph: Graph, source: int, max_iter: int = 10_000) -> DataFram
 def sssp_distances(graph: Graph, source: int, max_iter: int = 10_000) -> DataFrame:
     """Weighted single-source shortest paths (Dijkstra semantics via
     Bellman-Ford supersteps): (node, dist DOUBLE) for reachable nodes."""
-    sym = graph.sym().persist()
+    sym = graph.sym_part(cols=("src", "dst", "weight")).persist()
     sym.count()
     dist = (
         graph.nodes()
@@ -156,7 +156,7 @@ def anf_sketch_stats(
     Returns (hop, lzb_total) for hops 1..``hops``, fixed, no early break.
     """
     spark = graph.edges.sparkSession
-    sym = graph.sym().select("src", "dst").persist()
+    sym = graph.sym_part().persist()
     sym.count()
     cur = _anf_init(graph, num_sketches, seed, hash_fn=hash_fn)
     lzb = sum(
@@ -187,7 +187,7 @@ def neighborhood_function_anf(
     task-order dependence. Returns [(hop, estimated_reachable_pairs)].
     """
     cur = _anf_init(graph, num_sketches, seed, hash_fn="xxhash")
-    sym = graph.sym().select("src", "dst").persist()
+    sym = graph.sym_part().persist()
 
     # per-node reach estimate: b = mean lowest-zero-bit over sketches,
     # est(u) = 2^b / 0.77351; lowest-zero-bit = #trailing ones =
@@ -233,7 +233,7 @@ def effective_diameter_sketch_grid(
     half-integer). The smallest hop reaching ``ratio`` of the final total is
     linearly interpolated exactly like :func:`effective_diameter_approx`."""
     cur = _anf_init(graph, num_sketches, seed, hash_fn="md5")
-    sym = graph.sym().select("src", "dst").persist()
+    sym = graph.sym_part().persist()
 
     bs = [
         (F.bit_count(F.col(f"m{s}").bitwiseXOR(F.col(f"m{s}") + 1)) - 1)
@@ -287,7 +287,7 @@ def multi_source_bfs(graph: Graph, sources: list[int], max_iter: int = 10_000) -
     spark = graph.edges.sparkSession
     if not sources:
         return spark.createDataFrame([], "source long, node long, dist int")
-    sym = graph.sym().select("src", "dst").persist()
+    sym = graph.sym_part().persist()
     sym.count()
     src_df = spark.createDataFrame(
         [(int(s),) for s in sources], "source long"
@@ -330,7 +330,7 @@ def effective_diameter_exact(graph: Graph, ratio: float = 0.9) -> float:
     hop where >= ratio of reachable pairs are covered
     (reference cpp/distance/EffectiveDiameter.cpp). O(n*m) work — use the
     ANF variant beyond test scale."""
-    sym = graph.sym().select("src", "dst").persist()
+    sym = graph.sym_part().persist()
     nodes = graph.nodes()
     # pair frontier (source, node); memory O(reachable pairs) — small graphs
     dist = nodes.select(F.col("node").alias("source"), "node", F.lit(0).alias("dist"))

@@ -121,7 +121,7 @@ def diameter_bounds_sumsweep(
     """
     from .components import connected_components
 
-    sym = graph.sym().select("src", "dst").persist()
+    sym = graph.sym_part().persist()
     sym.count()
     n = graph.num_nodes()
     comp = connected_components(graph).select(
@@ -360,7 +360,7 @@ def algebraic_distance(
         ).cast("double") / F.lit(float(2 ** 52))
         cols.append(u.alias(f"x{s}"))
     x = nodes.select("node", *cols).localCheckpoint(eager=True)
-    sym = graph.sym().persist()
+    sym = graph.sym_part(key="dst", cols=("src", "dst", "weight")).persist()
     wdeg = graph.weighted_degrees().persist()
     for _ in range(num_iters):
         nbr = (
@@ -399,7 +399,7 @@ def luby_independent_set(graph: Graph, seed: int = 42, max_iter: int = 100) -> D
     nodes that beat all undecided neighbors' hash-priorities join the set;
     their neighbors drop out. Deterministic (hash priorities), O(log n)
     rounds w.h.p. Returns (node) of the MIS."""
-    sym = graph.sym().select("src", "dst").filter(F.col("src") != F.col("dst")).persist()
+    sym = graph.sym_part().filter(F.col("src") != F.col("dst")).persist()
     undecided = graph.nodes().transform(_cc)
     chosen = None
     rnd = 0

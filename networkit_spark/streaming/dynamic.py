@@ -85,7 +85,9 @@ class DynSSSP:
         self.distances = self._from_scratch(graph)
 
     def _sym(self, graph: Graph) -> DataFrame:
-        s = graph.sym().select("src", "dst", "weight")
+        # src-partitioned so _relax_loop's per-round frontier join reuses the
+        # cached layout (see Graph.sym_part)
+        s = graph.sym_part(cols=("src", "dst", "weight"))
         if not self.weighted:
             s = s.select("src", "dst", F.lit(1.0).alias("weight"))
         return s

@@ -100,3 +100,48 @@ def test_whole_stage_codegen_in_text_profile(spark):
     # row/batch evaluator node anywhere in the plan
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "Project" in p
+
+
+def test_frontier_join_reuses_sym_partitioning(spark):
+    """Frontier-superstep loops (BFS/CC/PLP/Brandes/…) join the cached
+    adjacency every round. With stats-clean checkpointed state (no size
+    stats, so no static broadcast) the adjacency side must satisfy the
+    join's distribution FROM CACHE — only the O(frontier) side may
+    exchange. A per-round adjacency re-shuffle is the scale killer this
+    guards against (at 100 TB it shuffles the full edge table per hop)."""
+    from networkit_spark.plans.ckpt import clean_local_checkpoint as _cc
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # 100-TB sym
+    try:
+        g = Graph(lineitem_edges(spark, SF_DIR, n_nodes=500), weighted=True)
+        sym = g.sym_part().persist()
+        sym.count()
+        frontier = (
+            g.nodes()
+            .filter(F.col("node") == 0)
+            .select("node", F.lit(0).alias("dist"))
+            .transform(_cc)
+        )
+        hop = (
+            sym.join(frontier, sym.src == frontier.node)
+            .select(F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist"))
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+        p = plan_str(hop)
+        # no ENSURE_REQUIREMENTS exchange on the adjacency's src column:
+        # the only operational exchanges repartition the frontier (node) —
+        # REPARTITION_BY_NUM lines are the one-time cache build inside the
+        # InMemoryRelation, not per-round work
+        per_round = [
+            ln
+            for ln in p.splitlines()
+            if "Exchange hashpartitioning(src" in ln
+            and ", dst" not in ln  # (src,dst) aggs inside the cache build
+            and "ENSURE_REQUIREMENTS" in ln
+        ]
+        assert per_round == [], per_round
+        sym.unpersist()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
