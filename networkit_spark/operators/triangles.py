@@ -46,16 +46,49 @@ def oriented_edges(graph: Graph) -> DataFrame:
     return _oriented_with_key(graph).select("src", "dst")
 
 
-def triangles(graph: Graph) -> DataFrame:
+def triangles(graph: Graph, method: str = "adjacency") -> DataFrame:
     """All triangles as (a, b, c) rows, each exactly once, a = apex (lowest
     (deg,id) vertex), and (b, c) ordered by id.
 
-    The wedge pair is ordered by the SAME (deg,id) key used for the
-    orientation, so the closing edge b→c is itself an oriented edge — the
-    close is a semi-join against the oriented set, and the undirected
-    edge-set build (a second sym() scan + a distinct shuffle over 2m rows)
-    drops out of the plan entirely. The oriented set is persisted: it feeds
-    both sides of the wedge join and the close."""
+    ``method="wedge"`` (relational close): the wedge pair is ordered by the
+    SAME (deg,id) key used for the orientation, so the closing edge b→c is
+    itself an oriented edge — the close is a semi-join against the oriented
+    set, and the undirected edge-set build (a second sym() scan + a distinct
+    shuffle over 2m rows) drops out of the plan entirely. The oriented set
+    is persisted: it feeds both sides of the wedge join and the close.
+
+    ``method="adjacency"`` (the default; array intersection — the literal
+    relational dual of the reference's marker-array intersection,
+    TriangleEdgeScore.cpp:47-78): build the oriented out-adjacency ARRAYS
+    (bounded per node by O(arboricity) thanks to the degree orientation),
+    attach them to both endpoints of each oriented edge (two O(m)-row
+    joins), and close wedges JVM-side with ``array_intersect`` + explode —
+    the W-row wedge set is never materialized into a shuffle (the wedge
+    method shuffles all W wedges for the closing semi-join; W >> m on
+    power-law graphs)."""
+    if method == "adjacency":
+        o = _oriented_with_key(graph).select("src", "dst").persist()
+        adj = o.groupBy("src").agg(F.collect_list("dst").alias("nbrs"))
+        j = (
+            o.join(
+                adj.select(F.col("src").alias("u"), F.col("nbrs").alias("nu")),
+                o.src == F.col("u"),
+            )
+            .join(
+                adj.select(F.col("src").alias("v"), F.col("nbrs").alias("nv")),
+                o.dst == F.col("v"),
+            )
+        )
+        # common out-neighbor w of (u, v): triangle apex u (u < v < w in
+        # orientation order, so apex = src matches the wedge method)
+        tri = j.select(
+            F.col("src").alias("a"),
+            F.col("dst").alias("bb"),
+            F.explode(F.array_intersect("nu", "nv")).alias("cc"),
+        )
+        return tri.select(
+            "a", F.least("bb", "cc").alias("b"), F.greatest("bb", "cc").alias("c")
+        )
     o = _oriented_with_key(graph).persist()
     e1 = o.alias("e1")
     e2 = o.alias("e2")

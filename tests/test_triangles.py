@@ -53,6 +53,23 @@ def test_triangle_edge_score(spark):
     assert all(v == 2 for v in scores.values()) and len(scores) == 6
 
 
+def test_adjacency_method_matches_wedge(spark):
+    """The array_intersect kernel enumerates the identical (a, b, c) set as
+    the wedge-join kernel (same apex convention, same (b, c) id order)."""
+    from networkit_spark.operators.triangles import triangles
+    from networkit_spark.generators import rmat
+
+    g16 = Graph.from_edge_list(spark, LCC16_EDGES, num_nodes=16)
+    w = sorted(map(tuple, triangles(g16, method="wedge").collect()))
+    a = sorted(map(tuple, triangles(g16, method="adjacency").collect()))
+    assert w == a and len(w) > 0
+    gr = rmat(spark, scale=9, edge_factor=6, seed=7)
+    assert (
+        triangles(gr, method="adjacency").count()
+        == triangles(gr, method="wedge").count()
+    )
+
+
 def test_self_loops_ignored(spark):
     edges = [(0, 1), (1, 2), (0, 2), (1, 1)]
     g = Graph.from_edge_list(spark, edges, num_nodes=3)
