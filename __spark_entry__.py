@@ -589,6 +589,40 @@ def q_pages_text_ok(spark, sf_dir):
     )
 
 
+HOSTPR_ITERS = 20
+
+
+def q_host_edges(spark, sf_dir):
+    """Host-level web graph: collapse the page link graph by URL host
+    (JVM regexp host extraction, one groupBy shuffle)."""
+    from networkit_spark.sources.pages import synthesize_pages
+    from networkit_spark.sources.webgraph import host_edges
+
+    pages = synthesize_pages(_g(spark, sf_dir))
+    return host_edges(pages)
+
+
+def q_host_stats(spark, sf_dir):
+    """Per-host crawl profile: page count, out-links, intra-host links and
+    intra-link fraction."""
+    from networkit_spark.sources.pages import synthesize_pages
+    from networkit_spark.sources.webgraph import host_stats
+
+    pages = synthesize_pages(_g(spark, sf_dir))
+    return host_stats(pages)
+
+
+def q_host_pagerank(spark, sf_dir):
+    """PageRank at host granularity over the weighted host graph (two-level
+    web ranking: collapse pages -> hosts once, iterate on the small graph)."""
+    from networkit_spark.sources.pages import synthesize_pages
+    from networkit_spark.sources.webgraph import host_pagerank
+
+    pages = synthesize_pages(_g(spark, sf_dir))
+    pr = host_pagerank(pages, fixed_iters=HOSTPR_ITERS)
+    return pr.select("host", F.round("score", 6).alias("score"))
+
+
 def q_katz(spark, sf_dir):
     from networkit_spark.operators.pagerank import katz_centrality
 
@@ -1648,6 +1682,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # second wave — pages pipeline + wider operator surface
         "pages_edges": q_pages_edges,
         "pages_text_ok": q_pages_text_ok,
+        "host_edges": q_host_edges,
+        "host_stats": q_host_stats,
+        "host_pagerank": q_host_pagerank,
         "katz": q_katz,
         "eigenvector": q_eigenvector,
         "ppr": q_ppr,
@@ -2705,6 +2742,94 @@ def _pages_text_ok_sql() -> str:
     return _with(
         edges_sql(N_NODES),
         select="SELECT COUNT(*) AS n_pages, COUNT(*) AS n_ok FROM nodes",
+    )
+
+
+_HOST_RE_SQL = "'^[a-z][a-z0-9+.-]*://([^/]+)'"
+
+
+def _host_url(col: str) -> str:
+    """host of url_of(col) — applies the SAME regexp the Spark side uses
+    (networkit_spark/sources/webgraph.py HOST_RE) to the mirrored URL."""
+    u = (
+        f"'https://site' || CAST({col} % 97 AS VARCHAR) || '.example/p/' "
+        f"|| CAST({col} AS VARCHAR)"
+    )
+    return f"regexp_extract({u}, {_HOST_RE_SQL}, 1)"
+
+
+def _host_edges_cte() -> str:
+    """he = weighted host graph from the sym page-link set (the synthesized
+    page-level links ARE the sym edge set, already distinct per pair)."""
+    return f"""he AS MATERIALIZED (
+  SELECT {_host_url('src')} AS src_host, {_host_url('dst')} AS dst_host,
+         CAST(COUNT(*) AS DOUBLE) AS weight
+  FROM sym GROUP BY 1, 2
+)"""
+
+
+def _host_edges_sql() -> str:
+    return _with(
+        edges_sql(N_NODES),
+        _host_edges_cte(),
+        select="SELECT src_host, dst_host, weight FROM he",
+    )
+
+
+def _host_stats_sql() -> str:
+    return _with(
+        edges_sql(N_NODES),
+        _host_edges_cte(),
+        """hp AS MATERIALIZED (
+  SELECT """ + _host_url("node") + """ AS host, COUNT(*) AS n_pages
+  FROM nodes GROUP BY 1
+)""",
+        """ho AS MATERIALIZED (
+  SELECT src_host AS host, CAST(SUM(weight) AS BIGINT) AS out_links,
+         CAST(SUM(CASE WHEN src_host = dst_host THEN weight ELSE 0 END) AS BIGINT) AS intra_links
+  FROM he GROUP BY src_host
+)""",
+        select=(
+            "SELECT hp.host, hp.n_pages, COALESCE(ho.out_links, 0) AS out_links, "
+            "COALESCE(ho.intra_links, 0) AS intra_links, "
+            "ROUND(CASE WHEN COALESCE(ho.out_links, 0) > 0 THEN "
+            "COALESCE(ho.intra_links, 0) / CAST(ho.out_links AS DOUBLE) "
+            "ELSE 0.0 END, 6) AS intra_frac "
+            "FROM hp LEFT JOIN ho ON hp.host = ho.host"
+        ),
+    )
+
+
+def _host_pagerank_sql() -> str:
+    ctes = [
+        edges_sql(N_NODES),
+        _host_edges_cte(),
+        """hn AS MATERIALIZED (
+  SELECT DISTINCT host FROM (
+    SELECT src_host AS host FROM he UNION ALL SELECT dst_host FROM he
+  ) u
+)""",
+        "hnn AS MATERIALIZED (SELECT COUNT(*) AS n FROM hn)",
+        "hwd AS MATERIALIZED (SELECT src_host, SUM(weight) AS wd FROM he GROUP BY src_host)",
+        "h0 AS MATERIALIZED (SELECT host, 1.0 / hnn.n AS score FROM hn CROSS JOIN hnn)",
+    ]
+    for i in range(HOSTPR_ITERS):
+        ctes.append(f"""h{i + 1} AS MATERIALIZED (
+  SELECT hn.host, 0.85 * COALESCE(m.mass, 0) + 0.15 / hnn.n AS score
+  FROM hn CROSS JOIN hnn
+  LEFT JOIN (
+    SELECT e.dst_host AS host, SUM(e.weight / d.wd * h.score) AS mass
+    FROM he e JOIN hwd d ON e.src_host = d.src_host
+    JOIN h{i} h ON e.src_host = h.host
+    GROUP BY e.dst_host
+  ) m ON hn.host = m.host
+)""")
+    return _with(
+        *ctes,
+        select=(
+            f"SELECT host, ROUND(score / (SELECT SUM(score) FROM h{HOSTPR_ITERS}), 6) "
+            f"AS score FROM h{HOSTPR_ITERS}"
+        ),
     )
 
 
@@ -4767,6 +4892,9 @@ def oracle_sql() -> dict[str, str]:
         "local_coverage": _local_coverage_sql(),
         "pages_edges": _pages_edges_sql(),
         "pages_text_ok": _pages_text_ok_sql(),
+        "host_edges": _host_edges_sql(),
+        "host_stats": _host_stats_sql(),
+        "host_pagerank": _host_pagerank_sql(),
         "katz": _katz_sql(),
         "eigenvector": _eigenvector_sql(),
         "ppr": _ppr_sql(),
