@@ -623,6 +623,38 @@ def q_host_pagerank(spark, sf_dir):
     return pr.select("host", F.round("score", 6).alias("score"))
 
 
+#: deterministic trusted seed set for the TrustRank gate queries — every SF's
+#: synthetic corpus has hosts site0..site96.example (url_of: node % 97).
+TRUSTED_HOSTS = ["site0.example", "site31.example", "site62.example"]
+
+
+def q_host_trustrank(spark, sf_dir):
+    """TrustRank (Gyöngyi et al. VLDB'04): PageRank with teleport restricted
+    to a trusted seed set, along directed host out-links."""
+    from networkit_spark.sources.pages import synthesize_pages
+    from networkit_spark.sources.webgraph import host_trustrank
+
+    pages = synthesize_pages(_g(spark, sf_dir))
+    tr = host_trustrank(pages, TRUSTED_HOSTS, fixed_iters=HOSTPR_ITERS)
+    return tr.select("host", F.round("trust", 6).alias("trust"))
+
+
+def q_spam_mass(spark, sf_dir):
+    """Relative spam mass (Gyöngyi et al. VLDB'06): (pr - trust)/pr over
+    normalized PageRank and TrustRank vectors on the host graph."""
+    from networkit_spark.sources.pages import synthesize_pages
+    from networkit_spark.sources.webgraph import host_spam_mass
+
+    pages = synthesize_pages(_g(spark, sf_dir))
+    sm = host_spam_mass(pages, TRUSTED_HOSTS, fixed_iters=HOSTPR_ITERS)
+    return sm.select(
+        "host",
+        F.round("score", 6).alias("score"),
+        F.round("trust", 6).alias("trust"),
+        F.round("rel_mass", 6).alias("rel_mass"),
+    )
+
+
 def q_katz(spark, sf_dir):
     from networkit_spark.operators.pagerank import katz_centrality
 
@@ -1685,6 +1717,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_edges": q_host_edges,
         "host_stats": q_host_stats,
         "host_pagerank": q_host_pagerank,
+        "host_trustrank": q_host_trustrank,
+        "spam_mass": q_spam_mass,
         "katz": q_katz,
         "eigenvector": q_eigenvector,
         "ppr": q_ppr,
@@ -2829,6 +2863,88 @@ def _host_pagerank_sql() -> str:
         select=(
             f"SELECT host, ROUND(score / (SELECT SUM(score) FROM h{HOSTPR_ITERS}), 6) "
             f"AS score FROM h{HOSTPR_ITERS}"
+        ),
+    )
+
+
+_TRUSTED_SQL = "(" + ", ".join(f"'{h}'" for h in TRUSTED_HOSTS) + ")"
+
+
+def _host_trust_ctes() -> list:
+    """t0..tK — TrustRank fixed-unroll: teleport vector restricted to
+    TRUSTED_HOSTS (1/|seeds| each), t0 = teleport, directed propagation
+    along he weighted by out-degree share (mirrors
+    operators.misc.personalized_pagerank on the host graph)."""
+    ctes = [
+        """hn AS MATERIALIZED (
+  SELECT DISTINCT host FROM (
+    SELECT src_host AS host FROM he UNION ALL SELECT dst_host FROM he
+  ) u
+)""",
+        "hwd AS MATERIALIZED (SELECT src_host, SUM(weight) AS wd FROM he GROUP BY src_host)",
+        f"""hd AS MATERIALIZED (
+  SELECT host, CASE WHEN host IN {_TRUSTED_SQL}
+               THEN 1.0 / {len(TRUSTED_HOSTS)} ELSE 0.0 END AS tele
+  FROM hn
+)""",
+        "t0 AS MATERIALIZED (SELECT host, tele AS trust FROM hd)",
+    ]
+    for i in range(HOSTPR_ITERS):
+        ctes.append(f"""t{i + 1} AS MATERIALIZED (
+  SELECT hd.host, 0.85 * COALESCE(m.mass, 0) + 0.15 * hd.tele AS trust
+  FROM hd
+  LEFT JOIN (
+    SELECT e.dst_host AS host, SUM(e.weight / d.wd * t.trust) AS mass
+    FROM he e JOIN hwd d ON e.src_host = d.src_host
+    JOIN t{i} t ON e.src_host = t.host
+    GROUP BY e.dst_host
+  ) m ON hd.host = m.host
+)""")
+    return ctes
+
+
+def _host_trustrank_sql() -> str:
+    return _with(
+        edges_sql(N_NODES),
+        _host_edges_cte(),
+        *_host_trust_ctes(),
+        select=(
+            f"SELECT host, ROUND(trust, 6) AS trust FROM t{HOSTPR_ITERS}"
+        ),
+    )
+
+
+def _spam_mass_sql() -> str:
+    # PageRank chain (h0..hK, reusing hn/hwd from the trust CTEs) + trust
+    # chain (t0..tK), both normalized to sum 1 before the mass ratio.
+    ctes = [
+        edges_sql(N_NODES),
+        _host_edges_cte(),
+        *_host_trust_ctes(),
+        "hnn AS MATERIALIZED (SELECT COUNT(*) AS n FROM hn)",
+        "h0 AS MATERIALIZED (SELECT host, 1.0 / hnn.n AS score FROM hn CROSS JOIN hnn)",
+    ]
+    for i in range(HOSTPR_ITERS):
+        ctes.append(f"""h{i + 1} AS MATERIALIZED (
+  SELECT hn.host, 0.85 * COALESCE(m.mass, 0) + 0.15 / hnn.n AS score
+  FROM hn CROSS JOIN hnn
+  LEFT JOIN (
+    SELECT e.dst_host AS host, SUM(e.weight / d.wd * h.score) AS mass
+    FROM he e JOIN hwd d ON e.src_host = d.src_host
+    JOIN h{i} h ON e.src_host = h.host
+    GROUP BY e.dst_host
+  ) m ON hn.host = m.host
+)""")
+    k = HOSTPR_ITERS
+    return _with(
+        *ctes,
+        f"pn AS (SELECT host, score / (SELECT SUM(score) FROM h{k}) AS score FROM h{k})",
+        f"tn AS (SELECT host, trust / (SELECT SUM(trust) FROM t{k}) AS trust FROM t{k})",
+        select=(
+            "SELECT pn.host, ROUND(pn.score, 6) AS score, "
+            "ROUND(tn.trust, 6) AS trust, "
+            "ROUND((pn.score - tn.trust) / pn.score, 6) AS rel_mass "
+            "FROM pn JOIN tn ON pn.host = tn.host"
         ),
     )
 
@@ -4895,6 +5011,8 @@ def oracle_sql() -> dict[str, str]:
         "host_edges": _host_edges_sql(),
         "host_stats": _host_stats_sql(),
         "host_pagerank": _host_pagerank_sql(),
+        "host_trustrank": _host_trustrank_sql(),
+        "spam_mass": _spam_mass_sql(),
         "katz": _katz_sql(),
         "eigenvector": _eigenvector_sql(),
         "ppr": _ppr_sql(),

@@ -517,10 +517,14 @@ def personalized_pagerank(
     damp: float = 0.85,
     tol: float = 1e-8,
     max_iter: int = 100,
+    fixed_iters: "int | None" = None,
 ) -> DataFrame:
     """ApproximatePageRank analog (push-based in the reference,
     cpp/scd/ApproximatePageRank.h:20-35; here the same fixpoint via global
-    power iteration with teleport restricted to the seed set)."""
+    power iteration with teleport restricted to the seed set).
+
+    ``fixed_iters`` runs exactly that many supersteps with no residual
+    collect (oracle-parity mode, same convention as operators.pagerank)."""
     import math
 
     n_seeds = len(seeds)
@@ -536,7 +540,7 @@ def personalized_pagerank(
         F.when(F.col("node").isin(seeds), F.lit(1.0 / n_seeds)).otherwise(F.lit(0.0)).alias("tele"),
     ).persist()
     ranks = seed_df.select("node", F.col("tele").alias("score")).localCheckpoint(eager=True)
-    for _ in range(max_iter):
+    for _ in range(fixed_iters if fixed_iters is not None else max_iter):
         sums = (
             trans.join(F.broadcast(ranks), trans.src == ranks.node)
             .groupBy("dst")
@@ -550,6 +554,9 @@ def personalized_pagerank(
             )
             .localCheckpoint(eager=True)
         )
+        if fixed_iters is not None:
+            ranks = new
+            continue
         resid = (
             new.alias("a").join(ranks.alias("b"), "node")
             .agg(F.sum(F.abs(F.col("a.score") - F.col("b.score"))).alias("s"))

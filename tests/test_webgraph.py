@@ -20,7 +20,9 @@ from networkit_spark.sources.webgraph import (
     host_graph,
     host_of,
     host_pagerank,
+    host_spam_mass,
     host_stats,
+    host_trustrank,
     page_links,
 )
 
@@ -107,6 +109,55 @@ def test_host_pagerank_invariants(spark):
     assert sum(scores.values()) == pytest.approx(1.0, abs=1e-9)
     # a keeps 1/4 of its own outflow AND receives all of b's -> a > b
     assert scores["a.example"] > scores["b.example"] > 0
+
+
+def test_host_trustrank_flows_from_seeds(spark):
+    """Trust flows only along directed out-links from the trusted set: a
+    host unreachable from the seeds gets zero trust; seeds keep the most."""
+    pages = _mk_pages(
+        spark,
+        [
+            # a -> b -> c chain; d links INTO a but is unreachable from it
+            ("https://a.example/1", ["https://b.example/1"]),
+            ("https://b.example/1", ["https://c.example/1"]),
+            ("https://c.example/1", []),
+            ("https://d.example/1", ["https://a.example/1"]),
+        ],
+    )
+    tr = {
+        r.host: r.trust
+        for r in host_trustrank(pages, ["a.example"], fixed_iters=30).collect()
+    }
+    assert tr["a.example"] > tr["b.example"] > tr["c.example"] > 0
+    assert tr["d.example"] == 0.0
+    # raw trust leaks at the dangling host c -> strictly less than 1
+    assert 0 < sum(tr.values()) < 1
+    with pytest.raises(ValueError):
+        host_trustrank(pages, ["nosuch.example"], fixed_iters=5)
+
+
+def test_host_spam_mass(spark):
+    """Hosts whose rank is unsupported by the trusted core get rel_mass near
+    1; the trusted seed goes negative (more trust than rank)."""
+    pages = _mk_pages(
+        spark,
+        [
+            # trusted a endorses b; spam ring s1<->s2 boosts itself only
+            ("https://a.example/1", ["https://b.example/1"]),
+            ("https://b.example/1", ["https://a.example/1"]),
+            ("https://s1.example/1", ["https://s2.example/1"]),
+            ("https://s2.example/1", ["https://s1.example/1"]),
+        ],
+    )
+    sm = {r.host: r for r in host_spam_mass(pages, ["a.example"], fixed_iters=40).collect()}
+    assert set(sm) == {"a.example", "b.example", "s1.example", "s2.example"}
+    for r in sm.values():
+        assert r.score > 0 and abs(r.rel_mass - (r.score - r.trust) / r.score) < 1e-12
+    # spam ring: zero trust -> rel_mass == 1; trusted host over-supported
+    assert sm["s1.example"].rel_mass == pytest.approx(1.0)
+    assert sm["s2.example"].rel_mass == pytest.approx(1.0)
+    assert sm["a.example"].rel_mass < 0
+    assert sum(r.trust for r in sm.values()) == pytest.approx(1.0)
 
 
 def test_synthesized_pages_host_rollup(spark):
