@@ -178,9 +178,13 @@ def host_trustrank(
     host names to dense ids is one broadcast-filtered collect; the iteration
     itself is operators.misc.personalized_pagerank on the collapsed host
     graph — at 10^12 pages this runs on ~10^8 hosts, not on pages."""
+    g, id_map = host_graph(pages, restrict_to_corpus)
+    return _trustrank_on(g, id_map, trusted_hosts, damp, fixed_iters, max_iter, tol)
+
+
+def _trustrank_on(g, id_map, trusted_hosts, damp, fixed_iters, max_iter, tol):
     from ..operators.misc import personalized_pagerank
 
-    g, id_map = host_graph(pages, restrict_to_corpus)
     seeds = [
         r.node
         for r in id_map.filter(F.col("host").isin(list(trusted_hosts))).collect()
@@ -210,15 +214,17 @@ def host_spam_mass(
     both p and the TrustRank vector are normalized to sum 1 before the
     ratio, so rel_mass ∈ (-inf, 1] — near 1 means the host's rank is
     unsupported by the trusted core (spam signal); trusted hubs go
-    negative. One collapsed host graph feeds both iterations."""
-    pr = host_pagerank(
-        pages, damp=damp, fixed_iters=fixed_iters,
-        restrict_to_corpus=restrict_to_corpus,
-    )
-    tr = host_trustrank(
-        pages, trusted_hosts, damp=damp, fixed_iters=fixed_iters,
-        restrict_to_corpus=restrict_to_corpus,
-    )
+    negative. One collapsed host graph feeds both iterations — the
+    page-level href extraction (the dominant stage at 10^12 pages) runs
+    once, not once per ranking."""
+    from ..operators.pagerank import pagerank
+
+    g, id_map = host_graph(pages, restrict_to_corpus)
+    g.edges = g.edges.persist()
+    pr = pagerank(g, damp=damp, fixed_iters=fixed_iters).join(
+        F.broadcast(id_map), "node"
+    ).select("host", "score")
+    tr = _trustrank_on(g, id_map, trusted_hosts, damp, fixed_iters, 100, 1e-8)
     tsum = tr.agg(F.sum("trust")).first()[0]
     tr = tr.select("host", (F.col("trust") / F.lit(tsum)).alias("trust"))
     return pr.join(tr, "host").select(
