@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from networkit_spark.graph import Graph
 from networkit_spark.sources.pages import synthesize_pages
 from networkit_spark.sources.webgraph import (
+    canonical_url,
     host_edges,
     host_graph,
     host_of,
@@ -53,6 +54,27 @@ def test_host_of_extracts_authority(spark):
         [("https://Sub.Host.example:8080/p?q=1",), ("ftp://x.y/z",)], ["url"]
     ).select(host_of("url").alias("h"))
     assert [r.h for r in df.collect()] == ["Sub.Host.example:8080", "x.y"]
+
+
+def test_canonical_url(spark):
+    cases = [
+        # (input, expected)
+        ("HTTPS://Ex.COM:443/Path/X?q=1#frag", "https://ex.com/Path/X?q=1"),
+        ("http://a.com:80/", "http://a.com/"),
+        ("http://a.com:8080/x", "http://a.com:8080/x"),  # non-default port kept
+        ("https://a.com", "https://a.com/"),  # empty path -> /
+        ("https://a.com?q=1", "https://a.com/?q=1"),
+        ("https://a.com/x?", "https://a.com/x"),  # empty query stripped
+        ("https://a.com/UPPER/Case", "https://a.com/UPPER/Case"),  # path untouched
+        ("not a url", "not a url"),  # schemeless passes through
+        ("http://b.com:80x/", "http://b.com:80x/"),  # :80x is not port 80
+    ]
+    df = spark.createDataFrame([(c[0],) for c in cases], ["u"]).select(
+        "u", canonical_url("u").alias("c")
+    )
+    got = {r.u: r.c for r in df.collect()}
+    for raw, want in cases:
+        assert got[raw] == want, (raw, got[raw], want)
 
 
 def test_page_links_corpus_restriction(spark):
