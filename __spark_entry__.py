@@ -628,6 +628,54 @@ def q_host_pagerank(spark, sf_dir):
 TRUSTED_HOSTS = ["site0.example", "site31.example", "site62.example"]
 
 
+def q_degree_distribution(spark, sf_dir):
+    """Degree histogram (plot.degreeDistribution data series)."""
+    from networkit_spark.plots import degree_distribution
+
+    return degree_distribution(_g(spark, sf_dir))
+
+
+def q_clustering_per_degree(spark, sf_dir):
+    """Mean local clustering coefficient per degree
+    (plot.clusteringPerDegree data series)."""
+    from networkit_spark.plots import clustering_per_degree
+
+    return clustering_per_degree(_g(spark, sf_dir)).select(
+        "degree", F.round("avg_lcc", 6).alias("avg_lcc")
+    )
+
+
+def q_url_canonical(spark, sf_dir):
+    """URL canonicalization round-trip: deterministically mangle every page
+    url (uppercased scheme+host, explicit :443, fragment, empty query on
+    every third) and recover the original via canonical_url — all JVM-side
+    string expressions."""
+    from networkit_spark.sources.pages import synthesize_pages
+    from networkit_spark.sources.webgraph import canonical_url, host_of
+
+    pages = synthesize_pages(_g(spark, sf_dir))
+    mangled = pages.select(
+        "url",
+        F.concat(
+            F.lit("HTTPS://"),
+            F.upper(host_of("url")),
+            F.lit(":443"),
+            F.regexp_replace("url", r"^[a-z][a-z0-9+.-]*://[^/]*", ""),
+            F.when(
+                F.regexp_extract("url", r"/p/([0-9]+)$", 1).cast("long") % 3 == 0,
+                F.lit("?"),
+            ).otherwise(F.lit("")),
+            F.lit("#frag"),
+        ).alias("mangled"),
+    )
+    return mangled.select(
+        "url",
+        "mangled",
+        canonical_url("mangled").alias("canon"),
+        (canonical_url("mangled") == F.col("url")).alias("roundtrip"),
+    )
+
+
 def q_host_trustrank(spark, sf_dir):
     """TrustRank (Gyöngyi et al. VLDB'04): PageRank with teleport restricted
     to a trusted seed set, along directed host out-links."""
@@ -1719,6 +1767,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_pagerank": q_host_pagerank,
         "host_trustrank": q_host_trustrank,
         "spam_mass": q_spam_mass,
+        "url_canonical": q_url_canonical,
+        "degree_distribution": q_degree_distribution,
+        "clustering_per_degree": q_clustering_per_degree,
         "katz": q_katz,
         "eigenvector": q_eigenvector,
         "ppr": q_ppr,
@@ -2864,6 +2915,46 @@ def _host_pagerank_sql() -> str:
             f"SELECT host, ROUND(score / (SELECT SUM(score) FROM h{HOSTPR_ITERS}), 6) "
             f"AS score FROM h{HOSTPR_ITERS}"
         ),
+    )
+
+
+def _url_canonical_sql() -> str:
+    # mirror the Spark-side mangle from the node id, then apply the IDENTICAL
+    # 5-step canonicalization spec (webgraph.canonical_url) in DuckDB/RE2
+    return _with(
+        edges_sql(N_NODES),
+        """m AS MATERIALIZED (
+  SELECT 'https://site' || CAST(node % 97 AS VARCHAR) || '.example/p/' || CAST(node AS VARCHAR) AS url,
+         'HTTPS://SITE' || CAST(node % 97 AS VARCHAR) || '.EXAMPLE:443/p/' || CAST(node AS VARCHAR)
+           || CASE WHEN node % 3 = 0 THEN '?' ELSE '' END || '#frag' AS mangled
+  FROM nodes
+)""",
+        r"""u1 AS (
+  SELECT url, mangled,
+         regexp_replace(regexp_replace(mangled, '#.*$', ''), '\?$', '') AS u
+  FROM m
+)""",
+        """u2 AS (
+  SELECT url, mangled, u,
+         lower(regexp_extract(u, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1)) AS pre0,
+         regexp_replace(u, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', '') AS rest
+  FROM u1
+)""",
+        r"""u3 AS (
+  SELECT url, mangled, u, rest,
+         regexp_replace(regexp_replace(pre0, '^(http://[^:]*):80$', '\1'),
+                        '^(https://[^:]*):443$', '\1') AS pre
+  FROM u2
+)""",
+        """uc AS (
+  SELECT url, mangled,
+         CASE WHEN pre = '' THEN u
+              ELSE pre || CASE WHEN rest = '' OR rest LIKE '?%'
+                               THEN '/' || rest ELSE rest END
+         END AS canon
+  FROM u3
+)""",
+        select="SELECT url, mangled, canon, canon = url AS roundtrip FROM uc",
     )
 
 
@@ -5013,6 +5104,27 @@ def oracle_sql() -> dict[str, str]:
         "host_pagerank": _host_pagerank_sql(),
         "host_trustrank": _host_trustrank_sql(),
         "spam_mass": _spam_mass_sql(),
+        "url_canonical": _url_canonical_sql(),
+        "degree_distribution": _with(
+            E,
+            select=(
+                "SELECT degree, COUNT(*) AS cnt FROM ("
+                "  SELECT n.node, COALESCE(d.degree, 0) AS degree"
+                "  FROM nodes n LEFT JOIN deg d ON n.node = d.node"
+                ") GROUP BY degree"
+            ),
+        ),
+        "clustering_per_degree": _with(
+            E,
+            _TRI_CTES,
+            select=(
+                "SELECT d.degree, ROUND(AVG(CASE WHEN d.degree >= 2 "
+                "THEN 2.0 * t.triangles / (d.degree * (d.degree - 1)) "
+                "ELSE 0 END), 6) AS avg_lcc "
+                "FROM tpn t JOIN deg d ON t.node = d.node "
+                "GROUP BY d.degree"
+            ),
+        ),
         "katz": _katz_sql(),
         "eigenvector": _eigenvector_sql(),
         "ppr": _ppr_sql(),

@@ -41,6 +41,34 @@ def host_of(url_col) -> F.Column:
     return F.regexp_extract(c, HOST_RE, 1)
 
 
+def canonical_url(url_col) -> F.Column:
+    """Canonical form of a URL, entirely JVM-side (whole-stage codegen).
+
+    Standard crawl-pipeline normalization (the equivalence class Common-Crawl
+    style dedup keys on):
+
+    1. strip the fragment (``#...`` never reaches the server),
+    2. strip a trailing empty query (``?`` with nothing after it),
+    3. lowercase the ``scheme://authority`` prefix (RFC 3986 §6.2.2.1 —
+       scheme and host are case-insensitive; the PATH is not touched),
+    4. strip default ports (``:80`` for http, ``:443`` for https),
+    5. add ``/`` when the path is empty (``https://h`` ≡ ``https://h/``).
+
+    Composable with :func:`host_of` / :func:`page_links` so link extraction
+    and dedup agree on URL identity."""
+    c = F.col(url_col) if isinstance(url_col, str) else url_col
+    u = F.regexp_replace(c, r"#.*$", "")
+    u = F.regexp_replace(u, r"\?$", "")
+    auth_re = r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)"
+    pre = F.lower(F.regexp_extract(u, auth_re, 1))
+    rest = F.regexp_replace(u, auth_re, "")
+    pre = F.regexp_replace(pre, r"^(http://[^:]*):80$", "$1")
+    pre = F.regexp_replace(pre, r"^(https://[^:]*):443$", "$1")
+    return F.when(pre == "", u).otherwise(
+        F.concat(pre, F.when((rest == "") | rest.startswith("?"), F.concat(F.lit("/"), rest)).otherwise(rest))
+    )
+
+
 def page_links(pages: DataFrame, restrict_to_corpus: bool = True) -> DataFrame:
     """Distinct page-level links ``(url, href)`` extracted from html.
 
