@@ -645,6 +645,42 @@ def q_clustering_per_degree(spark, sf_dir):
     )
 
 
+def q_gephi_grid(spark, sf_dir):
+    """Gephi Streaming export grid (reference gephi/streaming.py:60-75 via
+    sources/gephi.node_grid): deterministic rank-by-id placement on a
+    ceil(sqrt(n))-wide grid — the coordinates every exported add-node event
+    carries. Rank is the distributed range rank (plans/order.zip_with_rank),
+    never a one-task window."""
+    from networkit_spark.sources.gephi import node_grid
+
+    return node_grid(_g(spark, sf_dir)).select(
+        "node", F.round("x", 6).alias("x"), F.round("y", 6).alias("y")
+    )
+
+
+def q_viz_draw_sizes(spark, sf_dir):
+    """drawGraph node-size series (reference viztasks.py:20-28 via
+    viztasks.draw_graph_data): 30 + 270 * degree/(n-1)."""
+    from networkit_spark.viztasks import draw_graph_data
+
+    return draw_graph_data(_g(spark, sf_dir)).select(
+        "node", F.round("size", 6).alias("size")
+    )
+
+
+def q_community_draw_sizes(spark, sf_dir):
+    """drawCommunityGraph community-node sizes (reference viztasks.py:30-42
+    via viztasks.draw_community_graph_data) over the connected-components
+    partition: 30 + 470 * |C|/max|C|."""
+    from networkit_spark.operators.components import connected_components
+    from networkit_spark.viztasks import draw_community_graph_data
+
+    g = _g(spark, sf_dir)
+    labels = connected_components(g).withColumnRenamed("component", "label")
+    _, sizes = draw_community_graph_data(g, labels)
+    return sizes.select("label", F.round("size", 6).alias("size"))
+
+
 def q_url_canonical(spark, sf_dir):
     """URL canonicalization round-trip: deterministically mangle every page
     url (uppercased scheme+host, explicit :443, fragment, empty query on
@@ -1853,6 +1889,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "partition_coverage": q_partition_coverage,
         "partition_intersection": q_partition_intersection,
         "same_community": q_same_community,
+        "gephi_grid": q_gephi_grid,
+        "viz_draw_sizes": q_viz_draw_sizes,
+        "community_draw_sizes": q_community_draw_sizes,
         # rows-only (no SQL-expressible oracle: FM sketches / multilevel
         # Louvain are not fixed-unroll reproducible in ANSI SQL)
         "anf_diameter": q_anf_diameter,
@@ -3242,6 +3281,22 @@ def _largest_component_sql() -> str:
    JOIN {C} x ON e.src = x.node JOIN {C} y ON e.dst = y.node
    WHERE x.component = b.component AND y.component = b.component) AS n_edges
 FROM big b""",
+    )
+
+
+def _community_draw_sizes_sql() -> str:
+    ctes = _component_sizes_sql()
+    ctes.append(
+        f"csz AS MATERIALIZED (SELECT component AS label, COUNT(*) AS cnt "
+        f"FROM c{CC_ROUNDS} GROUP BY component)"
+    )
+    ctes.append("mx AS MATERIALIZED (SELECT MAX(cnt) AS m FROM csz)")
+    return _with(
+        *ctes,
+        select=(
+            "SELECT label, ROUND(30.0 + 470.0 * cnt / m, 6) AS size"
+            " FROM csz CROSS JOIN mx"
+        ),
     )
 
 
@@ -5213,4 +5268,27 @@ def oracle_sql() -> dict[str, str]:
         "partition_coverage": _partition_coverage_sql(),
         "partition_intersection": _partition_intersection_sql(),
         "same_community": _same_community_sql(),
+        "gephi_grid": _with(
+            E,
+            "nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM nodes)",
+            "grid AS MATERIALIZED (SELECT CAST(CEIL(SQRT(n)) AS BIGINT)"
+            " AS side, 2000.0 / CEIL(SQRT(n)) AS step FROM nn)",
+            "rk AS MATERIALIZED (SELECT node,"
+            " ROW_NUMBER() OVER (ORDER BY node) - 1 AS k FROM nodes)",
+            select=(
+                "SELECT node,"
+                " ROUND((k % side) * step - 1000.0, 6) AS x,"
+                " ROUND(FLOOR(k / side) * step - 1000.0, 6) AS y"
+                " FROM rk CROSS JOIN grid"
+            ),
+        ),
+        "viz_draw_sizes": _with(
+            E,
+            select=(
+                "SELECT n.node, ROUND(30.0 + 270.0 * COALESCE(d.degree, 0)"
+                " / (SELECT COUNT(*) - 1 FROM nodes), 6) AS size"
+                " FROM nodes n LEFT JOIN deg d ON n.node = d.node"
+            ),
+        ),
+        "community_draw_sizes": _community_draw_sizes_sql(),
     }
