@@ -2975,15 +2975,26 @@ def _url_canonical_sql() -> str:
 )""",
         """u2 AS (
   SELECT url, mangled, u,
-         lower(regexp_extract(u, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1)) AS pre0,
+         lower(regexp_extract(u, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+         regexp_extract(u, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1) AS auth,
          regexp_replace(u, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', '') AS rest
   FROM u1
 )""",
-        r"""u3 AS (
-  SELECT url, mangled, u, rest,
-         regexp_replace(regexp_replace(pre0, '^(http://[^:]*):80$', '\1'),
-                        '^(https://[^:]*):443$', '\1') AS pre
+        """u2b AS (
+  SELECT url, mangled, u, rest, scheme,
+         regexp_extract(auth, '^(.*@)', 1) AS userinfo,
+         CASE WHEN scheme = 'http'
+                THEN regexp_replace(lower(regexp_replace(auth, '^.*@', '')), ':80$', '')
+              WHEN scheme = 'https'
+                THEN regexp_replace(lower(regexp_replace(auth, '^.*@', '')), ':443$', '')
+              ELSE lower(regexp_replace(auth, '^.*@', '')) END AS hostport
   FROM u2
+)""",
+        """u3 AS (
+  SELECT url, mangled, u, rest,
+         CASE WHEN scheme = '' THEN ''
+              ELSE scheme || '://' || userinfo || hostport END AS pre
+  FROM u2b
 )""",
         """uc AS (
   SELECT url, mangled,

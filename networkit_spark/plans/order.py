@@ -32,12 +32,20 @@ def zip_with_rank(
     rank_col: str = "rank",
     cum_cols: Sequence[str] = (),
     num_partitions: Optional[int] = None,
+    cache_handle: Optional[list] = None,
 ) -> DataFrame:
     """Adds ``rank_col`` (1-based exact global rank under ``order_cols``) and,
     for each name in ``cum_cols``, ``cum_<name>`` (inclusive running sum in
     rank order). ``order_cols`` are Column sort expressions (include a unique
     tie-break). Returns the input columns + the new ones; the input must not
     already contain ``_zpid``.
+
+    The range-partitioned frame stays persisted (it pins the sampled range
+    boundaries — unpersisting before the result is consumed would let the
+    rank job resample different boundaries than the offset job). Callers
+    that fully consume the result and want the cache back pass a list as
+    ``cache_handle``; the persisted frame is appended for them to
+    ``unpersist()`` afterwards.
     """
     spark = df.sparkSession
     if num_partitions is None:
@@ -50,6 +58,8 @@ def zip_with_rank(
         .persist()
     )
     part.count()  # pin the sampled range boundaries before both jobs below
+    if cache_handle is not None:
+        cache_handle.append(part)
 
     aggs = [F.count(F.lit(1)).alias("_zcnt")] + [
         F.sum(c).alias(f"_zsum_{c}") for c in cum_cols

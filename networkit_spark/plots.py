@@ -100,8 +100,13 @@ def render_series(df_or_rows, x: str, y: str, path: str, yscale: str = "linear")
     rows = (
         df_or_rows.collect() if isinstance(df_or_rows, DataFrame) else df_or_rows
     )
-    xs = [r[x] for r in rows]
-    ys = [r[y] for r in rows]
+    if rows and isinstance(rows[0], (tuple, list)) and not hasattr(rows[0], "asDict"):
+        # plain (x, y) pairs — hop_plot and the other list-returning series
+        xs = [r[0] for r in rows]
+        ys = [r[1] for r in rows]
+    else:
+        xs = [r[x] for r in rows]
+        ys = [r[y] for r in rows]
     fig, ax = plt.subplots()
     ax.plot(xs, ys, marker="o")
     ax.set_xlabel(x)

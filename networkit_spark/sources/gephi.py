@@ -25,6 +25,7 @@ writers (sources/formats.py, sources/viz.py precedent).
 from __future__ import annotations
 
 import math
+from typing import Optional
 
 from pyspark.sql import Column, DataFrame, functions as F
 
@@ -43,7 +44,7 @@ def _edge_id(directed: bool) -> Column:
     )
 
 
-def node_grid(graph: Graph) -> DataFrame:
+def node_grid(graph: Graph, cache_handle: Optional[list] = None) -> DataFrame:
     """(node, x, y) — the reference's deterministic export grid
     (streaming.py:60-75; Gephi 0.9 forbids coincident nodes): node number k
     (0-based, here the exact global rank by node id — distributed range
@@ -58,7 +59,12 @@ def node_grid(graph: Graph) -> DataFrame:
     side = math.ceil(math.sqrt(n))
     step = NODE_AREA_SIZE / side
     offset = NODE_AREA_SIZE / 2
-    ranked = zip_with_rank(graph.nodes(), [F.col("node").asc()], rank_col="_rk")
+    ranked = zip_with_rank(
+        graph.nodes(),
+        [F.col("node").asc()],
+        rank_col="_rk",
+        cache_handle=cache_handle,
+    )
     k = F.col("_rk") - 1
     return ranked.select(
         "node",
@@ -67,7 +73,7 @@ def node_grid(graph: Graph) -> DataFrame:
     )
 
 
-def node_events(graph: Graph) -> DataFrame:
+def node_events(graph: Graph, cache_handle: Optional[list] = None) -> DataFrame:
     """``{"an": {id: {size,r,g,b,x,y}}}`` add-node events (streaming.py:58-75
     with the default attrs of streaming.py:59) at :func:`node_grid`
     coordinates. Returns (node, event) so callers can join more attributes
@@ -86,7 +92,9 @@ def node_events(graph: Graph) -> DataFrame:
             F.create_map(F.col("node").cast("string"), attrs),
         )
     )
-    return node_grid(graph).select("node", ev.alias("event"))
+    return node_grid(graph, cache_handle=cache_handle).select(
+        "node", ev.alias("event")
+    )
 
 
 def edge_events(graph: Graph) -> DataFrame:
@@ -121,26 +129,33 @@ def node_value_events(values: DataFrame, column: str) -> DataFrame:
 def edge_value_events(graph: Graph, values: DataFrame, column: str) -> DataFrame:
     """``{"ce": ...}`` change-edge events (streaming.py:182-208
     exportEdgeValues): per-edge attribute plus Gephi's ``Type`` tag.
-    ``values`` is (src, dst, <column>)."""
+    ``values`` is (src, dst, <column>). A struct (not a map) carries the
+    attributes so the value keeps its JSON type — pyclient.change_edge
+    emits real numbers/bools, and Gephi's data laboratory types columns
+    from the first value it sees."""
     etype = "Directed" if graph.directed else "Undirected"
-    attrs = F.create_map(
-        F.lit(column), F.col(column).cast("string"),
-        F.lit("Type"), F.lit(etype),
-        F.lit("source"), F.col("src").cast("string"),
-        F.lit("target"), F.col("dst").cast("string"),
-        F.lit("directed"), F.lit(str(graph.directed).lower()),
+    attrs = F.struct(
+        F.col(column),
+        F.lit(etype).alias("Type"),
+        F.col("src").cast("string").alias("source"),
+        F.col("dst").cast("string").alias("target"),
+        F.lit(graph.directed).alias("directed"),
     )
     ev = F.to_json(F.create_map(F.lit("ce"), F.create_map(_edge_id(graph.directed), attrs)))
     return values.select("src", "dst", ev.alias("event"))
 
 
-def graph_events(graph: Graph) -> DataFrame:
+def graph_events(graph: Graph, cache_handle: Optional[list] = None) -> DataFrame:
     """Full export stream: every add-node event then every add-edge event
-    (streaming.py:34-55 exportGraph order). Single ``event`` column; the
-    ``_phase`` sort key keeps nodes-before-edges under a distributed write."""
-    nodes = node_events(graph).select(F.lit(0).alias("_phase"), "event")
-    edges = edge_events(graph).select(F.lit(1).alias("_phase"), "event")
-    return nodes.unionByName(edges).orderBy("_phase").select("event")
+    (streaming.py:34-55 exportGraph order). Single ``event`` column.
+    Union keeps the node partitions strictly before the edge partitions in
+    both ``toLocalIterator`` and part-file order, so nodes-before-edges
+    holds WITHOUT a sort — an ``orderBy`` on the two-valued phase key would
+    range-shuffle the whole stream into at most two partitions, turning the
+    at-scale ``events.write.text`` into two straggler tasks."""
+    nodes = node_events(graph, cache_handle=cache_handle).select("event")
+    edges = edge_events(graph).select("event")
+    return nodes.unionByName(edges)
 
 
 def write_stream(events: DataFrame, path: str) -> None:
@@ -151,6 +166,15 @@ def write_stream(events: DataFrame, path: str) -> None:
     with open(path, "w", encoding="utf-8") as f:
         for row in events.toLocalIterator():
             f.write(row["event"] + "\r\n")
+
+
+def export_graph_stream(graph: Graph, path: str) -> None:
+    """Convenience: full-graph export to a replayable stream file, with the
+    rank cache released once the file is written."""
+    handle: list = []
+    write_stream(graph_events(graph, cache_handle=handle), path)
+    for df in handle:
+        df.unpersist()
 
 
 def export_node_values_csv(values: DataFrame, path: str, column: str) -> None:
@@ -183,7 +207,6 @@ class GephiStreamingClient:
         self.url = url
         self.batch_size = batch_size
         self.graph_exported = False
-        self._directed = False
 
     # -- transport ---------------------------------------------------------
     def _post(self, payload: str) -> None:
@@ -208,11 +231,16 @@ class GephiStreamingClient:
 
     # -- protocol surface (streaming.py method-for-method) ------------------
     def export_graph(self, graph: Graph) -> int:
-        """exportGraph (streaming.py:34-55): clean, nodes, then edges."""
+        """exportGraph (streaming.py:34-55): clean, nodes, then edges. The
+        grid-rank cache is released once the node events are sent."""
         self.clear_graph()
-        n = self._send_events(node_events(graph).select("event"))
+        handle: list = []
+        n = self._send_events(
+            node_events(graph, cache_handle=handle).select("event")
+        )
+        for df in handle:
+            df.unpersist()
         n += self._send_events(edge_events(graph).select("event"))
-        self._directed = graph.directed
         self.graph_exported = True
         return n
 

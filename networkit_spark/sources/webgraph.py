@@ -49,9 +49,13 @@ def canonical_url(url_col) -> F.Column:
 
     1. strip the fragment (``#...`` never reaches the server),
     2. strip a trailing empty query (``?`` with nothing after it),
-    3. lowercase the ``scheme://authority`` prefix (RFC 3986 §6.2.2.1 —
-       scheme and host are case-insensitive; the PATH is not touched),
-    4. strip default ports (``:80`` for http, ``:443`` for https),
+    3. lowercase the scheme and host:port (RFC 3986 §6.2.2.1 — scheme and
+       host are case-insensitive; userinfo and the PATH are case-sensitive
+       and NOT touched),
+    4. strip default ports (``:80`` for http, ``:443`` for https) — matched
+       at the END of the host:port part, so userinfo-bearing and
+       IPv6-literal authorities (``u:pw@h:80``, ``[2001:db8::1]:80``)
+       normalize too,
     5. add ``/`` when the path is empty (``https://h`` ≡ ``https://h/``).
 
     Composable with :func:`host_of` / :func:`page_links` so link extraction
@@ -60,10 +64,21 @@ def canonical_url(url_col) -> F.Column:
     u = F.regexp_replace(c, r"#.*$", "")
     u = F.regexp_replace(u, r"\?$", "")
     auth_re = r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)"
-    pre = F.lower(F.regexp_extract(u, auth_re, 1))
+    scheme = F.lower(F.regexp_extract(u, r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    authority = F.regexp_extract(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1)
     rest = F.regexp_replace(u, auth_re, "")
-    pre = F.regexp_replace(pre, r"^(http://[^:]*):80$", "$1")
-    pre = F.regexp_replace(pre, r"^(https://[^:]*):443$", "$1")
+    # host has no '@' (RFC 3986 §3.2), so the greedy match splits at the
+    # LAST '@'; userinfo keeps its case
+    userinfo = F.regexp_extract(authority, r"^(.*@)", 1)
+    hostport = F.lower(F.regexp_replace(authority, r"^.*@", ""))
+    hostport = (
+        F.when(scheme == "http", F.regexp_replace(hostport, r":80$", ""))
+        .when(scheme == "https", F.regexp_replace(hostport, r":443$", ""))
+        .otherwise(hostport)
+    )
+    pre = F.when(scheme == "", F.lit("")).otherwise(
+        F.concat(scheme, F.lit("://"), userinfo, hostport)
+    )
     return F.when(pre == "", u).otherwise(
         F.concat(pre, F.when((rest == "") | rest.startswith("?"), F.concat(F.lit("/"), rest)).otherwise(rest))
     )

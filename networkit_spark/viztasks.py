@@ -75,21 +75,37 @@ def draw_graph(graph: Graph, max_nodes: int = 2000, **kwargs):
     from .sources.nxadapter import to_networkx
 
     nxg = to_networkx(graph)
-    sizes = {
-        r["node"]: r["size"] for r in draw_graph_data(graph).collect()
-    }
-    kwargs.setdefault("node_size", [sizes[v] for v in nxg.nodes()])
+    if "node_size" not in kwargs:  # reference guards the same way before
+        # computing (viztasks.py:26) — don't run the size job to discard it
+        sizes = {
+            r["node"]: r["size"] for r in draw_graph_data(graph).collect()
+        }
+        # default 30.0 = the zero-degree size: to_networkx can surface edge
+        # endpoints the node table missed when num_nodes was given too small
+        kwargs["node_size"] = [sizes.get(v, 30.0) for v in nxg.nodes()]
     networkx.draw(nxg, **kwargs)
 
 
-def draw_community_graph(graph: Graph, labels: DataFrame, **kwargs):
-    """drawCommunityGraph rendering path (viztasks.py:30-42), import-gated."""
+def draw_community_graph(
+    graph: Graph, labels: DataFrame, max_nodes: int = 2000, **kwargs
+):
+    """drawCommunityGraph rendering path (viztasks.py:30-42), import-gated.
+    Refuses partitions with more than ``max_nodes`` communities — same
+    driver-side rendering guard as :func:`draw_graph` (a near-singleton
+    partition would otherwise collect the whole graph onto the driver)."""
     import networkx  # noqa: F401
 
+    n_comm = labels.select("label").distinct().count()
+    if n_comm > max_nodes:
+        raise ValueError(
+            f"draw_community_graph renders at most {max_nodes} communities "
+            f"(partition has {n_comm}) — coarsen or merge first"
+        )
     coarse, sizes = draw_community_graph_data(graph, labels)
     from .sources.nxadapter import to_networkx
 
     nxg = to_networkx(coarse)
-    smap = {r["label"]: r["size"] for r in sizes.collect()}
-    kwargs.setdefault("node_size", [smap.get(v, 30.0) for v in nxg.nodes()])
+    if "node_size" not in kwargs:
+        smap = {r["label"]: r["size"] for r in sizes.collect()}
+        kwargs["node_size"] = [smap.get(v, 30.0) for v in nxg.nodes()]
     networkx.draw(nxg, **kwargs)

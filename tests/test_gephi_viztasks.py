@@ -235,3 +235,47 @@ def test_coloring_to_color_list(spark):
     )
     got = {r["node"]: r["color"] for r in coloring_to_color_list(colors).collect()}
     assert got == {0: 0.0, 1: 0.5, 2: 0.0, 3: 0.5}
+
+
+def test_graph_events_stays_distributed(spark):
+    """The full export stream must not collapse into a 2-partition sort —
+    union keeps node partitions before edge partitions without a shuffle."""
+    g = _square(spark)
+    ev = gephi.graph_events(g)
+    plan = ev._jdf.queryExecution().executedPlan().toString()
+    # zip_with_rank's per-partition window sort (hashpartitioning on _zpid)
+    # is fine; a GLOBAL sort on the 2-valued phase key (rangepartitioning)
+    # would collapse the stream into <=2 partitions
+    assert "rangepartitioning(_phase" not in plan
+    assert ev.rdd.getNumPartitions() > 2
+
+
+def test_edge_value_events_keep_json_types(spark):
+    g = _square(spark)
+    w = g.edges.select("src", "dst", F.col("weight").alias("w"))
+    evs = [
+        json.loads(r["event"])
+        for r in gephi.edge_value_events(g, w, "w").collect()
+    ]
+    attrs = next(iter(evs[0]["ce"].values()))
+    assert attrs["w"] == 1.0 and isinstance(attrs["w"], float)
+    assert attrs["directed"] is False
+    assert attrs["Type"] == "Undirected"
+
+
+def test_export_graph_releases_rank_cache(spark, capture_server):
+    url, _ = capture_server
+    g = _square(spark)
+    client = gephi.GephiStreamingClient(url=url)
+    before = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    client.export_graph(g)
+    after = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    assert after <= before  # grid-rank cache was unpersisted
+
+
+def test_export_graph_stream_file(spark, tmp_path):
+    path = str(tmp_path / "full.jsonl")
+    gephi.export_graph_stream(_square(spark), path)
+    raw = open(path, "rb").read().decode("utf-8")
+    lines = [l for l in raw.split("\r\n") if l]
+    assert len(lines) == 10

@@ -68,6 +68,15 @@ def test_canonical_url(spark):
         ("https://a.com/UPPER/Case", "https://a.com/UPPER/Case"),  # path untouched
         ("not a url", "not a url"),  # schemeless passes through
         ("http://b.com:80x/", "http://b.com:80x/"),  # :80x is not port 80
+        # userinfo is case-SENSITIVE (RFC 3986 §3.2.1) and kept verbatim
+        ("https://AliceToken@API.Example/x", "https://AliceToken@api.example/x"),
+        # default-port stripping reaches userinfo-bearing authorities
+        ("http://u:Pw@H.com:80/p", "http://u:Pw@h.com/p"),
+        # ... and IPv6 literals
+        ("http://[2001:DB8::1]:80/p", "http://[2001:db8::1]/p"),
+        ("https://[2001:db8::1]:443", "https://[2001:db8::1]/"),
+        # :443 on http (or :80 on https) is NOT a default port
+        ("http://a.com:443/x", "http://a.com:443/x"),
     ]
     df = spark.createDataFrame([(c[0],) for c in cases], ["u"]).select(
         "u", canonical_url("u").alias("c")
