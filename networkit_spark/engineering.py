@@ -75,7 +75,18 @@ def weak_scaling(
     """Input size grows with parallelism (engineering.py:46-73):
     ``algorithm(spark, input) -> label`` runs once per (input, threads) pair.
     """
+    if len(input_sequence) != len(thread_sequence):
+        raise ValueError(
+            f"weak_scaling: {len(input_sequence)} inputs vs "
+            f"{len(thread_sequence)} thread levels — the sequences pair "
+            "element-wise (zip would silently truncate the sweep)"
+        )
     titles = list(input_titles) if input_titles else [str(i) for i in input_sequence]
+    if len(titles) != len(input_sequence):
+        raise ValueError(
+            f"weak_scaling: {len(titles)} input_titles for "
+            f"{len(input_sequence)} inputs"
+        )
     data = []
     for i, (inp, n_threads) in enumerate(zip(input_sequence, thread_sequence)):
         spark = session_factory(n_threads)

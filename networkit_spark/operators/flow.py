@@ -62,14 +62,35 @@ class FlowResult:
 
 
 def _residual_arcs(graph: Graph) -> DataFrame:
-    """Two residual arcs per undirected edge, each at full capacity (an
-    undirected capacity-w edge is flow-equivalent to antiparallel w-arcs)."""
+    """Residual arc table ``(u, v, cap, r)``.
+
+    Undirected: two arcs per edge, each at full capacity (a capacity-w
+    undirected edge is flow-equivalent to antiparallel w-arcs). Directed:
+    the forward arcs at capacity plus explicit cap-0 REVERSE arcs — the
+    residual-update joins are LEFT joins onto existing arc rows, so without
+    the reverse rows a directed graph could never cancel flow (the +gain
+    deltas would be silently dropped). Self-loops are removed (they can
+    carry no s-t flow and would double-key the init-preflow delta join);
+    parallel arcs collapse into one row by summing capacity."""
     sym = graph.sym()
-    return sym.select(
+    arcs = sym.select(
         F.col("src").alias("u"),
         F.col("dst").alias("v"),
         F.col("weight").cast("double").alias("cap"),
-        F.col("weight").cast("double").alias("r"),
+    )
+    if graph.directed:
+        arcs = arcs.unionByName(
+            sym.select(
+                F.col("dst").alias("u"),
+                F.col("src").alias("v"),
+                F.lit(0.0).alias("cap"),
+            )
+        )
+    return (
+        arcs.filter(F.col("u") != F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.sum("cap").alias("cap"))
+        .withColumn("r", F.col("cap"))
     )
 
 
@@ -100,8 +121,10 @@ def _bfs_residual(spark, resid: DataFrame, source: int, sink: int):
                 F.col("m.ngain").alias("gain"),
             )
         )
+        # no broadcast hint on the growing reached set (it approaches n);
+        # the per-wave frontier is the bounded side
         new = step.join(
-            F.broadcast(reached.select("node")), "node", "left_anti"
+            reached.select("node"), "node", "left_anti"
         ).transform(_cc)
         if new.isEmpty():
             return reached, None
@@ -127,11 +150,14 @@ def _backtrack(reached_rows: dict, source: int, sink: int) -> list:
 def edmonds_karp(graph: Graph, source: int, sink: int, max_augment: int = 100_000) -> FlowResult:
     """Max flow from ``source`` to ``sink`` (EdmondsKarp.cpp:54-95).
 
-    Each augmentation: distributed BFS over positive-residual arcs, driver
-    backtrack of the single path (O(depth) tiny lookups), broadcast-join
-    residual update. Terminates when the sink is unreachable; the reached
-    set of that final BFS is the canonical min-cut source side
-    (EdmondsKarp.cpp getSourceSet)."""
+    Each augmentation: distributed BFS over positive-residual arcs, then a
+    driver backtrack of the single path over the collected pred map — that
+    collect is bounded by ONE BFS's reached set (O(n) worst case, 2 narrow
+    columns), which is what keeps this the documented community-scale
+    parity path; :func:`push_relabel_batched` is the corpus-scale path with
+    no per-augmentation driver round-trip. Terminates when the sink is
+    unreachable; the reached set of that final BFS is the canonical min-cut
+    source side (EdmondsKarp.cpp getSourceSet)."""
     spark = graph.edges.sparkSession
     resid = _residual_arcs(graph).transform(_cc)
     flow_value = 0.0
@@ -321,13 +347,20 @@ def push_relabel_batched(
         .filter(F.col("u") == F.col("source"))
         .select("sys", "source", F.col("v").alias("node"), F.col("cap").alias("f"))
     )
-    # arc update expressed as a delta join (same shape as each round's update)
-    deltas0 = init.select(
-        "sys", F.col("source").alias("u"), F.col("node").alias("v"), (-F.col("f")).alias("delta")
-    ).unionByName(
+    # arc update expressed as a delta join (same shape as each round's
+    # update, including the same (sys,u,v) aggregation so no join key is
+    # ever duplicated)
+    deltas0 = (
         init.select(
-            "sys", F.col("node").alias("u"), F.col("source").alias("v"), F.col("f").alias("delta")
+            "sys", F.col("source").alias("u"), F.col("node").alias("v"), (-F.col("f")).alias("delta")
         )
+        .unionByName(
+            init.select(
+                "sys", F.col("node").alias("u"), F.col("source").alias("v"), F.col("f").alias("delta")
+            )
+        )
+        .groupBy("sys", "u", "v")
+        .agg(F.sum("delta").alias("delta"))
     )
     arcs = (
         arcs.join(deltas0, ["sys", "u", "v"], "left")
@@ -473,7 +506,9 @@ def push_relabel(
     b = push_relabel_batched(
         graph, [(0, source)], sink, max_rounds=max_rounds, relabel_every=relabel_every
     )
-    flow_value = float(b.flow_values.collect()[0]["flow"])
+    rows = b.flow_values.collect()
+    # sink absent from the node set: zero flow, like edmonds_karp
+    flow_value = float(rows[0]["flow"]) if rows else 0.0
     return FlowResult(
         flow_value=flow_value,
         residual=b.residual.select("u", "v", "cap", "r"),
@@ -563,10 +598,7 @@ def cut_clustering(
                 if u in assigned:
                     continue  # absorbed by an earlier cut in this wave
                 _apply(u, members_by_sys[i])
-    out = spark.createDataFrame(
-        sorted(assigned.items()), "node long, cluster long"
-    )
-    return out
+    return _labels_df(spark, assigned)
 
 
 def _labels_df(spark, assigned: dict) -> DataFrame:
@@ -628,8 +660,12 @@ def cut_clustering_hierarchy(graph: Graph) -> dict:
     n_nodes = graph.num_nodes()
     upper = 2.0
     if graph.weighted:
-        upper = float(
-            graph.edges.agg(F.max("weight")).collect()[0][0] or 1.0
+        # reference floor: upper starts at 2 BEFORE maxing over weights
+        # (CutClustering.cpp:85-92), so all-unit-weight graphs still get
+        # upper = 3, keeping hierarchy alpha keys reference-identical
+        upper = max(
+            2.0,
+            float(graph.edges.agg(F.max("weight")).collect()[0][0] or 1.0),
         ) + 1.0
 
     comp = connected_components(graph)

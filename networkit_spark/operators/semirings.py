@@ -67,8 +67,12 @@ MAX_PLUS = Semiring(
 MIN_MAX = Semiring(
     "min_max", F.least, F.min, F.greatest, INF, -INF
 )
+# one = +INF, the true multiplicative identity (min(+inf, x) = x). The
+# reference's Semirings.h MaxMin returns 0 here even though its own doc
+# comment says +infty — a reference bug we do NOT mirror: with one=0 a
+# seeded bottleneck/widest-path MxV clamps every product to 0.
 MAX_MIN = Semiring(
-    "max_min", F.greatest, F.max, F.least, -INF, 0.0
+    "max_min", F.greatest, F.max, F.least, -INF, INF
 )
 # IntLogical (or, and, 0, 1) on 0/1-valued doubles (Semirings.h:155-170)
 LOGICAL = Semiring(
@@ -140,14 +144,15 @@ def ewise(
 
 
 def vector(graph_or_df, pairs=None) -> DataFrame:
-    """Build a sparse (node, value) vector from python pairs."""
+    """Build a sparse (node, value) vector from python pairs
+    (``None`` = the empty vector)."""
     spark = (
         graph_or_df.edges.sparkSession
         if isinstance(graph_or_df, Graph)
         else graph_or_df.sparkSession
     )
     return spark.createDataFrame(
-        [(int(k), float(x)) for k, x in pairs], "node long, value double"
+        [(int(k), float(x)) for k, x in pairs or ()], "node long, value double"
     )
 
 

@@ -84,19 +84,23 @@ def profile(
 
     out: dict = {"measures": {}, "nodes": n, "edges": m}
     t_all = time.time()
-    for name, fn in suite.items():
-        t0 = time.time()
-        res = fn(graph)
-        rows = res.count()
-        out["measures"][name] = {
-            "seconds": round(time.time() - t0, 3),
-            "rows": int(rows),
-        }
-    total = time.time() - t_all
-    out["total_seconds"] = round(total, 3)
-    # the reference's aggregate metric (profiling.py:301)
-    out["edges_per_sec"] = round(m / total, 1) if total > 0 else float("inf")
-    graph.edges.unpersist()
+    try:
+        for name, fn in suite.items():
+            t0 = time.time()
+            res = fn(graph)
+            rows = res.count()
+            out["measures"][name] = {
+                "seconds": round(time.time() - t0, 3),
+                "rows": int(rows),
+            }
+        total = time.time() - t_all
+        out["total_seconds"] = round(total, 3)
+        # the reference's aggregate metric (profiling.py:301)
+        out["edges_per_sec"] = round(m / total, 1) if total > 0 else float("inf")
+    finally:
+        # release the shared cache even when a measure raises — a long-lived
+        # session otherwise accumulates stale cached edge copies per attempt
+        graph.edges.unpersist()
     return out
 
 

@@ -257,3 +257,91 @@ def test_cut_clustering_batched_equals_sequential(spark):
         for r in cut_clustering(g, alpha=0.6, method="batched", batch=3).collect()
     }
     assert bat == seq
+
+
+def _brute_force_directed_mincut(edges, n, s, t):
+    """Min directed s-t cut by subset enumeration: min over S∋s, t∉S of
+    Σ cap(u→v) with u∈S, v∉S."""
+    from itertools import combinations
+
+    others = [u for u in range(n) if u not in (s, t)]
+    best = float("inf")
+    for k in range(len(others) + 1):
+        for extra in combinations(others, k):
+            S = {s, *extra}
+            cut = sum(w for u, v, w in edges if u in S and v not in S)
+            best = min(best, cut)
+    return best
+
+
+def test_directed_max_flow_duality(spark):
+    """Directed graphs get explicit cap-0 reverse residual arcs; without
+    them flow could never be cancelled and EK returns wrong values. Both
+    engines must hit the brute-force directed min-cut."""
+    import random
+
+    from networkit_spark.operators.flow import push_relabel
+
+    rng = random.Random(11)
+    n = 7
+    edges = []
+    for u in range(n):
+        for v in range(n):
+            if u != v and rng.random() < 0.35:
+                edges.append((u, v, float(rng.randint(1, 5))))
+    g = Graph.from_edge_list(spark, edges, weighted=True, directed=True, num_nodes=n)
+    want = _brute_force_directed_mincut(edges, n, 0, n - 1)
+    assert edmonds_karp(g, 0, n - 1).flow_value == pytest.approx(want)
+    assert push_relabel(g, 0, n - 1).flow_value == pytest.approx(want)
+
+
+def test_directed_flow_requires_cancellation(spark):
+    """A directed instance where BFS's first augmenting path must later be
+    partially undone through a reverse residual arc."""
+    # 0→1→3 is the unique shortest path but consumes 1→3; optimum reroutes
+    # through 1→2→3 after cancellation via the 2→1 back edge's residual
+    edges = [
+        (0, 1, 1.0), (1, 3, 1.0), (0, 2, 1.0), (2, 1, 1.0), (2, 3, 1.0),
+    ]
+    g = Graph.from_edge_list(spark, edges, weighted=True, directed=True, num_nodes=4)
+    want = _brute_force_directed_mincut(edges, 4, 0, 3)
+    assert edmonds_karp(g, 0, 3).flow_value == pytest.approx(want)
+
+
+def test_self_loop_at_source_no_phantom_flow(spark):
+    """Self-loops are dropped from the residual: the init-preflow delta of a
+    source self-loop would otherwise double-key the arc join and surface a
+    phantom flow row (push_relabel_batched deltas0)."""
+    from networkit_spark.operators.flow import push_relabel
+
+    edges = [(0, 0, 5.0), (0, 1, 3.0), (1, 2, 2.0)]
+    g = Graph.from_edge_list(spark, edges, weighted=True, num_nodes=3)
+    ek = edmonds_karp(g, 0, 2)
+    pr = push_relabel(g, 0, 2)
+    assert ek.flow_value == pytest.approx(2.0)
+    assert pr.flow_value == pytest.approx(2.0)
+    assert pr.flows().filter("u = v").count() == 0
+    assert ek.flows().filter("u = v").count() == 0
+
+
+def test_push_relabel_missing_sink_zero_flow(spark):
+    from networkit_spark.operators.flow import push_relabel
+
+    g = Graph.from_edge_list(spark, [(0, 1, 2.0)], weighted=True)
+    assert push_relabel(g, 0, 99).flow_value == 0.0
+    assert edmonds_karp(g, 0, 99).flow_value == 0.0
+
+
+def test_hierarchy_alpha_upper_floor(spark):
+    """Reference floor (CutClustering.cpp:85-92): weighted all-unit-weight
+    graphs search up to upper = max(2, 1) + 1 = 3. The singleton level key
+    tightens DOWN to its lowest optimal alpha (the breakpoint), so the
+    observable contract is: the singleton level exists and every recorded
+    alpha lies within the reference range."""
+    from networkit_spark.operators.flow import cut_clustering_hierarchy
+
+    edges = [(0, 1, 1.0), (1, 2, 1.0), (0, 2, 1.0)]
+    g = Graph.from_edge_list(spark, edges, weighted=True, num_nodes=3)
+    hier = cut_clustering_hierarchy(g)
+    assert any(len(set(c.values())) == 3 for c in hier.values())
+    assert all(a <= 3.0 for a in hier)
