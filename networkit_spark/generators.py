@@ -288,16 +288,36 @@ def watts_strogatz(
     ring lattice where node i links its k/2 clockwise neighbors, then each
     lattice edge rewires its far endpoint w.p. ``p`` to a hash-uniform node.
     Pure projection over the n·k/2 lattice edge indices — no shuffle until
-    the final dedup agg; rewiring is a per-edge deterministic hash draw."""
+    the final dedup agg; rewiring is a per-edge deterministic hash draw.
+
+    The reference redraws until the target is neither the source nor an
+    existing neighbor; the distributed analog draws a FIXED fan of 8
+    salted candidates per rewired edge and keeps the first that is neither
+    the source nor inside the source's ring neighborhood (all 8 invalid —
+    probability ~((k+1)/n)^8 — falls back to the lattice edge). Residual
+    deviation: two rewired edges landing on the same pair merge in the
+    final dedup (O(p²k²/n) per pair), where the sequential reference would
+    redraw the second one."""
     half = max(1, k // 2)
     lattice = spark.range(n).select(
         F.col("id").alias("src"),
         F.explode(F.sequence(F.lit(1), F.lit(half))).alias("j"),
     )
     ring_dst = (F.col("src") + F.col("j")) % F.lit(n)
-    rnd_dst = (F.abs(F.xxhash64("src", "j", F.lit(seed), F.lit("ws"))) % F.lit(n)).cast(
-        "long"
+    cands = F.array(
+        *[
+            (
+                F.abs(F.xxhash64("src", "j", F.lit(seed), F.lit(f"ws{t}")))
+                % F.lit(n)
+            ).cast("long")
+            for t in range(8)
+        ]
     )
+    ring_gap = lambda c: F.least(  # noqa: E731 — ring distance src<->c
+        F.pmod(c - F.col("src"), F.lit(n)), F.pmod(F.col("src") - c, F.lit(n))
+    )
+    valid = F.filter(cands, lambda c: ring_gap(c) > F.lit(half))
+    rnd_dst = F.coalesce(F.element_at(valid, 1), ring_dst)
     rewire = _uniform("src", "j", F.lit(seed)) < F.lit(p)
     edges = (
         lattice.select("src", F.when(rewire, rnd_dst).otherwise(ring_dst).alias("dst"))

@@ -482,6 +482,7 @@ def spanning_forest(graph: Graph, max_iter: int = 64, minimum: bool = True) -> D
                    .select("cs", "cd")
         pe = pe.unionByName(pe.select(F.col("cd").alias("cs"), F.col("cs").alias("cd")))
         mapping = comp.select(F.col("comp").alias("c")).distinct().select("c", F.col("c").alias("root"))
+        converged = False
         for _ in range(max_iter):
             nbr = (
                 pe.join(mapping.withColumnRenamed("c", "cs").withColumnRenamed("root", "rs"), "cs")
@@ -491,6 +492,20 @@ def spanning_forest(graph: Graph, max_iter: int = 64, minimum: bool = True) -> D
             new_map = (
                 mapping.join(nbr, "c", "left")
                 .select("c", F.least(F.col("root"), F.coalesce("cand_root", F.col("root"))).alias("root"))
+            )
+            # pointer jumping (root := root(root)) — chains halve per round,
+            # so a length-L merge chain converges in O(log L) rounds instead
+            # of L; without it the inner cap silently left components
+            # UNMERGED and a later round could pick a cycle-closing edge
+            jump = new_map.select(
+                F.col("c").alias("_jc"), F.col("root").alias("_jr")
+            )
+            new_map = (
+                new_map.join(jump, new_map["root"] == jump["_jc"], "left")
+                .select(
+                    "c",
+                    F.coalesce(F.col("_jr"), F.col("root")).alias("root"),
+                )
                 .transform(_cc)
             )
             changed = (
@@ -499,7 +514,13 @@ def spanning_forest(graph: Graph, max_iter: int = 64, minimum: bool = True) -> D
             )
             mapping = new_map
             if changed == 0:
+                converged = True
                 break
+        if not converged:
+            raise RuntimeError(
+                "spanning_forest: component merge did not converge — "
+                "raise max_iter (pointer jumping needs O(log n) rounds)"
+            )
         comp = (
             comp.join(mapping.withColumnRenamed("c", "comp"), "comp")
             .select("node", F.col("root").alias("comp"))
@@ -518,16 +539,26 @@ def personalized_pagerank(
     tol: float = 1e-8,
     max_iter: int = 100,
     fixed_iters: "int | None" = None,
+    broadcast_threshold: int = 2_000_000,
 ) -> DataFrame:
     """ApproximatePageRank analog (push-based in the reference,
     cpp/scd/ApproximatePageRank.h:20-35; here the same fixpoint via global
     power iteration with teleport restricted to the seed set).
 
     ``fixed_iters`` runs exactly that many supersteps with no residual
-    collect (oracle-parity mode, same convention as operators.pagerank)."""
+    collect (oracle-parity mode, same convention as operators.pagerank).
+    The n-row rank vector is broadcast into the superstep join only below
+    ``broadcast_threshold`` nodes (same gate as operators.pagerank) — above
+    it the joins shuffle, since force-broadcasting O(n) rows per iteration
+    is exactly the driver/executor pressure the gate exists to avoid."""
     import math
 
     n_seeds = len(seeds)
+    bcast = (
+        (lambda df: F.broadcast(df))
+        if graph.num_nodes() <= broadcast_threshold
+        else (lambda df: df)
+    )
     nodes = graph.nodes().persist()
     out = graph.sym()
     wdeg = out.groupBy("src").agg(F.sum("weight").alias("wdeg"))
@@ -542,12 +573,12 @@ def personalized_pagerank(
     ranks = seed_df.select("node", F.col("tele").alias("score")).localCheckpoint(eager=True)
     for _ in range(fixed_iters if fixed_iters is not None else max_iter):
         sums = (
-            trans.join(F.broadcast(ranks), trans.src == ranks.node)
+            trans.join(bcast(ranks), trans.src == ranks.node)
             .groupBy("dst")
             .agg(F.sum(F.col("p") * F.col("score")).alias("mass"))
         )
         new = (
-            seed_df.join(F.broadcast(sums), seed_df.node == sums.dst, "left")
+            seed_df.join(bcast(sums), seed_df.node == sums.dst, "left")
             .select(
                 "node",
                 (F.lit(damp) * F.coalesce("mass", F.lit(0.0)) + F.lit(1 - damp) * F.col("tele")).alias("score"),
@@ -578,32 +609,42 @@ def pagerank_nibble(
     tol: float = 1e-6,
     max_iter: int = 100,
     round_digits: int | None = None,
+    support_eps: float = 0.0,
 ) -> DataFrame:
     """PageRankNibble (cpp/scd/PageRankNibble.{h,cpp}): personalized PR from
     the seed, order nodes by score/degree, take the prefix with minimum
-    conductance (sweep cut via running window aggregates). Returns (node)
+    conductance (sweep cut via distributed running sums). Returns (node)
     of the detected community.
 
     ``round_digits`` rounds the sweep key and conductance before ordering so
     the sweep order is reproducible across float-summation orders (oracle
     parity); ``tol < 0`` runs exactly ``max_iter`` PPR iterations.
 
-    Scale note: the global sweep window runs over the PPR SUPPORT only
-    (nodes with score > 0 after truncation) — O(1/tol) rows for a local
-    nibble, not corpus-sized; that bound is what makes the single window
-    acceptable here."""
+    Scale note: the power-iteration PPR has NO push-style truncation, so
+    with the default ``support_eps=0`` the sweep covers every node the
+    iteration count reaches — potentially the whole component. Corpus-scale
+    callers set ``support_eps > 0``: scores sum to 1, so the truncated
+    support is at most ``1/support_eps`` rows (the analog of the
+    reference's ApproximatePageRank residual threshold). Either way the
+    sweep itself is distributed — exact global ranks + running sums via
+    plans/order.zip_with_rank (range shuffle + per-partition windows),
+    never a single-task global window."""
+    from ..plans.order import zip_with_rank
+
     ppr = personalized_pagerank(graph, [seed], damp=damp, tol=tol, max_iter=max_iter)
     deg = graph.weighted_degrees()
     total_vol = deg.agg(F.sum("wdeg")).collect()[0][0] or 0.0
     key = F.col("score") / F.col("wdeg")
     if round_digits is not None:
         key = F.round(key, round_digits)
-    ordered = (
-        ppr.filter(F.col("score") > 0)
+    cache: list = []
+    ordered = zip_with_rank(
+        ppr.filter(F.col("score") > support_eps)
         .join(deg, "node")
-        .select("node", key.alias("key"), "wdeg")
-        .orderBy(F.desc("key"), F.asc("node"))
-        .withColumn("pos", F.row_number().over(Window.orderBy(F.desc("key"), F.asc("node"))))
+        .select("node", key.alias("key"), "wdeg"),
+        [F.col("key").desc(), F.col("node").asc()],
+        rank_col="pos",
+        cache_handle=cache,
     ).persist()
     # cut(prefix) computed per position: edges with exactly one endpoint in prefix
     pos_map = ordered.select("node", "pos")
@@ -626,18 +667,29 @@ def pagerank_nibble(
     )
     enters = deltas.groupBy(F.col("enter").alias("pos")).agg(F.sum("weight").alias("w_in"))
     leaves = deltas.groupBy(F.col("leave").alias("pos")).agg(F.sum("weight").alias("w_out"))
-    sweep = (
+    swbase = (
         ordered.select("pos", "wdeg")
         .join(enters, "pos", "left")
         .join(leaves, "pos", "left")
-        .orderBy("pos")
         .select(
             "pos",
-            F.sum("wdeg").over(Window.orderBy("pos")).alias("vol"),
-            (
-                F.sum(F.coalesce("w_in", F.lit(0.0))).over(Window.orderBy("pos"))
-                - F.sum(F.coalesce("w_out", F.lit(0.0))).over(Window.orderBy("pos"))
-            ).alias("cut"),
+            "wdeg",
+            F.coalesce("w_in", F.lit(0.0)).alias("w_in"),
+            F.coalesce("w_out", F.lit(0.0)).alias("w_out"),
+        )
+    )
+    sweep = (
+        zip_with_rank(
+            swbase,
+            [F.col("pos").asc()],
+            rank_col="_sp",
+            cum_cols=["wdeg", "w_in", "w_out"],
+            cache_handle=cache,
+        )
+        .select(
+            "pos",
+            F.col("cum_wdeg").alias("vol"),
+            (F.col("cum_w_in") - F.col("cum_w_out")).alias("cut"),
         )
         .withColumn(
             "cond",
@@ -652,9 +704,14 @@ def pagerank_nibble(
     best = sweep.orderBy(F.asc("cond"), F.asc("pos")).limit(1).collect()
     if not best:
         ordered.unpersist()
+        for df in cache:
+            df.unpersist()
         return graph.nodes().filter(F.col("node") == seed).select("node")
     best_pos = best[0]["pos"]
-    out = ordered.filter(F.col("pos") <= best_pos).select("node")
+    out = ordered.filter(F.col("pos") <= best_pos).select("node").localCheckpoint(eager=True)
+    ordered.unpersist()
+    for df in cache:
+        df.unpersist()
     return out
 
 

@@ -44,21 +44,30 @@ def read_raster_points(
     """Returns (point_id, x, y) — RasterReader::read parity: one point per
     ``round(cell_value * normalization_factor)``, uniformly jittered inside
     the cell; x in [col, col+1), y in [nrows-1-row, nrows-row) (row 0 on
-    top, RasterReader.cpp:57-101)."""
-    with open(path) as f:
-        header = [next(f) for _ in range(6)]
+    top, RasterReader.cpp:57-101). ``path`` must be a single .asc file (the
+    ESRI format interleaves a 6-line header with the grid, so a multi-file
+    glob has no well-defined header)."""
+    indexed = (
+        spark.read.text(path)
+        .rdd.zipWithIndex()
+        .map(lambda t: (t[0]["value"], t[1]))
+        .toDF(["line", "idx"])
+        .persist()
+    )
+    # header through the SAME Spark reader as the body — a driver-local
+    # open() would reject every path only Spark can reach (hdfs://, s3a://)
+    header = [
+        r["line"]
+        for r in indexed.filter(F.col("idx") < 6).orderBy("idx").collect()
+    ]
     # header lines are "ncols <value>" / "nrows <value>" (the reference
     # skips a fixed 14-char prefix, RasterReader.cpp:36-48; token-split is
     # the same value, robust to width)
     ncols = int(float(header[0].split()[-1]))
     nrows = int(float(header[1].split()[-1]))
 
-    lines = (
-        spark.read.text(path)
-        .rdd.zipWithIndex()
-        .filter(lambda t: t[1] >= 6)
-        .map(lambda t: (t[0]["value"], t[1] - 6))
-        .toDF(["line", "row"])
+    lines = indexed.filter(F.col("idx") >= 6).select(
+        "line", (F.col("idx") - 6).alias("row")
     )
     cells = lines.select(
         "row",
@@ -73,10 +82,26 @@ def read_raster_points(
     pts = cells.select(
         "row", "col", F.explode(F.sequence(F.lit(1), F.col("n_pts"))).alias("i")
     )
+    # collision-free ids for ANY per-cell point count: stride by the cell
+    # count (id = (i-1)*ncells + cell_index) instead of packing i into a
+    # fixed bit width — a 2^20-point cell would otherwise spill into the
+    # next cell's id range. Guard the i*ncells product against 63-bit
+    # overflow explicitly.
+    ncells = nrows * ncols
+    max_pts = cells.agg(F.max("n_pts")).collect()[0][0] or 0
+    if max_pts * ncells >= 2**63:
+        raise ValueError(
+            f"read_raster_points: {max_pts} points in one cell x {ncells} "
+            "cells overflows 63-bit point ids — lower normalization_factor"
+        )
+    # header + guard jobs are done; release the text cache (the lazy result
+    # below re-scans the file once on consumption instead of pinning it)
+    indexed.unpersist()
     sseed = F.lit(seed)
     return pts.select(
         (
-            (F.col("row") * ncols + F.col("col")) * F.lit(2**20) + F.col("i")
+            (F.col("i") - 1) * F.lit(ncells)
+            + (F.col("row") * ncols + F.col("col"))
         ).alias("point_id"),
         (F.col("col") + _u01(F.col("row"), F.col("col"), F.col("i"), F.lit("x"), sseed)).alias("x"),
         (

@@ -121,9 +121,17 @@ def dynamic_barabasi_albert_events(
         nodes = sorted(n for n in deg if n != u)
         deg_sum = sum(deg[n] for n in nodes)
         while len(targets) < min(k, len(nodes)):
-            r = rng.randint(0, max(deg_sum, 1))
+            if deg_sum == 0:
+                # all-isolated fallback: uniform (the seed path guarantees
+                # this never happens after step 0, but k=1 starts here)
+                targets.add(rng.choice(nodes))
+                continue
+            # exact degree-proportional draw: r uniform in [0, deg_sum),
+            # strict < per node — inclusive bounds would give the first
+            # node weight deg+1 and make degree-0 nodes selectable
+            r = rng.randrange(deg_sum)
             for v in nodes:
-                if r <= deg[v]:
+                if r < deg[v]:
                     targets.add(v)
                     break
                 r -= deg[v]

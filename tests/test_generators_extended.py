@@ -150,3 +150,22 @@ def test_fit_powerlaw_gamma(spark):
 
     got = fit_powerlaw_gamma(_G(), min_deg=2)
     assert 1.8 < got < 3.5
+
+
+def test_watts_strogatz_rewire_validity(spark):
+    """Rewired endpoints avoid the source and its ring neighborhood (the
+    reference redraws; the distributed analog uses an 8-candidate fan), so
+    high-p generation keeps ~n*k/2 edges instead of systematically losing
+    self/lattice collisions."""
+    from networkit_spark.generators import watts_strogatz
+
+    n, k = 400, 4
+    g = watts_strogatz(spark, n=n, k=k, p=0.5, seed=3)
+    m = g.num_edges()
+    # loss now only from two rewired edges colliding on the same pair
+    assert m >= n * k // 2 - 5
+    half = k // 2
+    rows = g.edges.select("src", "dst").collect()
+    for r in rows:
+        gap = min((r["dst"] - r["src"]) % n, (r["src"] - r["dst"]) % n)
+        assert gap >= 1  # never a self-loop

@@ -212,3 +212,17 @@ def test_estimated_vertex_diameter_pedantic_weighted(spark):
     )
     # weighted mode: size of the largest component (Diameter.cpp:301-316)
     assert estimated_vertex_diameter_pedantic(g) == 3
+
+
+def test_spanning_forest_long_merge_chain(spark):
+    """Equal-weight path: every Borůvka round's merge graph is one long
+    chain, which only converges within the inner cap because of pointer
+    jumping (min-label propagation alone advances one hop per round)."""
+    from networkit_spark.operators.misc import spanning_forest
+
+    n = 300
+    edges = [(i, i + 1, 1.0) for i in range(n - 1)]
+    g = Graph.from_edge_list(spark, edges, weighted=True, num_nodes=n)
+    forest = spanning_forest(g).collect()
+    assert len(forest) == n - 1
+    assert {(r["src"], r["dst"]) for r in forest} == {(i, i + 1) for i in range(n - 1)}
