@@ -130,7 +130,16 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Near-duplicate pairs (a, b, jaccard) with a < b, exact Jaccard over
     the shingle-hash sets >= threshold, candidate-filtered by banded minhash
-    (a pair is compared only if some band agrees)."""
+    (a pair is compared only if some band agrees). ``bands`` must divide
+    ``num_perms`` — a remainder would silently compute trailing permutations
+    that no band ever uses, changing the LSH s-curve from what the caller
+    asked for."""
+    if num_perms % bands != 0:
+        raise ValueError(
+            f"minhash_lsh_pairs: bands={bands} must divide num_perms="
+            f"{num_perms} (trailing {num_perms % bands} permutations would "
+            "be computed but never banded)"
+        )
     rows = num_perms // bands
     feats = word_ngrams(text_col, ngram_n) if use_word_ngrams else char_shingles(text_col, k)
     hashes = F.array_distinct(

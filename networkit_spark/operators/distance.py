@@ -10,6 +10,8 @@ cpp/distance/Eccentricity.cpp, cpp/distance/EffectiveDiameterApproximation.cpp
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, functions as F
 
 from ..graph import Graph
@@ -50,7 +52,17 @@ def bfs_distances(graph: Graph, source: int, max_iter: int = 10_000) -> DataFram
 
 def sssp_distances(graph: Graph, source: int, max_iter: int = 10_000) -> DataFrame:
     """Weighted single-source shortest paths (Dijkstra semantics via
-    Bellman-Ford supersteps): (node, dist DOUBLE) for reachable nodes."""
+    Bellman-Ford supersteps): (node, dist DOUBLE) for reachable nodes.
+    Rejects negative weights up front — the reference assumes Dijkstra
+    preconditions, and through ``sym()`` one negative undirected edge is a
+    negative CYCLE: the relax loop would burn all ``max_iter`` supersteps
+    and return silently wrong distances."""
+    min_w = graph.edges.agg(F.min("weight")).collect()[0][0]
+    if min_w is not None and float(min_w) < 0.0:
+        raise ValueError(
+            f"sssp_distances: negative edge weight {min_w} — Dijkstra "
+            "semantics require non-negative weights"
+        )
     sym = graph.sym_part(cols=("src", "dst", "weight")).persist()
     sym.count()
     dist = (
@@ -170,7 +182,7 @@ def anf_sketch_stats(
     for hop in range(1, hops + 1):
         cur = _anf_or_step(sym, cur, num_sketches)
         total = cur.agg(F.sum(lzb).alias("t")).collect()[0]["t"]
-        rows.append((hop, int(total)))
+        rows.append((hop, int(total or 0)))
     sym.unpersist()
     return spark.createDataFrame(rows, "hop int, lzb_total long")
 
@@ -204,7 +216,7 @@ def neighborhood_function_anf(
     est_prev = None
     for hop in range(1, max_hops + 1):
         cur = _anf_or_step(sym, cur, num_sketches)
-        est = cur.select(est_col().alias("e")).agg(F.sum("e")).collect()[0][0]
+        est = cur.select(est_col().alias("e")).agg(F.sum("e")).collect()[0][0] or 0.0
         results.append((hop, float(est)))
         if est_prev is not None and abs(est - est_prev) < 1e-9 * max(est, 1.0):
             break
@@ -248,7 +260,7 @@ def effective_diameter_sketch_grid(
     for _ in range(hops):
         cur = _anf_or_step(sym, cur, num_sketches)
         totals.append(
-            int(cur.select(est_grid.alias("e")).agg(F.sum("e")).collect()[0][0])
+            int(cur.select(est_grid.alias("e")).agg(F.sum("e")).collect()[0][0] or 0)
         )
     sym.unpersist()
     final = totals[-1]
@@ -420,21 +432,30 @@ def neighborhood_function_heuristic(
     }
     if not hist:
         return []
-    dia = max(hist)
+    # the endpoint is pinned at the EXACT diameter, like the reference's
+    # `Diameter diam(G); result.resize(dia)` (NeighborhoodFunctionHeuristic
+    # .cpp:36-47) — the max SAMPLED distance underestimates dia whenever no
+    # sampled source is an extremal node, which would truncate the function
+    # and claim total coverage hops too early
+    from ..operators.misc import diameter_exact
+
+    dia = max(diameter_exact(graph), max(hist))
     norm = n / float(len(srcs))
     # Endpoint corrections + accumulation exactly as the reference
     # (NeighborhoodFunctionHeuristic.cpp:72-95): result[0] = 2m anchors the
     # cumulative chain (result[dist-1] = round(count*norm) + result[dist-2]),
-    # each hop's sampled count is rounded BEFORE accumulating, and the final
-    # hop is pinned to n*(n-1). This keeps the returned function monotone
-    # from the exact h=1 value onward.
+    # each hop's sampled count is rounded BEFORE accumulating with C++
+    # half-away-from-zero semantics (floor(x+0.5) — Python round() is
+    # banker's and diverges on half-integers), and the final hop is pinned
+    # to n*(n-1). This keeps the returned function monotone from the exact
+    # h=1 value onward.
     out = [(1, int(2 * m))]
     acc = float(2 * m)
     for h in range(2, dia + 1):
         if h == dia:
             out.append((h, int(n * (n - 1))))
         else:
-            acc += round(hist.get(h, 0) * norm)
+            acc += math.floor(hist.get(h, 0) * norm + 0.5)
             out.append((h, int(acc)))
     return out
 

@@ -27,7 +27,19 @@ def _oriented_with_key(graph: Graph) -> DataFrame:
     """Degree-ordered orientation carrying the dst endpoint's ordering key:
     (src, dst, ddst) rows with (deg(src),src) < (deg(dst),dst)
     (reference TriangleEdgeScore.cpp:23-26 orientation, flipped to
-    low→high so wedges form at the low-degree endpoint)."""
+    low→high so wedges form at the low-degree endpoint).
+
+    Undirected graphs only, like the reference (LocalClusteringCoefficient
+    .cpp:7-8 throws on directed input): for a directed Graph ``sym()``
+    returns only the stored arcs, so the (degree,id) orientation filter
+    would silently drop 'downhill' arcs and report zero/wrong triangle
+    counts — call ``graph.to_undirected()`` first if that is the intent."""
+    if graph.directed:
+        raise ValueError(
+            "triangle counting requires an undirected graph "
+            "(reference parity: LocalClusteringCoefficient.cpp:7-8); "
+            "use graph.to_undirected() first"
+        )
     deg = graph.degrees()
     e = graph.sym().select("src", "dst").filter(F.col("src") != F.col("dst"))
     return (
@@ -184,6 +196,11 @@ def wedge_trials(graph: Graph, seed: int = 42) -> DataFrame:
     (no global sort, no driver loop), and the same arithmetic is expressible
     in ANSI SQL for the DuckDB oracle. Trials use the simple neighbor sets
     (dedup'd, self-loops dropped), matching the reference's simple graphs."""
+    if graph.directed:
+        raise ValueError(
+            "wedge sampling requires an undirected graph — "
+            "use graph.to_undirected() first"
+        )
     from ..functions.dedup import hash60
     from pyspark.sql.window import Window
 

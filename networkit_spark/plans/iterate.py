@@ -29,6 +29,24 @@ from typing import Callable, Optional
 from pyspark.sql import DataFrame
 
 
+def _free_checkpoint_blocks(df: DataFrame) -> None:
+    """Release a superseded iteration state's storage NOW.
+
+    ``Dataset.unpersist`` only clears CacheManager entries, and
+    localCheckpoint-backed frames (plain or stats-clean) hold their blocks
+    on the materialized internal RDD instead — so a plain ``unpersist()``
+    here was a silent no-op and freeing waited for the ContextCleaner's
+    periodic GC (session.py pins cleanCheckpoints=true + a 5min GC interval
+    as the backstop). For a LogicalRDD plan ``toRdd()`` IS that persisted
+    RDD; unpersisting it drops the blocks immediately. Non-blocking,
+    best-effort — on exotic plans (Connect) it degrades to the GC
+    backstop."""
+    try:
+        df._jdf.queryExecution().toRdd().unpersist(False)
+    except Exception:
+        pass
+
+
 @dataclass
 class IterationState:
     iteration: int
@@ -133,10 +151,14 @@ class SuperstepDriver:
         stats = manifest.get("partition_stats")
         if verify and stats:
             want_rows = sum(s["rows"] for s in stats)
+            # the manifest total is an exact Python big-int; accumulate the
+            # Spark side in decimal(38,0) so it cannot wrap at int64 (a
+            # >=~4.3B-row state would otherwise always "fail" verification)
             want_hash = sum(s["sum_hash"] for s in stats)
             h32 = F.shiftrightunsigned(F.xxhash64(*df.columns), 32)
             got = df.agg(
-                F.count("*").alias("rows"), F.sum(h32).alias("sh")
+                F.count("*").alias("rows"),
+                F.sum(h32.cast("decimal(38,0)")).alias("sh"),
             ).collect()[0]
             if int(got["rows"]) != want_rows or int(got["sh"] or 0) != want_hash:
                 raise RuntimeError(
@@ -176,10 +198,7 @@ class SuperstepDriver:
                 new_df = self._truncate(new_df)
             elapsed = time.time() - t0
             if prev is not None:
-                try:
-                    prev.unpersist()
-                except Exception:
-                    pass
+                _free_checkpoint_blocks(prev)
             prev = state.df
             state = IterationState(
                 iteration=state.iteration + 1,

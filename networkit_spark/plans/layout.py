@@ -63,10 +63,20 @@ def build_csr_blocks(
     salts: int = 16,
     value_col: str = "p",
     edges_with_values: Optional[DataFrame] = None,
+    max_block_edges: int = 4_000_000,
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (blocks, need) where ``need`` = distinct (src, bucket) routing
     table for the rank vector. ``edges_with_values`` defaults to the PageRank
-    transition (src, dst, p = w/wdeg)."""
+    transition (src, dst, p = w/wdeg).
+
+    A bucket's edges are emitted as MULTIPLE block rows of at most
+    ``max_block_edges`` edges each (chunked positionally after the CSR
+    sort — a src spanning a chunk boundary simply appears in both rows;
+    the downstream reduce-by-dst makes that sound). Without the cap a
+    bucket materializes as ONE pandas group / ONE array row, so at 10B+
+    edges a single Python worker holds ~m/num_buckets edges in memory and
+    the int32 offsets overflow at 2^31 — the salting bounds per-NODE skew,
+    not per-bucket TOTAL."""
     if edges_with_values is None:
         out = graph.sym()
         wdeg = out.groupBy("src").agg(F.sum("weight").alias("wdeg"))
@@ -86,18 +96,22 @@ def build_csr_blocks(
 
     def to_csr(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["src", "dst"], kind="mergesort")
-        srcs_arr = pdf["src"].to_numpy()
-        uniq, starts = np.unique(srcs_arr, return_index=True)
-        offsets = np.append(starts, len(srcs_arr)).astype("int32")
-        return pd.DataFrame(
-            {
-                "bucket": [int(pdf["bucket"].iloc[0])],
-                "srcs": [uniq.tolist()],
-                "offsets": [offsets.tolist()],
-                "dsts": [pdf["dst"].to_numpy().tolist()],
-                "ps": [pdf[value_col].to_numpy().tolist()],
-            }
-        )
+        bucket = int(pdf["bucket"].iloc[0])
+        srcs_all = pdf["src"].to_numpy()
+        dsts_all = pdf["dst"].to_numpy()
+        ps_all = pdf[value_col].to_numpy()
+        out = {"bucket": [], "srcs": [], "offsets": [], "dsts": [], "ps": []}
+        for lo in range(0, len(srcs_all), max_block_edges):
+            hi = min(lo + max_block_edges, len(srcs_all))
+            srcs_arr = srcs_all[lo:hi]
+            uniq, starts = np.unique(srcs_arr, return_index=True)
+            offsets = np.append(starts, len(srcs_arr)).astype("int32")
+            out["bucket"].append(bucket)
+            out["srcs"].append(uniq.tolist())
+            out["offsets"].append(offsets.tolist())
+            out["dsts"].append(dsts_all[lo:hi].tolist())
+            out["ps"].append(ps_all[lo:hi].tolist())
+        return pd.DataFrame(out)
 
     blocks = e.groupBy("bucket").applyInPandas(to_csr, BLOCK_SCHEMA)
     need = e.select("src", "bucket").distinct()

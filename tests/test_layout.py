@@ -68,3 +68,27 @@ def test_salting_splits_hub_rows(spark):
     }
     for r in light.collect():
         assert r["src"] in heavy_srcs
+
+
+def test_csr_block_chunking_preserves_spmv(spark):
+    """max_block_edges splits a bucket into multiple rows (src spanning a
+    chunk boundary included); the SpMV result is identical to unchunked."""
+    from networkit_spark.plans.layout import spmv_superstep
+    from networkit_spark.testgraph import lineitem_graph
+
+    g = lineitem_graph(spark, "/root/testdata/sf0.001", n_nodes=300)
+    ranks = g.nodes().select("node", (F.col("node") % 7 / 7.0 + 0.1).alias("score"))
+    blocks1, need1 = build_csr_blocks(g, num_buckets=4)
+    blocksN, needN = build_csr_blocks(g, num_buckets=4, max_block_edges=50)
+    assert blocksN.count() > blocks1.count()  # chunking actually happened
+    r1 = {
+        r["dst"]: r["mass"]
+        for r in spmv_superstep(blocks1, need1, ranks).collect()
+    }
+    rN = {
+        r["dst"]: r["mass"]
+        for r in spmv_superstep(blocksN, needN, ranks).collect()
+    }
+    assert set(r1) == set(rN)
+    for k in r1:
+        assert abs(r1[k] - rN[k]) < 1e-9
