@@ -127,6 +127,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     use_word_ngrams: bool = False,
     ngram_n: int = 3,
+    cache_handle: "list | None" = None,
 ) -> DataFrame:
     """Near-duplicate pairs (a, b, jaccard) with a < b, exact Jaccard over
     the shingle-hash sets >= threshold, candidate-filtered by banded minhash
@@ -150,6 +151,8 @@ def minhash_lsh_pairs(
     ).filter(F.size("hs") > 0)
     sig = base.select("doc", "hs", minhash_signature(F.col("hs"), num_perms).alias("sig"))
     sig = sig.persist()
+    if cache_handle is not None:
+        cache_handle.append(sig)
     # bands: hash each signature slice to a bucket key
     bands_df = sig.select(
         "doc",
@@ -267,6 +270,7 @@ def embedding_neardup_pairs(
     dim: int = 64,
     seed: int = 42,
     lsh_bits: int | None = None,
+    cache_handle: "list | None" = None,
 ) -> DataFrame:
     """(a, b, cos) pairs with cosine >= threshold via BANDED random-hyperplane
     LSH: ``bands`` independent ``band_bits``-bit sign codes (bit = sign of a
@@ -304,6 +308,8 @@ def embedding_neardup_pairs(
         norm.alias("nrm"),
         *[band_code(c).alias(f"bk{c}") for c in range(bands)],
     ).filter(F.col("nrm") > 0).persist()
+    if cache_handle is not None:
+        cache_handle.append(base)
     cand = None
     for c in range(bands):
         x = base.select(F.col("doc").alias("a"), F.col(f"bk{c}").alias("bucket"))
@@ -335,6 +341,7 @@ def simhash_hamming_pairs(
     id_col: str = "doc_id",
     bits: int = 64,
     max_hamming: int = 3,
+    cache_handle: "list | None" = None,
 ) -> DataFrame:
     """(a, b, hamming) pairs of documents whose SimHash fingerprints differ
     in <= ``max_hamming`` bits — the pair-finder on top of
@@ -364,6 +371,8 @@ def simhash_hamming_pairs(
     banded = fp.select(
         "doc_id", "simhash", *[band_key(c).alias(f"b{c}") for c in range(n_bands)]
     ).persist()
+    if cache_handle is not None:
+        cache_handle.append(banded)
     cand = None
     for c in range(n_bands):
         x = banded.select(F.col("doc_id").alias("a"), F.col("simhash").alias("fa"), F.col(f"b{c}").alias("k"))

@@ -58,7 +58,9 @@ def oriented_edges(graph: Graph) -> DataFrame:
     return _oriented_with_key(graph).select("src", "dst")
 
 
-def triangles(graph: Graph, method: str = "adjacency") -> DataFrame:
+def triangles(
+    graph: Graph, method: str = "adjacency", cache_handle: "list | None" = None
+) -> DataFrame:
     """All triangles as (a, b, c) rows, each exactly once, a = apex (lowest
     (deg,id) vertex), and (b, c) ordered by id.
 
@@ -77,9 +79,15 @@ def triangles(graph: Graph, method: str = "adjacency") -> DataFrame:
     joins), and close wedges JVM-side with ``array_intersect`` + explode —
     the W-row wedge set is never materialized into a shuffle (the wedge
     method shuffles all W wedges for the closing semi-join; W >> m on
-    power-law graphs)."""
+    power-law graphs).
+
+    The oriented set stays persisted while the lazy result is alive; pass a
+    list as ``cache_handle`` to receive it for unpersisting once consumed
+    (the scalar wrappers below do)."""
     if method == "adjacency":
         o = _oriented_with_key(graph).select("src", "dst").persist()
+        if cache_handle is not None:
+            cache_handle.append(o)
         adj = o.groupBy("src").agg(F.collect_list("dst").alias("nbrs"))
         j = (
             o.join(
@@ -102,6 +110,8 @@ def triangles(graph: Graph, method: str = "adjacency") -> DataFrame:
             "a", F.least("bb", "cc").alias("b"), F.greatest("bb", "cc").alias("c")
         )
     o = _oriented_with_key(graph).persist()
+    if cache_handle is not None:
+        cache_handle.append(o)
     e1 = o.alias("e1")
     e2 = o.alias("e2")
     # (ddst,dst) lexicographic: b strictly before c in orientation order
@@ -119,7 +129,12 @@ def triangles(graph: Graph, method: str = "adjacency") -> DataFrame:
 
 
 def triangle_count(graph: Graph) -> int:
-    return triangles(graph).count()
+    cache: list = []
+    try:
+        return triangles(graph, cache_handle=cache).count()
+    finally:
+        for df in cache:
+            df.unpersist()
 
 
 def node_triangle_counts(graph: Graph) -> DataFrame:
@@ -183,7 +198,9 @@ def global_clustering_coefficient(graph: Graph) -> float:
     return 3.0 * tri / wedges
 
 
-def wedge_trials(graph: Graph, seed: int = 42) -> DataFrame:
+def wedge_trials(
+    graph: Graph, seed: int = 42, cache_handle: "list | None" = None
+) -> DataFrame:
     """One deterministic Schank–Wagner wedge trial per node of degree >= 2:
     (node, degree, closed) where closed = 1 iff the sampled neighbor pair is
     adjacent (reference ClusteringCoefficient.cpp:133-165 approxAvgLocal trial
@@ -195,7 +212,9 @@ def wedge_trials(graph: Graph, seed: int = 42) -> DataFrame:
     neighbor list ranked by id. Every step is a per-node window or hash join
     (no global sort, no driver loop), and the same arithmetic is expressible
     in ANSI SQL for the DuckDB oracle. Trials use the simple neighbor sets
-    (dedup'd, self-loops dropped), matching the reference's simple graphs."""
+    (dedup'd, self-loops dropped), matching the reference's simple graphs.
+    ``cache_handle`` receives the persisted adjacency for cleanup once the
+    lazy result is consumed (the scalar estimators below use it)."""
     if graph.directed:
         raise ValueError(
             "wedge sampling requires an undirected graph — "
@@ -216,6 +235,8 @@ def wedge_trials(graph: Graph, seed: int = 42) -> DataFrame:
         F.col("dst").alias("nbr"),
         (F.row_number().over(w) - 1).alias("r"),
     ).persist()
+    if cache_handle is not None:
+        cache_handle.append(ranked)
     deg = ranked.groupBy("node").agg(F.count("*").alias("degree"))
     h1 = hash60(F.concat_ws(":", F.col("node").cast("string"), F.lit(str(seed)), F.lit("a")))
     h2 = hash60(F.concat_ws(":", F.col("node").cast("string"), F.lit(str(seed)), F.lit("b")))
@@ -248,7 +269,16 @@ def approx_avg_local_clustering(graph: Graph, seed: int = 42) -> float:
     draws `trials` i.i.d. nodes; this runs exactly one deterministic trial at
     EVERY eligible node (a stratified estimator with the same expectation and
     lower variance), so the estimate is reproducible across partitionings."""
-    row = wedge_trials(graph, seed).agg(F.avg("closed").alias("c")).collect()[0]
+    cache: list = []
+    try:
+        row = (
+            wedge_trials(graph, seed, cache_handle=cache)
+            .agg(F.avg("closed").alias("c"))
+            .collect()[0]
+        )
+    finally:
+        for df in cache:
+            df.unpersist()
     return float(row["c"] or 0.0)
 
 
@@ -259,16 +289,21 @@ def approx_global_clustering(graph: Graph, seed: int = 42) -> float:
     draw. Stratified dual: one deterministic trial per node, votes weighted
     by deg·(deg-1) — identical expectation (exactGlobal), no driver-side
     prefix sum."""
-    row = (
-        wedge_trials(graph, seed)
-        .agg(
-            (
-                F.sum(F.col("closed") * F.col("degree") * (F.col("degree") - 1))
-                / F.sum(F.col("degree") * (F.col("degree") - 1))
-            ).alias("c")
+    cache: list = []
+    try:
+        row = (
+            wedge_trials(graph, seed, cache_handle=cache)
+            .agg(
+                (
+                    F.sum(F.col("closed") * F.col("degree") * (F.col("degree") - 1))
+                    / F.sum(F.col("degree") * (F.col("degree") - 1))
+                ).alias("c")
+            )
+            .collect()[0]
         )
-        .collect()[0]
-    )
+    finally:
+        for df in cache:
+            df.unpersist()
     return float(row["c"] or 0.0)
 
 
