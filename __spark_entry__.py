@@ -2568,7 +2568,14 @@ def _ann_ivf_trained_sql() -> str:
         ctes.append(
             f"""cent{i + 1} AS MATERIALIZED (
   SELECT c.cid, COALESCE(n.cv, c.cv) AS cv FROM cent{i} c
-  LEFT JOIN (SELECT cid, list(m ORDER BY pos) AS cv FROM m{i} GROUP BY cid) n
+  LEFT JOIN (
+    SELECT cid,
+           CASE WHEN sqrt(list_dot_product(cvr, cvr)) > 0
+                THEN list_transform(cvr,
+                       x -> ROUND(x / sqrt(list_dot_product(cvr, cvr)), 6))
+                ELSE cvr END AS cv
+    FROM (SELECT cid, list(m ORDER BY pos) AS cvr FROM m{i} GROUP BY cid) g
+  ) n
   USING (cid)
 )"""
         )

@@ -200,6 +200,24 @@ def ivf_train(
                 lambda s: s["m"],
             ).alias("ncv")
         )
+        # SPHERICAL k-means: renormalize the mean back onto the unit sphere
+        # (mean of unit vectors has norm < 1, shrinking with cluster spread
+        # — without this the argmax-dot assignment and probe ranking favor
+        # tight clusters over diffuse ones and are no longer cosine-NN).
+        # Norm folds the 6-rounded means in position order (deterministic
+        # IEEE result, reproducible in the DuckDB oracle); re-rounded to 6.
+        nrm = F.sqrt(
+            F.aggregate("ncv", F.lit(0.0), lambda a, x: a + x * x)
+        )
+        newc = newc.select(
+            "cid",
+            F.when(
+                nrm > 0,
+                F.transform("ncv", lambda x: F.round(x / nrm, 6)),
+            )
+            .otherwise(F.col("ncv"))
+            .alias("ncv"),
+        )
         cents = (
             cents.join(newc, "cid", "left")
             .select("cid", F.coalesce("ncv", "cv").alias("cv"))
@@ -220,15 +238,24 @@ def cosine_topk_ivf_trained(
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
     centroids: DataFrame | None = None,
+    cache_handle: "list | None" = None,
 ) -> DataFrame:
     """Trained-IVF approximate top-k (same output schema as brute force):
     every corpus vector lives in exactly one inverted list (its nearest
     trained centroid); each query scores only the ``nprobe`` nearest lists.
     Scored fraction ≈ nprobe/nlist of the corpus — the 100-TB path where
-    brute force is O(N·Q). Pass ``centroids`` to reuse a trained model."""
+    brute force is O(N·Q). Pass ``centroids`` to reuse a trained model.
+
+    The corpus unit-vector frame feeds BOTH the inverted-list assignment
+    and the score join, so it stays persisted while the lazy result is
+    alive (an unpersist before any action would be a no-op persist — the
+    dominant corpus scan would then run twice); pass ``cache_handle`` to
+    receive it for cleanup after consumption."""
     if centroids is None:
         centroids = ivf_train(corpus, nlist=nlist, iters=iters, vec_col=vec_col, id_col=id_col)
     c = _units(corpus, vec_col, id_col, "vec_id").persist()
+    if cache_handle is not None:
+        cache_handle.append(c)
     inv = _assign_expr(c, centroids, "vec_id")
     q = _units(queries, vec_col, query_id_col, "query_id")
     qd = q.select("query_id", "u").crossJoin(F.broadcast(centroids)).select(
@@ -262,5 +289,4 @@ def cosine_topk_ivf_trained(
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", F.round("cos", 6).alias("cos"), "rank")
     )
-    c.unpersist()
     return out

@@ -42,7 +42,15 @@ def connected_components(
     and an unchanged label was already sent the round it last changed). Late
     rounds therefore shuffle only the frontier's edges, not all m — on web
     graphs the frontier collapses to the few deep chains after ~3 rounds.
+
+    Directed graphs are symmetrized first (WEAKLY connected components —
+    the reference's ConnectedComponents likewise expects an undirected
+    graph and offers WeaklyConnectedComponents for directed ones). Without
+    this, propagation would run src→dst only and converge to "min id that
+    REACHES v", which is neither weak nor strong components.
     """
+    if graph.directed:
+        graph = graph.to_undirected()
     nodes = graph.nodes().persist()
     sym = graph.sym_part().persist()
     sym.count()
@@ -217,6 +225,14 @@ def strongly_connected_components(graph: Graph, max_outer: int = 100) -> DataFra
             visited = visited.unionByName(frontier).transform(_cc)
         done = _accum(done, visited)
         remaining = remaining.join(visited, "node", "left_anti").transform(_cc)
+    if not remaining.isEmpty():
+        edges_all.unpersist()
+        # a partial labeling would silently DROP these nodes from downstream
+        # joins — fail loudly instead (condensation deeper than max_outer)
+        raise RuntimeError(
+            "strongly_connected_components: condensation not exhausted "
+            f"after {max_outer} outer rounds — raise max_outer"
+        )
     edges_all.unpersist()
     if done is None:
         return graph.nodes().select("node", F.col("node").alias("component"))

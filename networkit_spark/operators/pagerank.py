@@ -104,9 +104,14 @@ def pagerank(
                 "score"
             ),
         )
+        # materialize HERE, exactly once: the residual collect below would
+        # otherwise execute the full superstep plan and the driver's eager
+        # checkpoint would then recompute the identical plan a second time
+        new = new.localCheckpoint(eager=True)
         if fixed_iters is not None:
             return new, None
-        # L2 residual — single scalar agg job per superstep
+        # L2 residual — single scalar agg job per superstep, over the
+        # already-materialized state
         resid = (
             new.alias("a")
             .join(ranks.alias("b"), "node")
@@ -120,6 +125,7 @@ def pagerank(
         max_iter=fixed_iters if fixed_iters is not None else max_iter,
         checkpoint_dir=checkpoint_dir,
         checkpoint_every=checkpoint_every,
+        use_local_checkpoint=False,  # step() checkpoints before its collect
     )
     resume_state = driver.try_resume(graph.edges.sparkSession) if resume else None
     state = driver.run(init, step, resume=resume_state)
@@ -158,6 +164,7 @@ def katz_centrality(
             "node",
             (F.lit(alpha) * F.coalesce("mass", F.lit(0.0)) + F.lit(beta)).alias("score"),
         )
+        new = new.localCheckpoint(eager=True)  # once, before the collect
         if fixed_iters is not None:
             return new, None
         resid = (
@@ -169,7 +176,9 @@ def katz_centrality(
         return new, resid or 0.0
 
     driver = SuperstepDriver(
-        tol=tol, max_iter=fixed_iters if fixed_iters is not None else max_iter
+        tol=tol,
+        max_iter=fixed_iters if fixed_iters is not None else max_iter,
+        use_local_checkpoint=False,
     )
     state = driver.run(init, step)
     norm = state.df.agg(F.sqrt(F.sum(F.pow("score", 2))).alias("n")).collect()[0]["n"]
@@ -198,6 +207,9 @@ def eigenvector_centrality(
         new = nodes.join(sums, nodes.node == sums.dst, "left").select(
             "node", F.coalesce("mass", F.lit(0.0)).alias("score")
         )
+        # one materialization per superstep: norm collect, residual collect,
+        # and the next iteration all read the checkpointed blocks
+        new = new.localCheckpoint(eager=True)
         norm_row = new.agg(F.sqrt(F.sum(F.pow("score", 2))).alias("nrm")).collect()[0]
         nrm = norm_row["nrm"] or 1.0
         new = new.select("node", (F.col("score") / F.lit(nrm)).alias("score"))
@@ -212,7 +224,9 @@ def eigenvector_centrality(
         return new, resid or 0.0
 
     driver = SuperstepDriver(
-        tol=tol, max_iter=fixed_iters if fixed_iters is not None else max_iter
+        tol=tol,
+        max_iter=fixed_iters if fixed_iters is not None else max_iter,
+        use_local_checkpoint=False,
     )
     state = driver.run(init, step)
     return state.df

@@ -11,15 +11,20 @@ Spark formulation (synchronous local-move supersteps):
                   − γ·deg(u)·(vol(C) − vol(C_u∖u)) / (2m²)
   computed relationally: edges ⋈ labels → per-(node, community) weights,
   joined with broadcast community volumes; argmax with deterministic
-  (Δ, community) tie-break. Synchronous moves can ping-pong, so each round
-  only nodes with node-parity == round-parity move (a 2-coloring schedule —
-  deterministic, partition-independent, same trick as semi-synchronous LP).
-- when a sweep moves < θ nodes, contract (coarsen) and recurse; project
-  labels back down at the end.
+  (Δ, community) tie-break. Synchronous moves can ping-pong, so sweeps
+  alternate by move DIRECTION: even sweeps admit only moves to a smaller
+  community id, odd sweeps only to a larger one — a swap would need one of
+  each in the same sweep, so pairwise oscillation is impossible
+  (deterministic, partition-independent; node-id parity would NOT prevent
+  two same-parity neighbors from trading communities).
+- when a full even+odd cycle moves < θ nodes, contract (coarsen) and
+  recurse; project labels back down at the end.
 
-The result is a proper clustering with monotonically non-decreasing
-modularity — matching PLM's guarantees, not its (nondeterministic,
-schedule-dependent) exact labels.
+The result is a proper deterministic clustering in the spirit of parallel
+Louvain: individually-improving synchronized moves (concurrent moves into
+the same community use pre-move volumes, as every parallel Louvain does),
+guarded against pairwise oscillation — matching PLM's semantics, not its
+(nondeterministic, schedule-dependent) exact labels.
 """
 
 from __future__ import annotations
@@ -39,7 +44,23 @@ def _move_phase(
     if m == 0:
         return graph.nodes().select("node", F.col("node").alias("label"))
     sym = graph.sym().persist()
-    wdeg = graph.weighted_degrees().persist()
+    # volNode = weightedDegree + selfLoopWeight (PLM.cpp:47-51 — the self
+    # loop is counted TWICE in the volume; sym()/weighted_degrees count it
+    # once, so add it once more)
+    selfw = (
+        graph.edges.filter(F.col("src") == F.col("dst"))
+        .groupBy(F.col("src").alias("node"))
+        .agg(F.sum("weight").alias("sw"))
+    )
+    wdeg = (
+        graph.weighted_degrees()
+        .join(selfw, "node", "left")
+        .select(
+            "node",
+            (F.col("wdeg") + F.coalesce("sw", F.lit(0.0))).alias("wdeg"),
+        )
+        .persist()
+    )
     n = wdeg.count()
     bcast = (lambda d: F.broadcast(d)) if n <= 2_000_000 else (lambda d: d)
     # stats-clean checkpoints (plans/ckpt.py): labels-derived frames enter
@@ -48,15 +69,20 @@ def _move_phase(
     # per sweep — Catalyst planning degenerates into million-bit BigInteger
     # products within ~6 sweeps at sf0.1 (same pathology as flow/matching).
     labels = _cc(graph.nodes().select("node", F.col("node").alias("label")))
-    # self-loop weight per node (stays intra under any move)
+    cycle_moved = 0
     for sweep in range(max_sweeps):
         vols = (
             labels.join(wdeg, "node").groupBy("label").agg(F.sum("wdeg").alias("vol"))
         )
         lbl_dst = labels.select(F.col("node").alias("dst"), F.col("label").alias("ldst"))
-        # w(u, C) for all neighbor communities C of u (incl. own)
+        # w(u, C) for all neighbor communities C of u (incl. own), self-loop
+        # EXCLUDED (PLM.cpp:95-117 affinity skips u == v: the loop stays
+        # with u under any move, so counting it would understate every
+        # leave-own gain by selfloop/m — coarsening turns all intra weight
+        # into self-loops, so every level >= 2 would under-merge)
         w_uc = (
-            sym.join(bcast(lbl_dst), "dst")
+            sym.filter(F.col("src") != F.col("dst"))
+            .join(bcast(lbl_dst), "dst")
             .groupBy(F.col("src").alias("node"), F.col("ldst").alias("cand"))
             .agg(F.sum("weight").alias("w_uc"))
         )
@@ -93,16 +119,23 @@ def _move_phase(
                 (-F.col("mx.nc")).alias("best"),
             )
         )
-        # parity schedule: only half the nodes move per sweep (prevents
-        # synchronous ping-pong; deterministic)
-        parity = sweep % 2
+        # DIRECTION-parity schedule: even sweeps allow only moves to a
+        # SMALLER community id, odd sweeps only to a larger one. A
+        # synchronous swap needs u -> C_v and v -> C_u in one sweep, which
+        # always involves one downhill and one uphill move — so no swap can
+        # ever happen (node-id parity did NOT guarantee this: two adjacent
+        # even nodes could still trade communities). Deterministic,
+        # partition-independent, and every node is eligible each sweep.
+        direction = (
+            (F.col("best") < F.col("label"))
+            if sweep % 2 == 0
+            else (F.col("best") > F.col("label"))
+        )
         new = (
             labels.join(bcast(best), "node", "left")
             .select(
                 "node",
-                F.when(
-                    (F.col("d") > 1e-15) & (F.col("node") % 2 == parity), F.col("best")
-                )
+                F.when((F.col("d") > 1e-15) & direction, F.col("best"))
                 .otherwise(F.col("label"))
                 .alias("label"),
             )
@@ -113,7 +146,10 @@ def _move_phase(
             .filter(F.col("a.label") != F.col("b.label")).count()
         )
         labels = new
-        if moved <= theta:
+        # converge on a FULL even+odd cycle: a single direction class with
+        # no improving moves must not freeze the other class's pending ones
+        cycle_moved = moved if sweep % 2 == 0 else cycle_moved + moved
+        if sweep % 2 == 1 and cycle_moved <= theta:
             break
     sym.unpersist()
     wdeg.unpersist()

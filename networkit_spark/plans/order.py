@@ -97,7 +97,15 @@ def zip_with_index(
     order_cols: Sequence,
     index_col: str = "index",
     num_partitions: Optional[int] = None,
+    cache_handle: Optional[list] = None,
 ) -> DataFrame:
-    """0-based exact global index under ``order_cols`` (dense-id assignment)."""
-    out = zip_with_rank(df, order_cols, rank_col=index_col, num_partitions=num_partitions)
+    """0-based exact global index under ``order_cols`` (dense-id assignment).
+    ``cache_handle`` — see :func:`zip_with_rank`."""
+    out = zip_with_rank(
+        df,
+        order_cols,
+        rank_col=index_col,
+        num_partitions=num_partitions,
+        cache_handle=cache_handle,
+    )
     return out.withColumn(index_col, F.col(index_col) - 1)

@@ -73,12 +73,18 @@ def bucketed_wedges(spark: SparkSession, table: str) -> DataFrame:
     """Out-wedge counts per source via a bucket-co-located self-join: build
     and probe sides are the SAME src-bucketed table, so the equi-join on
     ``src`` plans with zero Exchange. Returns (src, wedges) with
-    wedges = out_degree², the ordered-pair count ingredient of the
-    node-iterator triangle join (operators/triangles.py)."""
+    wedges = d·(d-1) ordered distinct pairs — the (e,e) self-pairs are
+    excluded so the count matches the strict-wedge convention the
+    node-iterator triangle join uses (operators/triangles.py orders wedge
+    legs strictly; d² would inflate any composed denominator)."""
     a = spark.table(table).alias("a")
     b = spark.table(table).alias("b")
     return (
-        a.join(b, F.col("a.src") == F.col("b.src"))
+        a.join(
+            b,
+            (F.col("a.src") == F.col("b.src"))
+            & (F.col("a.dst") != F.col("b.dst")),
+        )
         .groupBy(F.col("a.src").alias("src"))
         .agg(F.count("*").alias("wedges"))
     )

@@ -137,14 +137,23 @@ def synthesize_pages(graph: Graph, filler_words: int = 12) -> DataFrame:
     )
 
 
-def assign_node_ids(pages: DataFrame) -> DataFrame:
+def assign_node_ids(
+    pages: DataFrame, cache_handle: "list | None" = None
+) -> DataFrame:
     """Dense 0-based ids by sorted url (Globals.h:23 dense-id requirement;
     deterministic, partitioning-independent). Distributed: range-partition by
     url, per-partition row_number, cumulative partition offsets
     (plans/order.py) — no single-task global sort; at 10^12 rows each task
-    sorts only its url range and the driver sees one row per partition."""
+    sorts only its url range and the driver sees one row per partition.
+    The range-partitioned url frame stays persisted while the mapping is
+    alive (it pins the sampled boundaries AND serves the two downstream
+    joins); pass ``cache_handle`` to receive it for unpersisting once the
+    edge build is consumed."""
     return zip_with_index(
-        pages.select("url").distinct(), ["url"], index_col="node"
+        pages.select("url").distinct(),
+        ["url"],
+        index_col="node",
+        cache_handle=cache_handle,
     ).select("url", F.col("node").cast("long").alias("node"))
 
 

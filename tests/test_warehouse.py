@@ -60,13 +60,13 @@ def test_bucketed_self_join_is_exchange_free(spark, bucketed):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
     w = bucketed_wedges(spark, TABLE)
-    # wedges = out_degree^2
+    # wedges = d*(d-1) ordered distinct pairs (strict-wedge convention)
     deg = {
         r["src"]: r["c"]
         for r in bucketed.groupBy("src").agg(F.count("*").alias("c")).collect()
     }
     got = {r["src"]: r["wedges"] for r in w.collect()}
-    assert got == {k: v * v for k, v in deg.items()}
+    assert got == {k: v * (v - 1) for k, v in deg.items()}
 
 
 def test_unbucketed_same_query_needs_exchange(spark, bucketed):
