@@ -3386,7 +3386,7 @@ def _stable_nodes_sql() -> str:
     ctes = _plp_ctes(PLP_ITERS)
     L = f"l{PLP_ITERS}"
     ctes.append(f"""cnt AS MATERIALIZED (
-  SELECT s.src, la.label AS lsrc, lb.label AS ldst, COUNT(*) AS c
+  SELECT s.src, la.label AS lsrc, lb.label AS ldst, SUM(s.weight) AS c
   FROM sym s JOIN {L} la ON s.src = la.node JOIN {L} lb ON s.dst = lb.node
   GROUP BY s.src, la.label, lb.label
 )""")
@@ -3397,10 +3397,13 @@ def _stable_nodes_sql() -> str:
         "oth AS MATERIALIZED (SELECT src AS node, MAX(c) AS other_c FROM cnt "
         "WHERE lsrc <> ldst GROUP BY src)"
     )
+    # StablePartitionNodes.cpp semantics: weight sums, positive own weight
+    # required, isolated nodes stable (every node here has degree >= 1 —
+    # the graph's node set is edge-derived — so no isolated branch needed)
     return _with(
         *ctes,
         select=f"""SELECT l.node,
-  COALESCE(own.own_c, 0) > COALESCE(oth.other_c, 0) AS stable
+  COALESCE(own.own_c, 0) > 0 AND COALESCE(own.own_c, 0) > COALESCE(oth.other_c, 0) AS stable
 FROM {L} l LEFT JOIN own ON l.node = own.node LEFT JOIN oth ON l.node = oth.node""",
     )
 
@@ -3507,16 +3510,23 @@ def _diameter_exact_sql() -> str:
 
 
 def _missing_links_sql() -> str:
+    # exact-distance-2 layered BFS from the limited sources, canonicalized
+    # AFTER generation (MissingLinksFinder.cpp findFromNode semantics —
+    # mirrors operators/linkprediction.missing_links)
     return _with(
         edges_sql(N_NODES),
-        f"""two_hop AS MATERIALIZED (
-  SELECT DISTINCT e1.src AS u, e2.dst AS v
-  FROM sym e1 JOIN sym e2 ON e1.dst = e2.src
-  WHERE e1.src < e2.dst AND e1.src < {LP_MAX_NODE}
+        f"""f1 AS MATERIALIZED (
+  SELECT DISTINCT s.src AS u, s.dst AS v FROM sym s WHERE s.src < {LP_MAX_NODE}
 )""",
-        select="""SELECT t.u, t.v FROM two_hop t
-LEFT JOIN edges e ON t.u = e.src AND t.v = e.dst
-WHERE e.src IS NULL""",
+        """f2 AS MATERIALIZED (
+  SELECT DISTINCT f.u, s.dst AS v
+  FROM f1 f JOIN sym s ON f.v = s.src
+  WHERE s.dst <> f.u
+    AND NOT EXISTS (SELECT 1 FROM f1 x WHERE x.u = f.u AND x.v = s.dst)
+)""",
+        select=(
+            "SELECT DISTINCT LEAST(u, v) AS u, GREATEST(u, v) AS v FROM f2"
+        ),
     )
 
 

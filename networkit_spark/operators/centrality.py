@@ -57,9 +57,17 @@ def closeness_sampled(graph: Graph, sources: list[int]) -> DataFrame:
         F.sum(F.col("dist").cast("double")).alias("total"),
         F.count("*").alias("reached"),
     )
-    return sums.select(
+    # nodes unreached by EVERY sampled pivot (small far components, isolated
+    # nodes) still get a row — score 0, like the exact siblings that all
+    # coalesce over graph.nodes()
+    return graph.nodes().join(sums, "node", "left").select(
         "node",
-        F.when(F.col("total") > 0, F.col("reached") / F.col("total")).otherwise(0.0).alias("score"),
+        F.when(
+            F.coalesce("total", F.lit(0.0)) > 0,
+            F.col("reached") / F.col("total"),
+        )
+        .otherwise(0.0)
+        .alias("score"),
     )
 
 
@@ -303,18 +311,24 @@ def top_closeness(graph: Graph, k: int = 10, batch: int | None = None) -> DataFr
             .collect()
         )
         exact_rows.extend((r["node"], float(r["score"])) for r in ex)
-        remaining = remaining.join(
+        prev_remaining = remaining
+        remaining = prev_remaining.join(
             graph.edges.sparkSession.createDataFrame(
                 [(s,) for s in sources], "node long"
             ),
             "node",
             "left_anti",
         ).persist()
+        remaining.count()  # materialize before releasing the parent cache
+        if prev_remaining is not bound:
+            prev_remaining.unpersist()
         if len(exact_rows) >= k:
             kth = sorted((s for _, s in exact_rows), reverse=True)[k - 1]
             mx = remaining.agg(F.max("ub")).collect()[0][0]
             if mx is None or mx <= kth:
                 break
+    if remaining is not bound:
+        remaining.unpersist()
     bound.unpersist()
     top = sorted(exact_rows, key=lambda t: (-t[1], t[0]))[:k]
     spark = graph.edges.sparkSession

@@ -129,8 +129,9 @@ def _edge_labels(graph: Graph, labels: DataFrame) -> DataFrame:
 
 def modularity(graph: Graph, labels: DataFrame) -> float:
     """Modularity.cpp:28-81: coverage − Σ_C (vol(C)/2m)²; vol counts self-
-    loops twice... reference counts self-loop weight once in degree and the
-    total edge weight, intra-weight includes loops (:52-60)."""
+    loops TWICE (``weightedDegree(v) + weight(v,v)``, Modularity.cpp:59 —
+    "account for self-loops a second time"); total edge weight counts them
+    once; intra-weight includes loops."""
     m = graph.total_edge_weight()
     if m == 0:
         return 0.0
@@ -140,9 +141,22 @@ def modularity(graph: Graph, labels: DataFrame) -> float:
         or 0.0
     )
     coverage = intra / m
-    # volume per community: sum of weighted degrees (sym view counts each
-    # undirected edge at both endpoints → vol(C) sums to 2m)
-    wdeg = graph.weighted_degrees()
+    # volume per community: sum of weighted degrees with self-loops counted
+    # TWICE (Modularity.cpp totalEdgeWeight/volume convention, same
+    # correction plm.py applies — sym()/weighted_degrees see a loop once,
+    # so add its weight once more; coarsened graphs are all self-loops)
+    selfw = (
+        graph.edges.filter(F.col("src") == F.col("dst"))
+        .groupBy(F.col("src").alias("node"))
+        .agg(F.sum("weight").alias("sw"))
+    )
+    wdeg = (
+        graph.weighted_degrees()
+        .join(selfw, "node", "left")
+        .select(
+            "node", (F.col("wdeg") + F.coalesce("sw", F.lit(0.0))).alias("wdeg")
+        )
+    )
     vol = (
         labels.join(wdeg, "node")
         .groupBy("label")
@@ -259,11 +273,13 @@ def permanence_centrality(graph: Graph, labels: DataFrame) -> DataFrame:
     class as triangle counting; orient by degree at scale). Returns
     (node, score)."""
     lab = labels.select("node", "label")
-    nb = (
+    # eager materialization instead of a never-released persist (the frame
+    # feeds the per-community stats AND the wedge join; blocks are freed by
+    # the checkpoint cleaner instead of leaking per call)
+    nb = _cc(
         graph.sym().select("src", "dst")
         .join(lab.select(F.col("node").alias("src"), F.col("label").alias("lu")), "src")
         .join(lab.select(F.col("node").alias("dst"), F.col("label").alias("lv")), "dst")
-        .persist()
     )
     per_comm = nb.groupBy("src", "lu", "lv").agg(F.count("*").alias("c"))
     stats = per_comm.groupBy("src").agg(
@@ -366,12 +382,16 @@ def agglomerative_clusterer(
             "node", F.coalesce("to", F.col("node")).alias("label")
         ).transform(_cc)
         g = coarsen(g, rl)
+        # LEFT join: coarsen() returns an edge-derived Graph, so an
+        # ISOLATED supernode has no rl row — an inner join would silently
+        # drop every fine node mapped to it from the returned partition
         mapping = (
             mapping.join(
                 rl.select(F.col("node").alias("label"), F.col("label").alias("nl")),
                 "label",
+                "left",
             )
-            .select("node", F.col("nl").alias("label"))
+            .select("node", F.coalesce("nl", F.col("label")).alias("label"))
             .transform(_cc)
         )
     return mapping

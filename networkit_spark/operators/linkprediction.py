@@ -133,23 +133,39 @@ def evaluate_predictions(
 
 
 def missing_links(graph: Graph, k_hop: int = 2, limit_nodes: DataFrame | None = None) -> DataFrame:
-    """MissingLinksFinder analog: non-adjacent pairs at distance 2
-    (the standard candidate set — wedge endpoints minus existing edges)."""
+    """MissingLinksFinder (MissingLinksFinder.cpp:19-67): canonical (u, v)
+    pairs at EXACT BFS distance ``k_hop`` — findFromNode's layered BFS
+    (visited excludes anything closer), relationally: pair-frontier
+    expansion with a seen-minus per layer. ``limit_nodes`` restricts the
+    BFS SOURCES; pairs are canonicalized least/greatest AFTER generation,
+    so a candidate incident to a limited node survives regardless of which
+    endpoint has the smaller id (a pre-canonical ``u < v`` filter would
+    silently drop every partner with a smaller id than the limited node)."""
+    from ..plans.ckpt import clean_local_checkpoint as _cc
+
     sym = graph.sym().select("src", "dst")
-    e1 = sym.select(F.col("src").alias("u"), F.col("dst").alias("z"))
-    e2 = sym.select(F.col("src").alias("z"), F.col("dst").alias("v"))
     if limit_nodes is not None:
-        e1 = e1.join(limit_nodes.withColumnRenamed(limit_nodes.columns[0], "u"), "u", "left_semi")
-    two_hop = (
-        e1.join(e2, "z")
-        .filter(F.col("u") < F.col("v"))
-        .select("u", "v")
+        start = limit_nodes.select(
+            F.col(limit_nodes.columns[0]).alias("u")
+        )
+    else:
+        start = graph.nodes().select(F.col("node").alias("u"))
+    seen = start.select("u", F.col("u").alias("v"))
+    frontier = seen
+    for _ in range(k_hop):
+        nxt = (
+            frontier.join(sym, frontier["v"] == sym["src"])
+            .select("u", F.col("dst").alias("v"))
+            .distinct()
+        )
+        frontier = nxt.join(seen, ["u", "v"], "left_anti").transform(_cc)
+        seen = seen.unionByName(frontier).transform(_cc)
+    return (
+        frontier.select(
+            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+        )
         .distinct()
     )
-    existing = sym.filter(F.col("src") < F.col("dst")).select(
-        F.col("src").alias("u"), F.col("dst").alias("v")
-    )
-    return two_hop.join(existing, ["u", "v"], "left_anti")
 
 
 def same_community_index(labels: DataFrame, pairs: DataFrame) -> DataFrame:

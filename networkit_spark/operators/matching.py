@@ -79,6 +79,15 @@ def local_max_matching(graph: Graph, max_iter: int = 100) -> DataFrame:
             .select("src", "dst", "weight")
             .transform(_cc)
         )
+    if not edges.isEmpty():
+        # exhausted max_iter with unmatched edges left: the result would be
+        # a NON-MAXIMAL matching (adversarial weight orderings match ~1
+        # edge per round) — fail loudly rather than silently lose the
+        # 1/2-approximation guarantee
+        raise RuntimeError(
+            "local_max_matching: not maximal after "
+            f"{max_iter} rounds — raise max_iter"
+        )
     if matched is None:
         return graph.edges.limit(0)
     return matched
@@ -217,6 +226,12 @@ def path_growing_matching(
             edges.join(dead.withColumnRenamed("node", "src"), "src", "left_anti")
             .join(dead.withColumnRenamed("node", "dst"), "dst", "left_anti")
             .transform(_cc)
+        )
+    if not edges.isEmpty():
+        raise RuntimeError(
+            "path_growing_matching: edges left unprocessed after "
+            f"{max_rounds} rounds — raise max_rounds (silent truncation "
+            "would break the 1/2-approximation)"
         )
     if stats is not None:
         stats["rounds"] = rounds_used

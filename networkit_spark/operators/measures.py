@@ -18,6 +18,7 @@ import math
 from pyspark.sql import DataFrame, functions as F
 
 from ..graph import Graph
+from ..plans.ckpt import clean_local_checkpoint as _cc
 
 
 def _contingency(a: DataFrame, b: DataFrame) -> DataFrame:
@@ -199,14 +200,18 @@ def partition_hub_dominance(graph: Graph, labels: DataFrame) -> DataFrame:
 
 
 def stable_partition_nodes(graph: Graph, labels: DataFrame) -> DataFrame:
-    """StablePartitionNodes: per node, is the node 'stable' — strictly more
-    neighbors inside its community than in any other single community."""
+    """StablePartitionNodes.cpp:10-42: per node, is the node 'stable' —
+    strictly more incident edge WEIGHT into its own community than into any
+    other single community, with positive own weight required; isolated
+    nodes are stable by definition (.cpp:23 comment). Deviation noted: the
+    reference accumulates edge weights into an integer ``count`` map
+    (silently truncating fractional weights); we sum true weights."""
     la = labels.select(F.col("node").alias("src"), F.col("label").alias("lsrc"))
     lb = labels.select(F.col("node").alias("dst"), F.col("label").alias("ldst"))
     cnt = (
         graph.sym().join(la, "src").join(lb, "dst")
         .groupBy("src", "lsrc", "ldst")
-        .agg(F.count("*").alias("c"))
+        .agg(F.sum("weight").alias("c"))
     )
     own = cnt.filter(F.col("lsrc") == F.col("ldst")).select(
         F.col("src").alias("node"), F.col("c").alias("own_c")
@@ -216,15 +221,23 @@ def stable_partition_nodes(graph: Graph, labels: DataFrame) -> DataFrame:
         .groupBy(F.col("src").alias("node"))
         .agg(F.max("c").alias("other_c"))
     )
+    deg = graph.degrees()
     return (
         labels.select("node")
+        .join(deg, "node", "left")
         .join(own, "node", "left")
         .join(best_other, "node", "left")
         .select(
             "node",
-            (
-                F.coalesce("own_c", F.lit(0)) > F.coalesce("other_c", F.lit(0))
-            ).alias("stable"),
+            F.when(F.coalesce("degree", F.lit(0)) == 0, F.lit(True))
+            .otherwise(
+                (F.coalesce("own_c", F.lit(0.0)) > 0)
+                & (
+                    F.coalesce("own_c", F.lit(0.0))
+                    > F.coalesce("other_c", F.lit(0.0))
+                )
+            )
+            .alias("stable"),
         )
     )
 
@@ -257,7 +270,10 @@ def isolated_interpartition_conductance(graph: Graph, labels: DataFrame) -> Data
     from the edge-incident volume table)."""
     la = labels.select(F.col("node").alias("src"), F.col("label").alias("lsrc"))
     lb = labels.select(F.col("node").alias("dst"), F.col("label").alias("ldst"))
-    e = graph.edges.join(la, "src").join(lb, "dst").persist()
+    # eager materialization (not persist/unpersist — an unpersist before the
+    # lazy result is consumed is a no-op persist, and the two label joins
+    # would re-run in all four union branches)
+    e = _cc(graph.edges.join(la, "src").join(lb, "dst"))
     vol = (
         e.select(F.col("lsrc").alias("label"), "weight")
         .unionByName(e.select(F.col("ldst").alias("label"), "weight"))
@@ -275,7 +291,6 @@ def isolated_interpartition_conductance(graph: Graph, labels: DataFrame) -> Data
     total = 2.0 * float(
         graph.edges.agg(F.sum("weight")).collect()[0][0] or 0.0
     )
-    e.unpersist()
     clusters = labels.select("label").distinct()
     return (
         clusters.join(vol, "label", "left")

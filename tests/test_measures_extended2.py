@@ -1,6 +1,7 @@
 """Isolated-interpartition measures, cover hub dominance, sampled Rand —
 vs sequential replicas of the reference accumulation loops."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from networkit_spark.graph import Graph
@@ -138,3 +139,56 @@ def test_isolated_conductance_all_isolated_cluster_emits_zero(spark):
     assert got[9] == 0.0
     for c, v in want.items():
         assert abs(got[c] - v) < 1e-12
+
+
+def test_stable_nodes_isolated_and_weighted(spark):
+    """StablePartitionNodes.cpp: isolated nodes are stable; stability
+    compares summed edge WEIGHTS, not neighbor counts."""
+    from networkit_spark.operators.measures import stable_partition_nodes
+
+    # node 0: one heavy intra edge (w=10) vs two light inter edges (w=1+1=2)
+    edges = [(0, 1, 10.0), (0, 2, 1.0), (0, 3, 1.0)]
+    g = Graph.from_edge_list(spark, edges, weighted=True, num_nodes=5)
+    labels = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 2), (3, 2), (4, 4)], "node long, label long"
+    )
+    got = {r["node"]: r["stable"] for r in stable_partition_nodes(g, labels).collect()}
+    assert got[0] is True     # weight 10 intra > 2 inter (count 1 > 2 is False)
+    assert got[4] is True     # isolated => stable (reference comment)
+    assert got[2] is False    # only inter weight, own weight 0
+
+
+def test_missing_links_limited_node_both_sides(spark):
+    """A limited node's candidates include partners with SMALLER ids —
+    canonicalization happens after generation."""
+    from networkit_spark.operators.linkprediction import missing_links
+
+    # wedge 3 - 9 - 5: pair (3,5) at distance 2
+    edges = [(3, 9, 1.0), (9, 5, 1.0)]
+    g = Graph.from_edge_list(spark, edges, weighted=True)
+    limit = spark.createDataFrame([(5,)], "node long")
+    got = {(r["u"], r["v"]) for r in missing_links(g, limit_nodes=limit).collect()}
+    assert (3, 5) in got
+
+
+def test_missing_links_k_hop_exact_distance(spark):
+    from networkit_spark.operators.linkprediction import missing_links
+
+    # path 0-1-2-3: distance-3 pair is exactly (0,3)
+    edges = [(0, 1, 1.0), (1, 2, 1.0), (2, 3, 1.0)]
+    g = Graph.from_edge_list(spark, edges, weighted=True)
+    got2 = {(r["u"], r["v"]) for r in missing_links(g, k_hop=2).collect()}
+    got3 = {(r["u"], r["v"]) for r in missing_links(g, k_hop=3).collect()}
+    assert got2 == {(0, 2), (1, 3)}
+    assert got3 == {(0, 3)}
+
+
+def test_modularity_self_loop_volume(spark):
+    """Modularity.cpp:59 counts self-loops twice in the volume: edge (0,1)
+    + loop (1,1), one community -> vol = 4 = 2m -> modularity exactly 0."""
+    from networkit_spark.operators.community import modularity
+
+    edges = [(0, 1, 1.0), (1, 1, 1.0)]
+    g = Graph.from_edge_list(spark, edges, weighted=True)
+    labels = spark.createDataFrame([(0, 0), (1, 0)], "node long, label long")
+    assert modularity(g, labels) == pytest.approx(0.0)
