@@ -46,6 +46,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from ..graph import Graph
 from ..plans.ckpt import clean_local_checkpoint as _cc
+from ..plans.iterate import _free_checkpoint_blocks
 from ..functions.dedup import hash60
 
 
@@ -128,10 +129,7 @@ def laplacian_smooth(
         if i % checkpoint_every == checkpoint_every - 1 or i == iters - 1:
             new = new.transform(_cc)
             if prev is not None:
-                try:
-                    prev.unpersist(True)
-                except Exception:
-                    pass
+                _free_checkpoint_blocks(prev)
             prev = new
         state = new
     sym.unpersist()
@@ -242,11 +240,6 @@ def conjugate_gradient(
             "p",
         )
         st2 = clean_local_checkpoint(st2)
-        if prev is not None:
-            try:
-                prev.unpersist(True)
-            except Exception:
-                pass
         res = {
             row["sys"]: (float(row["rr"]), float(row["rzn"]))
             for row in st2.groupBy("sys")
@@ -280,6 +273,14 @@ def conjugate_gradient(
             (znew + F.col("beta") * F.col("p")).alias("p"),
         )
         state = clean_local_checkpoint(state)
+        # free ALL superseded checkpoints of this iteration now that the new
+        # state is materialized (Dataset.unpersist is a no-op for
+        # localCheckpoint blocks — release the underlying RDDs; st/st2 were
+        # previously never released at all: 2 leaked state-sized caches per
+        # CG iteration)
+        for old in (st, st2, prev):
+            if old is not None:
+                _free_checkpoint_blocks(old)
         prev = state
         if all(res[s][0] <= tol * tol * bb.get(s, 0.0) for s in res):
             break
@@ -290,9 +291,15 @@ def conjugate_gradient(
 def _pairs_df(graph: Graph, pairs) -> DataFrame:
     spark = graph.edges.sparkSession
     if isinstance(pairs, DataFrame):
-        return pairs.select(
-            F.col("u").cast("long"), F.col("v").cast("long")
-        ).withColumn("sys", F.monotonically_increasing_id())
+        # pin the assigned ids: monotonically_increasing_id depends on the
+        # physical partition layout, and the solver + the final join each
+        # evaluate this frame in separate jobs — an unpinned id could pair
+        # (u, v) with another pair's solution vector
+        return _cc(
+            pairs.select(
+                F.col("u").cast("long"), F.col("v").cast("long")
+            ).withColumn("sys", F.monotonically_increasing_id())
+        )
     rows = [(int(u), int(v), i) for i, (u, v) in enumerate(pairs)]
     return spark.createDataFrame(rows, "u long, v long, sys long")
 

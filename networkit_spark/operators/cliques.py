@@ -147,7 +147,17 @@ def clique_number(graph: Graph) -> int:
 
 def max_clique(graph: Graph) -> DataFrame:
     """One maximum clique per row (all cliques attaining ω(G)), deterministic
-    order by member ids."""
-    mc = maximal_cliques(graph).persist()
+    order by member ids. The clique enumeration is materialized eagerly (it
+    feeds both the ω aggregation and the filter) and its storage released
+    once the small ω-sized result is pinned — a bare persist here leaked
+    the full enumeration per call."""
+    from ..plans.ckpt import clean_local_checkpoint as _cc
+    from ..plans.iterate import _free_checkpoint_blocks
+
+    mc = _cc(maximal_cliques(graph))
     w = mc.agg(F.max("size")).collect()[0][0]
-    return mc.filter(F.col("size") == w).orderBy(F.col("clique"))
+    out = mc.filter(F.col("size") == w).orderBy(F.col("clique")).localCheckpoint(
+        eager=True
+    )
+    _free_checkpoint_blocks(mc)
+    return out

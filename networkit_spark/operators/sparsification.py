@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 from ..graph import Graph
+from ..plans.ckpt import clean_local_checkpoint as _ffcc
+from ..plans.iterate import _free_checkpoint_blocks as _free_ck
 from .triangles import triangle_edge_score
 
 
@@ -419,7 +421,7 @@ def forest_fire_score(
     burnt_acc = None  # (src, dst, burns) canonical
     total_burnt = 0
     wave = 0
-    spark = sym.sparkSession
+
     while total_burnt < target and wave < 64:
         # ignite: fires_per_wave hash-selected distinct start nodes
         starts = (
@@ -428,11 +430,16 @@ def forest_fire_score(
             .limit(fires_per_wave)
             .select(F.xxhash64("node", F.lit(wave)).alias("fire"), "node")
         )
-        visited = starts.select("fire", "node").persist()
+        # per-wave cache lifecycle: frames are materialized via the
+        # stats-clean checkpoint and superseded ones released immediately —
+        # a 64-wave run previously pinned every per-step visited/cand frame
+        # for the session lifetime
+        visited = _ffcc(starts.select("fire", "node"))
         frontier = visited
         wave_burns = None
+        step_frames = []
         for step in range(max_steps):
-            cand = (
+            cand = _ffcc(
                 frontier.join(sym, frontier["node"] == sym["src"])
                 .select("fire", "src", "dst")
                 .join(
@@ -444,7 +451,6 @@ def forest_fire_score(
                     u01(F.col("fire"), F.col("src"), F.col("dst"),
                         F.lit(seed), F.lit(step)) < pf
                 )
-                .persist()
             )
             burns = cand.select(
                 F.least("src", "dst").alias("src"),
@@ -455,18 +461,26 @@ def forest_fire_score(
                 .groupBy("src", "dst").agg(F.sum("burns").alias("burns"))
             )
             new_front = cand.select("fire", F.col("dst").alias("node")).distinct()
-            visited = visited.unionByName(new_front).persist()
+            old_visited = visited
+            visited = _ffcc(visited.unionByName(new_front))
+            step_frames.extend((cand, old_visited))
             frontier = new_front
             if frontier.isEmpty():
                 break
         if wave_burns is not None:
-            wave_burns = wave_burns.persist()
+            wave_burns = _ffcc(wave_burns)
             total_burnt += wave_burns.agg(F.sum("burns")).collect()[0][0] or 0
-            burnt_acc = wave_burns if burnt_acc is None else (
+            old_acc = burnt_acc
+            burnt_acc = wave_burns if burnt_acc is None else _ffcc(
                 burnt_acc.unionByName(wave_burns)
                 .groupBy("src", "dst").agg(F.sum("burns").alias("burns"))
-                .persist()
             )
+            if old_acc is not None:
+                _free_ck(old_acc)
+            if burnt_acc is not wave_burns:
+                _free_ck(wave_burns)
+        for df_ in step_frames + [visited]:
+            _free_ck(df_)
         wave += 1
     sym.unpersist()
     edges = graph.edges.select("src", "dst")
@@ -495,7 +509,7 @@ def random_node_edge_score(
     order is replaced by a single exponential race. Each edge draws a
     removal time Exp(rate_e) with
 
-        rate_e = (1 - rne_ratio) * 1/m + rne_ratio * (1/deg(u) + 1/deg(v)) / (2n)
+        rate_e = (1 - rne_ratio) * 1/m + rne_ratio * (1/deg(u) + 1/deg(v)) / n
 
     — the stationary per-step pick probability of the reference's mixture —
     via the inverse-CDF of a seeded hash-uniform. The score is the exact
@@ -513,9 +527,13 @@ def random_node_edge_score(
         (F.abs(F.xxhash64("src", "dst", F.lit(seed))) % F.lit(2 ** 53) + 1)
         .cast("double") / F.lit(float(2 ** 53))
     )
+    # node-edge pick probability of edge {u,v}: (1/n)(1/du) + (1/n)(1/dv)
+    # — sums to exactly 1 over all edges, so the mixture weights really are
+    # rne_ratio : (1 - rne_ratio) (a /2n here would halve the degree-biased
+    # component and shift removal RANKS, not just rescale)
     rate = (
         F.lit((1.0 - rne_ratio) / m)
-        + F.lit(rne_ratio / (2.0 * n)) * (1.0 / F.col("du") + 1.0 / F.col("dv"))
+        + F.lit(rne_ratio / float(n)) * (1.0 / F.col("du") + 1.0 / F.col("dv"))
     )
     timed = (
         graph.edges.select("src", "dst")

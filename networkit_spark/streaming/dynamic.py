@@ -97,14 +97,23 @@ class DynSSSP:
         seed = spark.createDataFrame(
             [(int(self.source), 0.0)], "node long, dist double"
         )
-        return _relax_loop(self._sym(graph), seed, seed)
+        # persist the adjacency for the relax supersteps (sym_part's
+        # contract: callers persist) — otherwise every Bellman-Ford round
+        # re-reads and re-shuffles all m edges
+        sym = self._sym(graph).persist()
+        try:
+            return _relax_loop(sym, seed, seed)
+        finally:
+            sym.unpersist()
 
     def update(self, events: DataFrame) -> DataFrame:
         """Fold an event batch into the graph and repair distances
         incrementally.  Returns the new (node, dist) DataFrame."""
         old_edges = self.graph.edges
         new_edges = apply_events(
-            old_edges.select("src", "dst", "weight"), events
+            old_edges.select("src", "dst", "weight"),
+            events,
+            directed=self.graph.directed,
         ).transform(_cc)
         new_graph = Graph(
             new_edges, directed=self.graph.directed, weighted=self.graph.weighted
@@ -266,7 +275,9 @@ class DynApproxBetweenness:
 
         old_sym = self.graph.sym().select("src", "dst").distinct()
         new_edges = apply_events(
-            self.graph.edges.select("src", "dst", "weight"), events
+            self.graph.edges.select("src", "dst", "weight"),
+            events,
+            directed=self.graph.directed,
         ).transform(_cc)
         new_graph = Graph(
             new_edges, directed=self.graph.directed, weighted=self.graph.weighted

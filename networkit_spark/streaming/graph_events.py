@@ -29,46 +29,71 @@ EVENT_TYPES = [
 EVENT_SCHEMA = "seq long, type string, u long, v long, w double, ts timestamp"
 
 
-def apply_events(edges: DataFrame, events: DataFrame) -> DataFrame:
+def apply_events(
+    edges: DataFrame, events: DataFrame, directed: bool = False
+) -> DataFrame:
     """Fold an event batch into an edge table (src, dst, weight).
 
     Deterministic independent of partitioning: per (u, v) the outcome is the
-    in-seq-order fold of that edge's events. ADDITION/UPDATE set the weight,
-    INCREMENT adds, REMOVAL deletes. Implemented as a grouped sort-fold —
-    one shuffle on the edge key (the same key the edge table is stored by,
-    so at scale this is a co-partitioned merge, the relational equivalent of
-    Iceberg MERGE INTO in GraphUpdater.update, GraphUpdater.h:25)."""
+    in-seq-order fold of that edge's events SEEDED WITH THE EDGE'S PRIOR
+    STATE in ``edges`` — GraphUpdater.cpp's EDGE_WEIGHT_INCREMENT is
+    ``setWeight(u, v, weight(u,v) + w)``, so an increment on a pre-existing
+    edge must add to the stored weight, not to a zero seed (a zero seed
+    would also leave ``exists=False`` and silently DELETE the edge).
+    ADDITION/UPDATE set the weight, INCREMENT adds, REMOVAL deletes.
+    Implemented as a grouped sort-fold joined against the base table — one
+    shuffle on the edge key (the key the edge table is stored by, so at
+    scale this is a co-partitioned merge, the relational equivalent of
+    Iceberg MERGE INTO in GraphUpdater.update, GraphUpdater.h:25).
+
+    ``directed=True`` keeps (u, v) as an arc key; undirected events
+    canonicalize to (least, greatest) like the canonical edge store.
+
+    NODE_* events have no edge effect by REFERENCE semantics —
+    ``Graph::removeNode`` (Graph.cpp:509-519) requires the node to already
+    be isolated, so removal/restoration only toggles node existence, which
+    an edge-derived table does not carry. They are ignored here."""
+    if directed:
+        key = [F.col("u").alias("src"), F.col("v").alias("dst")]
+    else:
+        key = [F.least("u", "v").alias("src"), F.greatest("u", "v").alias("dst")]
     ev = events.filter(
         F.col("type").isin("EDGE_ADDITION", "EDGE_REMOVAL",
                            "EDGE_WEIGHT_UPDATE", "EDGE_WEIGHT_INCREMENT")
-    ).select(
-        F.least("u", "v").alias("src"), F.greatest("u", "v").alias("dst"),
-        "seq", "type", "w",
+    ).select(*key, "seq", "type", "w")
+    gathered = ev.groupBy("src", "dst").agg(
+        F.array_sort(F.collect_list(F.struct("seq", "type", "w"))).alias("evs")
     )
-    folded = (
-        ev.groupBy("src", "dst")
-        .agg(
-            F.aggregate(
-                F.array_sort(
-                    F.collect_list(F.struct("seq", "type", "w"))
-                ),
+    seeded = gathered.join(
+        edges.select("src", "dst", F.col("weight").alias("w0")),
+        ["src", "dst"],
+        "left",
+    )
+    folded = seeded.select(
+        "src",
+        "dst",
+        F.aggregate(
+            "evs",
+            F.struct(
+                F.col("w0").isNotNull().alias("exists"),
+                F.coalesce("w0", F.lit(0.0)).alias("weight"),
+            ),
+            lambda acc, e: F.when(
+                e["type"] == "EDGE_REMOVAL",
+                F.struct(F.lit(False).alias("exists"), F.lit(0.0).alias("weight")),
+            ).when(
+                # setWeight on a nonexisting edge CREATES it
+                # (Graph.cpp:815-819), so an increment always leaves the
+                # edge alive at prior-weight + w (prior = 0 when absent)
+                e["type"] == "EDGE_WEIGHT_INCREMENT",
                 F.struct(
-                    F.lit(False).alias("exists"), F.lit(0.0).alias("weight")
+                    F.lit(True).alias("exists"),
+                    (acc["weight"] + e["w"]).alias("weight"),
                 ),
-                lambda acc, e: F.when(
-                    e["type"] == "EDGE_REMOVAL",
-                    F.struct(F.lit(False).alias("exists"), F.lit(0.0).alias("weight")),
-                ).when(
-                    e["type"] == "EDGE_WEIGHT_INCREMENT",
-                    F.struct(
-                        acc["exists"].alias("exists"),
-                        (acc["weight"] + e["w"]).alias("weight"),
-                    ),
-                ).otherwise(
-                    F.struct(F.lit(True).alias("exists"), e["w"].alias("weight"))
-                ),
-            ).alias("state")
-        )
+            ).otherwise(
+                F.struct(F.lit(True).alias("exists"), e["w"].alias("weight"))
+            ),
+        ).alias("state"),
     )
     delta_alive = folded.filter(F.col("state.exists")).select(
         "src", "dst", F.col("state.weight").alias("weight")

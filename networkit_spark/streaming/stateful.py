@@ -9,9 +9,15 @@ reference's in-place ``Graph.addEdge/removeEdge`` degree bookkeeping
 
 Semantics: the event log is edge-consistent (a REMOVAL carries the weight
 it removes, as produced by graph-diff event generators and guaranteed by
-apply_events' fold); then after any prefix of batches the emitted (node,
-degree, wdeg) rows equal a from-scratch recompute on the folded graph —
-asserted in tests/test_stateful_streaming.py.
+apply_events' fold) and uses the DELTA algebra only — ADDITION / REMOVAL /
+EDGE_WEIGHT_INCREMENT. ``EDGE_WEIGHT_UPDATE`` (absolute set) is
+REJECTED, not ignored: per-node state cannot know the edge's prior weight,
+so silently passing it through would permanently diverge from the folded
+graph. Producers lower an absolute update to an INCREMENT of
+``new − old`` (they know the old weight) or to REMOVAL+ADDITION. Under
+that algebra, after any prefix of batches the emitted (node, degree, wdeg)
+rows equal a from-scratch recompute on the folded graph — asserted in
+tests/test_stateful_streaming.py.
 
 State is keyed by node and partitioned by Spark's state store — at web
 scale each executor holds its key range's state, no driver participation,
@@ -32,7 +38,19 @@ STATE_SCHEMA = "degree long, wdeg double, updates long"
 def _event_deltas(events: DataFrame) -> DataFrame:
     """Explode each edge event into per-endpoint (node, dd, dw) deltas.
     ADDITION: +1 degree, +w strength; REMOVAL: -1, -w;
-    EDGE_WEIGHT_INCREMENT: 0, +w. Other event types carry no degree mass."""
+    EDGE_WEIGHT_INCREMENT: 0, +w. EDGE_WEIGHT_UPDATE poisons the stream
+    with a runtime error (module doc: absolute sets are outside the delta
+    algebra — lower them upstream); node/TIME_STEP events carry no mass."""
+    guard = F.when(
+        F.col("type") == "EDGE_WEIGHT_UPDATE",
+        F.raise_error(
+            F.lit(
+                "streaming_degree_tracker: EDGE_WEIGHT_UPDATE is not "
+                "representable as a per-node delta — lower it to "
+                "EDGE_WEIGHT_INCREMENT(new - old) upstream"
+            )
+        ).cast("int"),
+    )
     sign = (
         F.when(F.col("type") == "EDGE_ADDITION", F.lit(1))
         .when(F.col("type") == "EDGE_REMOVAL", F.lit(-1))
@@ -45,7 +63,10 @@ def _event_deltas(events: DataFrame) -> DataFrame:
         .otherwise(F.lit(0.0))
     )
     base = events.select(
-        F.col("u"), F.col("v"), sign.alias("dd"), dw.alias("dw")
+        F.col("u"),
+        F.col("v"),
+        F.coalesce(guard, sign).alias("dd"),
+        dw.alias("dw"),
     ).filter((F.col("dd") != 0) | (F.col("dw") != 0.0))
     return base.select(F.col("u").alias("node"), "dd", "dw").unionByName(
         base.select(F.col("v").alias("node"), "dd", "dw")

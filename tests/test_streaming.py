@@ -122,3 +122,47 @@ def test_dgs_write_parse_roundtrip(spark, tmp_path):
         ("EDGE_REMOVAL", 0, 1),
     ]
     assert parsed[0]["w"] == 2.0
+
+
+def test_apply_events_increment_on_existing_edge(spark):
+    """GraphUpdater.cpp EDGE_WEIGHT_INCREMENT is setWeight(u,v, w(u,v)+dw):
+    the fold must seed from the BASE edge state — with a zero seed the
+    increment both lost the prior weight and deleted the edge."""
+    from networkit_spark.streaming.graph_events import apply_events
+
+    base = spark.createDataFrame([(1, 2, 1.0)], "src long, dst long, weight double")
+    ev = spark.createDataFrame(
+        [(0, "EDGE_WEIGHT_INCREMENT", 1, 2, 0.5, None)], EVENT_SCHEMA
+    )
+    got = {(r["src"], r["dst"]): r["weight"] for r in apply_events(base, ev).collect()}
+    assert got == {(1, 2): 1.5}
+    # increment on an ABSENT edge creates it (Graph.cpp:815-819 setWeight)
+    ev2 = spark.createDataFrame(
+        [(0, "EDGE_WEIGHT_INCREMENT", 3, 4, 2.0, None)], EVENT_SCHEMA
+    )
+    got2 = {(r["src"], r["dst"]): r["weight"] for r in apply_events(base, ev2).collect()}
+    assert got2 == {(1, 2): 1.0, (3, 4): 2.0}
+    # removal then increment re-creates at the increment's weight
+    ev3 = spark.createDataFrame(
+        [
+            (0, "EDGE_REMOVAL", 1, 2, 1.0, None),
+            (1, "EDGE_WEIGHT_INCREMENT", 1, 2, 0.25, None),
+        ],
+        EVENT_SCHEMA,
+    )
+    got3 = {(r["src"], r["dst"]): r["weight"] for r in apply_events(base, ev3).collect()}
+    assert got3 == {(1, 2): 0.25}
+
+
+def test_apply_events_directed_arcs(spark):
+    """directed=True keeps arc identity: removing (5,2) must not be
+    canonicalized to (2,5) and miss the stored arc."""
+    from networkit_spark.streaming.graph_events import apply_events
+
+    base = spark.createDataFrame([(5, 2, 1.0)], "src long, dst long, weight double")
+    ev = spark.createDataFrame([(0, "EDGE_REMOVAL", 5, 2, 1.0, None)], EVENT_SCHEMA)
+    assert apply_events(base, ev, directed=True).count() == 0
+    # adding arc (5,2) keeps its direction
+    ev2 = spark.createDataFrame([(0, "EDGE_ADDITION", 7, 3, 2.0, None)], EVENT_SCHEMA)
+    rows = apply_events(base, ev2, directed=True).collect()
+    assert {(r["src"], r["dst"]) for r in rows} == {(5, 2), (7, 3)}
