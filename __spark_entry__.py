@@ -1761,6 +1761,51 @@ def q_max_flow(spark, sf_dir):
     )
 
 
+HITS_ITERS = 8  # shared between q_hits and the unrolled oracle
+
+
+def q_hits(spark, sf_dir):
+    """HITS hubs/authorities (Kleinberg, JACM 1999 — Spark-first web
+    extension, operators/webstructure.py) on the directed lineitem graph;
+    fixed 8 normalized power supersteps mirroring the unrolled oracle."""
+    from networkit_spark.operators.webstructure import hits
+
+    h = hits(_g(spark, sf_dir, directed=True), fixed_iters=HITS_ITERS)
+    return h.select(
+        "node", F.round("hub", 6).alias("hub"), F.round("auth", 6).alias("auth")
+    )
+
+
+def q_reciprocity(spark, sf_dir):
+    """Arc reciprocity of the directed lineitem graph (webstructure.py);
+    scalar, rounded Spark-side for cross-engine hash equality."""
+    from networkit_spark.operators.webstructure import reciprocity
+
+    r = reciprocity(_g(spark, sf_dir, directed=True))
+    return spark.range(1).select(F.round(F.lit(r), 6).alias("reciprocity"))
+
+
+BOWTIE_MOD = 61  # sparser than SCC_MOD: gives a non-degenerate region mix
+
+
+def _bowtie_digraph(spark, sf_dir):
+    from networkit_spark.testgraph import lineitem_edges as _le
+
+    e = _le(spark, sf_dir, n_nodes=N_SPARSE, directed=True)
+    keep = e.filter((F.col("src") * 131 + F.col("dst") * 7) % BOWTIE_MOD == 0)
+    return Graph(keep.select("src", "dst", F.lit(1.0).alias("weight")), directed=True)
+
+
+def q_bowtie(spark, sf_dir):
+    """Broder bow-tie region per node of a sparse digraph (webstructure.py);
+    the oracle classifies from the same ≤64-step transitive closure as the
+    scc oracle. BOWTIE_MOD is tuned so core/in/out/disconnected all occur at
+    the driver-gate SF."""
+    from networkit_spark.operators.webstructure import bowtie_decomposition
+
+    return bowtie_decomposition(_bowtie_digraph(spark, sf_dir)).orderBy("node")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "graph_edges": q_edges,
@@ -1892,6 +1937,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gephi_grid": q_gephi_grid,
         "viz_draw_sizes": q_viz_draw_sizes,
         "community_draw_sizes": q_community_draw_sizes,
+        "hits": q_hits,
+        "reciprocity": q_reciprocity,
+        "bowtie": q_bowtie,
         # rows-only (no SQL-expressible oracle: FM sketches / multilevel
         # Louvain are not fixed-unroll reproducible in ANSI SQL)
         "anf_diameter": q_anf_diameter,
@@ -5110,6 +5158,111 @@ WHERE NOT EXISTS (
 """
 
 
+def _hits_sql() -> str:
+    """HITS unrolled: per iteration auth ← normalize(Aᵀ hub) then
+    hub ← normalize(A auth) — the exact superstep order of
+    webstructure.hits."""
+    ctes = [
+        edges_sql(N_NODES, directed=True),
+        "hub0 AS MATERIALIZED (SELECT node,"
+        " 1.0 / SQRT((SELECT COUNT(*) FROM nodes)) AS hub FROM nodes)",
+    ]
+    for i in range(1, HITS_ITERS + 1):
+        ctes.append(f"""ar{i} AS MATERIALIZED (
+  SELECT n.node, COALESCE(s.mass, 0.0) AS auth FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, SUM(e.weight * h.hub) AS mass
+    FROM edges e JOIN hub{i - 1} h ON e.src = h.node GROUP BY e.dst
+  ) s ON n.node = s.node
+)""")
+        ctes.append(
+            f"a{i} AS MATERIALIZED (SELECT node, auth /"
+            f" (SELECT SQRT(SUM(auth * auth)) FROM ar{i}) AS auth FROM ar{i})"
+        )
+        ctes.append(f"""hr{i} AS MATERIALIZED (
+  SELECT n.node, COALESCE(s.mass, 0.0) AS hub FROM nodes n LEFT JOIN (
+    SELECT e.src AS node, SUM(e.weight * a.auth) AS mass
+    FROM edges e JOIN a{i} a ON e.dst = a.node GROUP BY e.src
+  ) s ON n.node = s.node
+)""")
+        ctes.append(
+            f"hub{i} AS MATERIALIZED (SELECT node, hub /"
+            f" (SELECT SQRT(SUM(hub * hub)) FROM hr{i}) AS hub FROM hr{i})"
+        )
+    return _with(
+        *ctes,
+        select=(
+            f"SELECT h.node, ROUND(h.hub, 6) AS hub, ROUND(a.auth, 6) AS auth"
+            f" FROM hub{HITS_ITERS} h JOIN a{HITS_ITERS} a ON h.node = a.node"
+        ),
+    )
+
+
+def _reciprocity_sql() -> str:
+    return _with(
+        edges_sql(N_NODES, directed=True),
+        select=(
+            "SELECT ROUND(CAST((SELECT COUNT(*) FROM edges x"
+            " JOIN edges y ON y.src = x.dst AND y.dst = x.src) AS DOUBLE)"
+            " / (SELECT COUNT(*) FROM edges), 6) AS reciprocity"
+        ),
+    )
+
+
+def _bowtie_sql() -> str:
+    """Bow-tie regions from the same ≤64-step closure as the scc oracle:
+    region set algebra over p6. ``fin``/``bout`` need no path restriction —
+    a closure path from *in* to a ``rest`` node through the core would put
+    that node in ``fwd``, contradicting rest membership."""
+    ctes = [
+        edges_sql(N_SPARSE, directed=True),
+        f"sedges AS MATERIALIZED (SELECT src, dst FROM edges"
+        f" WHERE (src*131 + dst*7) % {BOWTIE_MOD} = 0)",
+        "snodes AS MATERIALIZED (SELECT DISTINCT node FROM ("
+        "SELECT src AS node FROM sedges UNION ALL SELECT dst AS node FROM sedges) u)",
+        "p0 AS MATERIALIZED (SELECT src, dst FROM sedges "
+        "UNION SELECT node AS src, node AS dst FROM snodes)",
+    ]
+    for i in range(6):
+        ctes.append(
+            f"p{i + 1} AS MATERIALIZED (SELECT DISTINCT a.src, b.dst "
+            f"FROM p{i} a JOIN p{i} b ON a.dst = b.src)"
+        )
+    ctes += [
+        "scc AS MATERIALIZED (SELECT f.src AS node, MIN(f.dst) AS component"
+        " FROM p6 f JOIN p6 b ON f.dst = b.src AND b.dst = f.src GROUP BY f.src)",
+        "core AS MATERIALIZED (SELECT node FROM scc WHERE component ="
+        " (SELECT component FROM scc GROUP BY component"
+        " ORDER BY COUNT(*) DESC, component LIMIT 1))",
+        "fwd AS MATERIALIZED (SELECT DISTINCT p.dst AS node"
+        " FROM p6 p JOIN core c ON p.src = c.node)",
+        "bwd AS MATERIALIZED (SELECT DISTINCT p.src AS node"
+        " FROM p6 p JOIN core c ON p.dst = c.node)",
+        "ins AS MATERIALIZED (SELECT node FROM bwd EXCEPT SELECT node FROM core)",
+        "outs AS MATERIALIZED (SELECT node FROM fwd EXCEPT SELECT node FROM core)",
+        "rest AS MATERIALIZED (SELECT node FROM snodes"
+        " EXCEPT SELECT node FROM fwd EXCEPT SELECT node FROM bwd)",
+        "fin AS MATERIALIZED (SELECT DISTINCT p.dst AS node FROM p6 p"
+        " JOIN ins i ON p.src = i.node"
+        " WHERE p.dst IN (SELECT node FROM rest))",
+        "bout AS MATERIALIZED (SELECT DISTINCT p.src AS node FROM p6 p"
+        " JOIN outs o ON p.dst = o.node"
+        " WHERE p.src IN (SELECT node FROM rest))",
+    ]
+    return _with(
+        *ctes,
+        select="""SELECT n.node,
+  CASE WHEN n.node IN (SELECT node FROM core) THEN 'core'
+       WHEN n.node IN (SELECT node FROM ins) THEN 'in'
+       WHEN n.node IN (SELECT node FROM outs) THEN 'out'
+       WHEN n.node IN (SELECT node FROM fin)
+            AND n.node IN (SELECT node FROM bout) THEN 'tube'
+       WHEN n.node IN (SELECT node FROM fin) THEN 'tendril_in'
+       WHEN n.node IN (SELECT node FROM bout) THEN 'tendril_out'
+       ELSE 'disconnected' END AS region
+FROM snodes n ORDER BY n.node""",
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     E = edges_sql(N_NODES)
     return {
@@ -5319,4 +5472,7 @@ def oracle_sql() -> dict[str, str]:
             ),
         ),
         "community_draw_sizes": _community_draw_sizes_sql(),
+        "hits": _hits_sql(),
+        "reciprocity": _reciprocity_sql(),
+        "bowtie": _bowtie_sql(),
     }

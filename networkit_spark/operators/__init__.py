@@ -91,5 +91,11 @@ from .semirings import (
     reachability,
 )
 from .graphlayout import fruchterman_reingold, multilevel_layout
+from .webstructure import (
+    hits,
+    reciprocity,
+    bowtie_decomposition,
+    bowtie_profile,
+)
 
 __all__ = [n for n in dir() if not n.startswith("_")]

@@ -1,0 +1,307 @@
+"""Web-graph structure analytics: HITS, reciprocity, bow-tie decomposition.
+
+These are link-graph operators the reference does not ship (its nearest
+surface is the centrality family, cpp/centrality/, and
+cpp/components/StronglyConnectedComponents.cpp) but that every production
+web-graph pipeline runs alongside PageRank — they are Spark-first extensions
+for the web-scale tier, built from the same superstep machinery:
+
+- :func:`hits` — Kleinberg's hubs-and-authorities power iteration
+  (*Authoritative Sources in a Hyperlinked Environment*, JACM 1999), the
+  same normalized-power-method shape as
+  operators/pagerank.eigenvector_centrality but with the two-sided
+  gather (authority over in-edges, hub over out-edges).
+- :func:`reciprocity` — fraction of directed arcs whose reverse arc also
+  exists (the standard first-order digraph statistic; one self-join).
+- :func:`bowtie_decomposition` — Broder et al., *Graph structure in the
+  web* (WWW 2000): classify every node as core / in / out / tube /
+  tendril_in / tendril_out / disconnected relative to the largest SCC.
+  Built from the distributed SCC (operators/components.py:117) plus four
+  frontier BFS reachability sweeps — every superstep is the same
+  frontier-semi-join + distinct shuffle shape as connected_components, so
+  the decomposition runs at full graph scale (no driver state beyond
+  per-round empty checks and the one largest-SCC id).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..graph import Graph
+from ..plans.ckpt import clean_local_checkpoint as _cc
+from ..plans.iterate import SuperstepDriver
+
+
+def reciprocity(graph: Graph) -> float:
+    """Fraction of non-loop arcs (u, v) whose reverse (v, u) is also an arc.
+
+    0.0 on an arcless graph (documented convention; networkx raises). On an
+    undirected graph every edge is reciprocal by construction → 1.0.
+    """
+    if not graph.directed:
+        return 1.0 if not graph.edges.filter(F.col("src") != F.col("dst")).isEmpty() else 0.0
+    arcs = (
+        graph.edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    rev = arcs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    row = (
+        arcs.join(rev, ["src", "dst"], "left_semi")
+        .agg(F.count("*").alias("r"))
+        .crossJoin(arcs.agg(F.count("*").alias("t")))
+        .first()
+    )
+    return float(row["r"]) / float(row["t"]) if row["t"] else 0.0
+
+
+def hits(
+    graph: Graph,
+    tol: float = 1e-8,
+    max_iter: int = 100,
+    fixed_iters: Optional[int] = None,
+) -> DataFrame:
+    """Hubs and authorities: ``(node, hub, auth)``, each vector L2-normalized.
+
+    Per superstep (Kleinberg's normalized power method on AᵀA / AAᵀ):
+    ``auth ← normalize(Aᵀ·hub)`` then ``hub ← normalize(A·auth)`` — two
+    weighted gather-aggregates over the arc table plus two scalar norm
+    collects; state is checkpointed once per superstep so lineage stays
+    flat. ``fixed_iters`` pins the superstep count (oracle-parity mode);
+    otherwise iterate until the combined L2 residual of both vectors is
+    ≤ ``tol``. Undirected graphs use both orientations (hub = auth there).
+
+    Scale shape: identical to PageRank's superstep — the arc table is the
+    loop-invariant big side, only the O(n) score vectors move per round.
+    """
+    arcs = graph.sym() if not graph.directed else graph.edges
+    arcs = arcs.select("src", "dst", "weight").persist()
+    arcs.count()
+    nodes = graph.nodes().persist()
+    n = nodes.count()
+    init = nodes.select(
+        "node",
+        F.lit(1.0 / math.sqrt(n)).alias("hub"),
+        F.lit(1.0 / math.sqrt(n)).alias("auth"),
+    )
+
+    def step(state: DataFrame, i: int):
+        # authority: gather hub mass over IN-edges
+        a_raw = (
+            arcs.join(
+                state.select(F.col("node").alias("src"), "hub"), "src"
+            )
+            .groupBy("dst")
+            .agg(F.sum(F.col("weight") * F.col("hub")).alias("mass"))
+        )
+        a_raw = (
+            nodes.join(a_raw, nodes.node == a_raw.dst, "left")
+            .select("node", F.coalesce("mass", F.lit(0.0)).alias("auth"))
+            .localCheckpoint(eager=True)
+        )
+        na = a_raw.agg(F.sqrt(F.sum(F.pow("auth", 2))).alias("s")).first()["s"] or 1.0
+        auth = a_raw.select("node", (F.col("auth") / F.lit(na)).alias("auth"))
+        # hub: gather authority mass over OUT-edges
+        h_raw = (
+            arcs.join(
+                auth.select(F.col("node").alias("dst"), "auth"), "dst"
+            )
+            .groupBy("src")
+            .agg(F.sum(F.col("weight") * F.col("auth")).alias("mass"))
+        )
+        new = (
+            nodes.join(h_raw, nodes.node == h_raw.src, "left")
+            .select(
+                "node",
+                F.coalesce("mass", F.lit(0.0)).alias("hub"),
+            )
+            .join(auth, "node")
+            .select("node", "hub", "auth")
+            .localCheckpoint(eager=True)
+        )
+        nh = new.agg(F.sqrt(F.sum(F.pow("hub", 2))).alias("s")).first()["s"] or 1.0
+        new = new.select(
+            "node", (F.col("hub") / F.lit(nh)).alias("hub"), "auth"
+        ).localCheckpoint(eager=True)
+        if fixed_iters is not None:
+            return new, None
+        resid = (
+            new.alias("a")
+            .join(state.alias("b"), "node")
+            .agg(
+                F.sqrt(
+                    F.sum(
+                        F.pow(F.col("a.hub") - F.col("b.hub"), 2)
+                        + F.pow(F.col("a.auth") - F.col("b.auth"), 2)
+                    )
+                ).alias("s")
+            )
+            .first()["s"]
+        )
+        return new, resid or 0.0
+
+    driver = SuperstepDriver(
+        tol=tol,
+        max_iter=fixed_iters if fixed_iters is not None else max_iter,
+        use_local_checkpoint=False,  # step() checkpoints before its collects
+    )
+    state = driver.run(init, step)
+    arcs.unpersist()
+    nodes.unpersist()
+    return state.df
+
+
+def _frontier_reach(arcs: DataFrame, seeds: DataFrame, forward: bool) -> DataFrame:
+    """Nodes reachable from ``seeds`` (inclusive) along arcs, forward or
+    backward — distributed frontier BFS; per round one semi-join-shaped
+    frontier expansion + distinct + anti-join, same shuffle shape as
+    connected_components. ``arcs`` should be persisted by the caller."""
+    step_src, step_dst = ("src", "dst") if forward else ("dst", "src")
+    visited = _cc(seeds.select("node").distinct())
+    frontier = visited
+    while True:
+        nxt = (
+            arcs.join(frontier.withColumnRenamed("node", step_src), step_src)
+            .select(F.col(step_dst).alias("node"))
+            .distinct()
+        )
+        new = nxt.join(visited, "node", "left_anti").transform(_cc)
+        if new.isEmpty():
+            return visited
+        visited = visited.unionByName(new).transform(_cc)
+        frontier = new
+
+
+#: region labels in canonical order
+BOWTIE_REGIONS = (
+    "core",
+    "in",
+    "out",
+    "tube",
+    "tendril_in",
+    "tendril_out",
+    "disconnected",
+)
+
+
+def bowtie_decomposition(graph: Graph) -> DataFrame:
+    """Broder bow-tie regions relative to the LARGEST SCC: ``(node, region)``.
+
+    Definitions (Broder et al. 2000, §3): with C the largest SCC (ties →
+    smallest canonical component id), F the forward-reachable set of C and
+    B the backward-reachable set,
+
+    - ``core`` = C; ``out`` = F∖C; ``in`` = B∖C (F∩B = C: a node both
+      reaching and reached by the core is mutually reachable with it),
+    - among the remaining nodes R (neither in F nor B): ``tube`` = reachable
+      from *in* AND reaching *out* (paths bypassing the core — a path from
+      *in* through R cannot touch C, else the node would be in F),
+      ``tendril_in`` = reachable from *in* only, ``tendril_out`` = reaching
+      *out* only, ``disconnected`` = the rest.
+
+    Four frontier BFS sweeps + one SCC call; only the largest-SCC id ever
+    reaches the driver.
+    """
+    if not graph.directed:
+        raise ValueError("bowtie_decomposition needs a directed graph")
+    from .components import strongly_connected_components
+
+    spark = graph.edges.sparkSession
+    empty = spark.createDataFrame([], "node long, region string")
+    arcs = graph.edges.select("src", "dst").distinct().persist()
+    arcs.count()
+    scc = strongly_connected_components(graph).persist()
+    top = (
+        scc.groupBy("component")
+        .agg(F.count("*").alias("sz"))
+        .orderBy(F.desc("sz"), F.asc("component"))
+        .first()
+    )
+    if top is None:
+        arcs.unpersist()
+        scc.unpersist()
+        return empty
+    core = scc.filter(F.col("component") == top["component"]).select("node")
+    core = _cc(core)
+
+    fwd = _frontier_reach(arcs, core, forward=True)     # includes core
+    bwd = _frontier_reach(arcs, core, forward=False)    # includes core
+    out_s = fwd.join(core, "node", "left_anti").transform(_cc)
+    in_s = bwd.join(core, "node", "left_anti").transform(_cc)
+    rest = (
+        graph.nodes()
+        .join(fwd, "node", "left_anti")
+        .join(bwd, "node", "left_anti")
+        .transform(_cc)
+    )
+    # sweeps from IN (forward) and to OUT (backward), with expansion
+    # RESTRICTED to R: a path from *in* to an R-node can only use IN∪R
+    # intermediates (touching the core or F would put the node in F), and
+    # every IN node is already a seed — so filtering arcs to dst∈R (resp.
+    # src∈R) is exact AND keeps the sweep from flooding the whole F/B sets
+    # through the core.
+    f_in = (
+        _frontier_reach(
+            arcs.join(rest.withColumnRenamed("node", "dst"), "dst", "left_semi"),
+            in_s,
+            forward=True,
+        )
+        .join(rest, "node", "left_semi")
+        .transform(_cc)
+        if not in_s.isEmpty()
+        else spark.createDataFrame([], "node long")
+    )
+    b_out = (
+        _frontier_reach(
+            arcs.join(rest.withColumnRenamed("node", "src"), "src", "left_semi"),
+            out_s,
+            forward=False,
+        )
+        .join(rest, "node", "left_semi")
+        .transform(_cc)
+        if not out_s.isEmpty()
+        else spark.createDataFrame([], "node long")
+    )
+
+    def lab(df: DataFrame, region: str) -> DataFrame:
+        return df.select("node", F.lit(region).alias("region"))
+
+    tube = f_in.join(b_out, "node", "left_semi")
+    tend_in = f_in.join(b_out, "node", "left_anti")
+    tend_out = b_out.join(f_in, "node", "left_anti")
+    disc = (
+        rest.join(f_in, "node", "left_anti").join(b_out, "node", "left_anti")
+    )
+    result = (
+        lab(core, "core")
+        .unionByName(lab(in_s, "in"))
+        .unionByName(lab(out_s, "out"))
+        .unionByName(lab(tube, "tube"))
+        .unionByName(lab(tend_in, "tendril_in"))
+        .unionByName(lab(tend_out, "tendril_out"))
+        .unionByName(lab(disc, "disconnected"))
+        .localCheckpoint(eager=True)
+    )
+    arcs.unpersist()
+    scc.unpersist()
+    return result
+
+
+def bowtie_profile(graph: Graph) -> DataFrame:
+    """Region sizes ``(region, n_nodes, frac)`` — the headline numbers of the
+    Broder paper (the web's ~27/21/21% core/in/out split). One extra agg over
+    :func:`bowtie_decomposition`."""
+    regions = bowtie_decomposition(graph)
+    total = graph.num_nodes()
+    return (
+        regions.groupBy("region")
+        .agg(F.count("*").alias("n_nodes"))
+        .select(
+            "region",
+            "n_nodes",
+            F.round(F.col("n_nodes") / F.lit(float(total)), 6).alias("frac"),
+        )
+    )

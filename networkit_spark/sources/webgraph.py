@@ -269,6 +269,9 @@ def host_spam_mass(
     ).select("host", "score")
     tr = _trustrank_on(g, id_map, trusted_hosts, damp, fixed_iters, 100, 1e-8)
     tsum = tr.agg(F.sum("trust")).first()[0]
+    # both rankings are checkpoint-backed past this point (the iterations
+    # materialize per superstep), so the shared host-edge cache can go
+    g.edges.unpersist()
     tr = tr.select("host", (F.col("trust") / F.lit(tsum)).alias("trust"))
     return pr.join(tr, "host").select(
         "host",

@@ -1,0 +1,145 @@
+"""Web-structure operators: HITS, reciprocity, bow-tie decomposition.
+
+HITS is checked against an in-test NumPy replica of Kleinberg's normalized
+power method (the operators are Spark-first extensions with no reference
+C++ twin — the replica IS the spec); bow-tie against a hand-built graph
+containing every Broder region.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from networkit_spark.graph import Graph
+from networkit_spark.operators.webstructure import (
+    BOWTIE_REGIONS,
+    bowtie_decomposition,
+    bowtie_profile,
+    hits,
+    reciprocity,
+)
+
+
+# -- reciprocity -----------------------------------------------------------
+
+def test_reciprocity_half(spark):
+    # 4 arcs, one reciprocal pair → 2/4
+    g = Graph.from_edge_list(
+        spark, [(0, 1), (1, 0), (1, 2), (2, 3)], directed=True
+    )
+    assert reciprocity(g) == pytest.approx(0.5)
+
+
+def test_reciprocity_ignores_self_loops_and_duplicates(spark):
+    g = Graph.from_edge_list(
+        spark, [(0, 0), (0, 1), (0, 1), (1, 0)], directed=True
+    )
+    assert reciprocity(g) == pytest.approx(1.0)
+
+
+def test_reciprocity_empty_and_undirected(spark):
+    only_loop = Graph.from_edge_list(spark, [(3, 3)], directed=True)
+    assert reciprocity(only_loop) == 0.0
+    und = Graph.from_edge_list(spark, [(0, 1)], directed=False)
+    assert reciprocity(und) == 1.0
+
+
+# -- HITS ------------------------------------------------------------------
+
+def _hits_replica(n, arcs, iters):
+    """NumPy normalized power method, same update order as the operator."""
+    A = np.zeros((n, n))
+    for u, v, w in arcs:
+        A[u, v] += w
+    hub = np.full(n, 1.0 / math.sqrt(n))
+    auth = np.full(n, 1.0 / math.sqrt(n))
+    for _ in range(iters):
+        auth = A.T @ hub
+        auth /= np.linalg.norm(auth) or 1.0
+        hub = A @ auth
+        hub /= np.linalg.norm(hub) or 1.0
+    return hub, auth
+
+
+HITS_ARCS = [
+    (0, 1, 1.0), (0, 2, 2.0), (1, 2, 1.0), (3, 2, 1.0), (2, 4, 1.0),
+    (4, 0, 1.0), (3, 1, 2.0),
+]
+
+
+def test_hits_matches_numpy_replica(spark):
+    g = Graph.from_edge_list(spark, HITS_ARCS, directed=True, weighted=True)
+    rows = {r.node: r for r in hits(g, fixed_iters=8).collect()}
+    hub, auth = _hits_replica(5, HITS_ARCS, 8)
+    for v in range(5):
+        assert rows[v].hub == pytest.approx(hub[v], abs=1e-9)
+        assert rows[v].auth == pytest.approx(auth[v], abs=1e-9)
+
+
+def test_hits_converged_is_principal_eigenvector(spark):
+    g = Graph.from_edge_list(spark, HITS_ARCS, directed=True, weighted=True)
+    rows = {r.node: r for r in hits(g, tol=1e-12, max_iter=200).collect()}
+    hub, auth = _hits_replica(5, HITS_ARCS, 300)
+    for v in range(5):
+        assert rows[v].hub == pytest.approx(hub[v], abs=1e-6)
+        assert rows[v].auth == pytest.approx(auth[v], abs=1e-6)
+    # unit norms
+    assert sum(r.hub ** 2 for r in rows.values()) == pytest.approx(1.0)
+    assert sum(r.auth ** 2 for r in rows.values()) == pytest.approx(1.0)
+
+
+# -- bow-tie ---------------------------------------------------------------
+
+# one node in every region:
+#   core {1,2}; in {0}; out {3}; tube {4} (0→4→3 bypasses core);
+#   tendril_in {5} (0→5); tendril_out {6} (6→3); disconnected {7,8}
+BOWTIE_ARCS = [
+    (1, 2), (2, 1),          # core SCC
+    (0, 1),                  # in
+    (2, 3),                  # out
+    (0, 4), (4, 3),          # tube
+    (0, 5),                  # tendril hanging off IN
+    (6, 3),                  # tendril feeding OUT
+    (7, 8),                  # disconnected pair
+]
+BOWTIE_EXPECTED = {
+    0: "in", 1: "core", 2: "core", 3: "out", 4: "tube",
+    5: "tendril_in", 6: "tendril_out", 7: "disconnected", 8: "disconnected",
+}
+
+
+def test_bowtie_regions(spark):
+    g = Graph.from_edge_list(spark, BOWTIE_ARCS, directed=True)
+    got = {r.node: r.region for r in bowtie_decomposition(g).collect()}
+    assert got == BOWTIE_EXPECTED
+
+
+def test_bowtie_partition_is_total(spark):
+    g = Graph.from_edge_list(spark, BOWTIE_ARCS, directed=True)
+    rows = bowtie_decomposition(g).collect()
+    assert len(rows) == len({r.node for r in rows}) == 9
+    assert {r.region for r in rows} <= set(BOWTIE_REGIONS)
+
+
+def test_bowtie_profile_fracs(spark):
+    g = Graph.from_edge_list(spark, BOWTIE_ARCS, directed=True)
+    prof = {r.region: (r.n_nodes, r.frac) for r in bowtie_profile(g).collect()}
+    assert prof["core"] == (2, pytest.approx(2 / 9, abs=1e-6))
+    assert prof["disconnected"][0] == 2
+    assert sum(v[0] for v in prof.values()) == 9
+
+
+def test_bowtie_requires_directed(spark):
+    g = Graph.from_edge_list(spark, [(0, 1)], directed=False)
+    with pytest.raises(ValueError):
+        bowtie_decomposition(g)
+
+
+def test_bowtie_all_core(spark):
+    # a single cycle: everything is the core
+    g = Graph.from_edge_list(spark, [(0, 1), (1, 2), (2, 0)], directed=True)
+    got = {r.node: r.region for r in bowtie_decomposition(g).collect()}
+    assert got == {0: "core", 1: "core", 2: "core"}
