@@ -1806,6 +1806,22 @@ def q_bowtie(spark, sf_dir):
     return bowtie_decomposition(_bowtie_digraph(spark, sf_dir)).orderBy("node")
 
 
+TRUSS_NN = 200   # denser node space than N_NODES: real peel cascade at sf0.001
+TRUSS_K = 8
+TRUSS_ROUNDS = 6  # oracle over-unroll; Spark peels to fixpoint (≤3 rounds here)
+
+
+def q_ktruss(spark, sf_dir):
+    """k-truss surviving edges (Cohen 2008 peel; operators/triangles.k_truss)
+    over a 200-node lineitem projection — at sf0.001 the peel cascades 3
+    rounds, at sf0.01 the support check must exactly keep every edge."""
+    from networkit_spark.operators.triangles import k_truss
+    from networkit_spark.testgraph import lineitem_graph as _lg
+
+    g = _lg(spark, sf_dir, n_nodes=TRUSS_NN, directed=False)
+    return k_truss(g, TRUSS_K).orderBy("src", "dst")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "graph_edges": q_edges,
@@ -1940,6 +1956,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits": q_hits,
         "reciprocity": q_reciprocity,
         "bowtie": q_bowtie,
+        "ktruss": q_ktruss,
         # rows-only (no SQL-expressible oracle: FM sketches / multilevel
         # Louvain are not fixed-unroll reproducible in ANSI SQL)
         "anf_diameter": q_anf_diameter,
@@ -5197,6 +5214,34 @@ def _hits_sql() -> str:
     )
 
 
+def _ktruss_sql() -> str:
+    """Peel rounds unrolled: per round, per-edge support = common-neighbor
+    count inside the surviving edge set, then the < k-2 filter. Over-unrolled
+    past convergence at both check SFs (TRUSS_ROUNDS=6 vs ≤3 observed)."""
+    ctes = [
+        edges_sql(TRUSS_NN),
+        "e0 AS MATERIALIZED (SELECT src, dst FROM edges)",
+    ]
+    for i in range(TRUSS_ROUNDS):
+        ctes.append(f"""s{i} AS MATERIALIZED (
+  SELECT e.src, e.dst, COUNT(*) AS c FROM e{i} e
+  JOIN (SELECT src, dst FROM e{i} UNION ALL SELECT dst, src FROM e{i}) s1
+    ON s1.src = e.src
+  JOIN (SELECT src, dst FROM e{i} UNION ALL SELECT dst, src FROM e{i}) s2
+    ON s2.src = e.dst AND s2.dst = s1.dst
+  GROUP BY e.src, e.dst
+)""")
+        ctes.append(
+            f"e{i + 1} AS MATERIALIZED (SELECT e.src, e.dst FROM e{i} e"
+            f" LEFT JOIN s{i} s ON e.src = s.src AND e.dst = s.dst"
+            f" WHERE COALESCE(s.c, 0) >= {TRUSS_K - 2})"
+        )
+    return _with(
+        *ctes,
+        select=f"SELECT src, dst FROM e{TRUSS_ROUNDS} ORDER BY src, dst",
+    )
+
+
 def _reciprocity_sql() -> str:
     return _with(
         edges_sql(N_NODES, directed=True),
@@ -5475,4 +5520,5 @@ def oracle_sql() -> dict[str, str]:
         "hits": _hits_sql(),
         "reciprocity": _reciprocity_sql(),
         "bowtie": _bowtie_sql(),
+        "ktruss": _ktruss_sql(),
     }

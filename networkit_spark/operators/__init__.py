@@ -9,6 +9,7 @@ from .triangles import (
     approx_avg_local_clustering,
     approx_global_clustering,
     triangle_edge_score,
+    k_truss,
 )
 from .kcore import k_core, coreness
 from .distance import (

@@ -1,0 +1,72 @@
+"""k-truss peel: golden small graphs + a brute-force replica sweep."""
+
+from __future__ import annotations
+
+import itertools
+import random
+
+import pytest
+
+from networkit_spark.graph import Graph
+from networkit_spark.operators.triangles import k_truss
+
+
+def _truss_replica(edges, k):
+    """Driver-side reference peel (set arithmetic, the spec)."""
+    es = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    while True:
+        adj = {}
+        for u, v in es:
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+        sup = {
+            (u, v): len(adj[u] & adj[v])
+            for u, v in es
+        }
+        drop = {e for e, s in sup.items() if s < k - 2}
+        if not drop:
+            return es
+        es -= drop
+
+
+def _collect(df):
+    return {(r.src, r.dst) for r in df.collect()}
+
+
+def test_k5_is_5_truss(spark):
+    k5 = list(itertools.combinations(range(5), 2))
+    g = Graph.from_edge_list(spark, k5, directed=False)
+    assert _collect(k_truss(g, 5)) == {tuple(e) for e in k5}
+    assert _collect(k_truss(g, 6)) == set()
+
+
+def test_triangle_with_pendant(spark):
+    g = Graph.from_edge_list(spark, [(0, 1), (0, 2), (1, 2), (2, 3)], directed=False)
+    assert _collect(k_truss(g, 3)) == {(0, 1), (0, 2), (1, 2)}
+
+
+def test_peel_cascade(spark):
+    # two triangles sharing edge (1,2): at k=4 the outer edges peel first,
+    # then the shared edge loses all support — cascade to empty
+    edges = [(0, 1), (0, 2), (1, 2), (1, 3), (2, 3)]
+    g = Graph.from_edge_list(spark, edges, directed=False)
+    assert _collect(k_truss(g, 3)) == {tuple(sorted(e)) for e in edges}
+    assert _collect(k_truss(g, 4)) == set()
+
+
+def test_k_truss_requires_k3(spark):
+    g = Graph.from_edge_list(spark, [(0, 1)], directed=False)
+    with pytest.raises(ValueError):
+        k_truss(g, 2)
+
+
+def test_matches_replica_on_random_graph(spark):
+    rng = random.Random(7)
+    edges = [
+        (u, v)
+        for u, v in itertools.combinations(range(24), 2)
+        if rng.random() < 0.3
+    ]
+    g = Graph.from_edge_list(spark, edges, directed=False)
+    for k in (3, 4, 5, 6):
+        assert _collect(k_truss(g, k)) == _truss_replica(edges, k), k
