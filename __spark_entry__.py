@@ -1806,6 +1806,32 @@ def q_bowtie(spark, sf_dir):
     return bowtie_decomposition(_bowtie_digraph(spark, sf_dir)).orderBy("node")
 
 
+PL_XMIN = 2  # power-law MLE tail cut
+
+
+def q_powerlaw_alpha(spark, sf_dir):
+    """Discrete power-law exponent MLE (CSN 2009 eq. 3.7;
+    webstructure.powerlaw_alpha) over the undirected lineitem degrees."""
+    from networkit_spark.operators.webstructure import powerlaw_alpha
+
+    a = powerlaw_alpha(_g(spark, sf_dir), xmin=PL_XMIN)
+    return spark.range(1).select(F.round(F.lit(a), 6).alias("alpha"))
+
+
+def q_rich_club(spark, sf_dir):
+    """Rich-club profile (Zhou & Mondragón 2004; webstructure.rich_club):
+    per present degree k, nodes/edges of the deg>k subgraph and phi."""
+    from networkit_spark.operators.webstructure import rich_club
+
+    rc = rich_club(_g(spark, sf_dir))
+    return rc.select(
+        F.col("k").cast("long").alias("k"),
+        F.col("n_nodes").cast("long").alias("n_nodes"),
+        F.col("n_edges").cast("long").alias("n_edges"),
+        F.round("phi", 6).alias("phi"),
+    ).orderBy("k")
+
+
 TRUSS_NN = 200   # denser node space than N_NODES: real peel cascade at sf0.001
 TRUSS_K = 8
 TRUSS_ROUNDS = 6  # oracle over-unroll; Spark peels to fixpoint (≤3 rounds here)
@@ -1957,6 +1983,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reciprocity": q_reciprocity,
         "bowtie": q_bowtie,
         "ktruss": q_ktruss,
+        "powerlaw_alpha": q_powerlaw_alpha,
+        "rich_club": q_rich_club,
         # rows-only (no SQL-expressible oracle: FM sketches / multilevel
         # Louvain are not fixed-unroll reproducible in ANSI SQL)
         "anf_diameter": q_anf_diameter,
@@ -5214,6 +5242,48 @@ def _hits_sql() -> str:
     )
 
 
+def _powerlaw_alpha_sql() -> str:
+    return _with(
+        edges_sql(N_NODES),
+        select=(
+            f"SELECT ROUND(1.0 + COUNT(*) /"
+            f" SUM(LN(degree / ({PL_XMIN} - 0.5))), 6) AS alpha"
+            f" FROM deg WHERE degree >= {PL_XMIN}"
+        ),
+    )
+
+
+def _rich_club_sql() -> str:
+    return _with(
+        edges_sql(N_NODES),
+        "dh AS MATERIALIZED (SELECT degree, COUNT(*) AS cnt FROM deg GROUP BY degree)",
+        """nk AS MATERIALIZED (
+  SELECT degree AS k, COALESCE(SUM(cnt) OVER (ORDER BY degree DESC
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_nodes FROM dh
+)""",
+        """eh AS MATERIALIZED (
+  SELECT LEAST(d1.degree, d2.degree) AS md, COUNT(*) AS ecnt
+  FROM edges e
+  JOIN deg d1 ON e.src = d1.node JOIN deg d2 ON e.dst = d2.node
+  WHERE e.src <> e.dst GROUP BY 1
+)""",
+        """ek AS MATERIALIZED (
+  SELECT k, COALESCE(SUM(ecnt) OVER (ORDER BY k DESC
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) - ecnt AS n_edges
+  FROM (SELECT nk.k, COALESCE(eh.ecnt, 0) AS ecnt
+        FROM nk LEFT JOIN eh ON nk.k = eh.md) t
+)""",
+        select=(
+            "SELECT CAST(nk.k AS BIGINT) AS k, CAST(nk.n_nodes AS BIGINT) AS n_nodes,"
+            " CAST(ek.n_edges AS BIGINT) AS n_edges,"
+            " CASE WHEN nk.n_nodes > 1 THEN"
+            " ROUND(2.0 * ek.n_edges / (nk.n_nodes * (nk.n_nodes - 1)), 6)"
+            " END AS phi"
+            " FROM nk JOIN ek ON nk.k = ek.k ORDER BY k"
+        ),
+    )
+
+
 def _ktruss_sql() -> str:
     """Peel rounds unrolled: per round, per-edge support = common-neighbor
     count inside the surviving edge set, then the < k-2 filter. Over-unrolled
@@ -5521,4 +5591,6 @@ def oracle_sql() -> dict[str, str]:
         "reciprocity": _reciprocity_sql(),
         "bowtie": _bowtie_sql(),
         "ktruss": _ktruss_sql(),
+        "powerlaw_alpha": _powerlaw_alpha_sql(),
+        "rich_club": _rich_club_sql(),
     }

@@ -97,6 +97,8 @@ from .webstructure import (
     reciprocity,
     bowtie_decomposition,
     bowtie_profile,
+    powerlaw_alpha,
+    rich_club,
 )
 
 __all__ = [n for n in dir() if not n.startswith("_")]

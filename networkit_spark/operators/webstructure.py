@@ -1,4 +1,5 @@
-"""Web-graph structure analytics: HITS, reciprocity, bow-tie decomposition.
+"""Web-graph structure analytics: HITS, reciprocity, bow-tie decomposition,
+power-law tail MLE, rich-club profile.
 
 These are link-graph operators the reference does not ship (its nearest
 surface is the centrality family, cpp/centrality/, and
@@ -305,3 +306,100 @@ def bowtie_profile(graph: Graph) -> DataFrame:
             F.round(F.col("n_nodes") / F.lit(float(total)), 6).alias("frac"),
         )
     )
+
+
+def powerlaw_alpha(graph: Graph, xmin: int = 1) -> float:
+    """Discrete power-law exponent MLE over the degree distribution:
+    ``alpha = 1 + n / Σ ln(d_i / (xmin - 0.5))`` over nodes with degree ≥
+    ``xmin`` (Clauset–Shalizi–Newman, *Power-law distributions in empirical
+    data*, SIAM Rev. 2009, eq. 3.7 — the standard web-graph tail check; the
+    reference's nearest analog is the profiling module's gamma fit,
+    networkit/profiling/stat.py). One filter + one aggregate — entirely
+    whole-stage-codegen."""
+    row = (
+        graph.degrees()
+        .filter(F.col("degree") >= xmin)
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.log(F.col("degree") / F.lit(xmin - 0.5))).alias("s"),
+        )
+        .first()
+    )
+    if not row["n"] or not row["s"]:
+        return float("nan")
+    return 1.0 + float(row["n"]) / float(row["s"])
+
+
+def rich_club(graph: Graph) -> DataFrame:
+    """Rich-club profile ``(k, n_nodes, n_edges, phi)`` for every degree
+    value k present: among the N_k nodes with degree > k, E_k surviving
+    edges give ``phi(k) = 2·E_k / (N_k·(N_k−1))`` (Zhou & Mondragón 2004 —
+    do hubs link to hubs more than degree alone predicts). No per-k loop:
+    N_k and E_k are suffix sums over the degree histogram and the per-edge
+    min-endpoint-degree histogram — two aggregates + two windowed running
+    sums. The unpartitioned windows run over the HISTOGRAM (one row per
+    distinct degree — O(√m) rows on a power-law graph, bounded by d_max),
+    never over nodes or edges, so the single-partition sort is a few KB at
+    any graph scale."""
+    from pyspark.sql import Window
+
+    deg = graph.degrees().persist()
+    # suffix count of nodes with degree > k, evaluated at each present k
+    dh = deg.groupBy("degree").agg(F.count("*").alias("cnt"))
+    w = Window.orderBy(F.desc("degree")).rowsBetween(Window.unboundedPreceding, -1)
+    nk = dh.select(
+        F.col("degree").alias("k"),
+        F.coalesce(F.sum("cnt").over(w), F.lit(0)).alias("n_nodes"),
+    )
+    # per-edge min endpoint degree (edges with BOTH endpoints deg > k form
+    # the k-club), suffix-summed the same way
+    ed = (
+        graph.edges.filter(F.col("src") != F.col("dst"))
+        .join(deg.select(F.col("node").alias("src"), F.col("degree").alias("ds")), "src")
+        .join(deg.select(F.col("node").alias("dst"), F.col("degree").alias("dd")), "dst")
+        .select(F.least("ds", "dd").alias("md"))
+    )
+    eh = ed.groupBy("md").agg(F.count("*").alias("ecnt"))
+    ek_w = Window.orderBy(F.desc("k")).rowsBetween(Window.unboundedPreceding, 0)
+    # align edge histogram onto the node-degree thresholds: E_k = #edges
+    # with md > k — left-join md rows ≥ each k is a suffix sum after a
+    # union of the two key sets
+    keys = nk.select("k")
+    ek = (
+        keys.join(eh.withColumnRenamed("md", "k"), "k", "left")
+        .select("k", F.coalesce("ecnt", F.lit(0)).alias("ecnt"))
+        .select(
+            "k",
+            (
+                F.coalesce(
+                    F.sum("ecnt").over(
+                        Window.orderBy(F.desc("k")).rowsBetween(
+                            Window.unboundedPreceding, 0
+                        )
+                    ),
+                    F.lit(0),
+                )
+                - F.col("ecnt")
+            ).alias("partial"),
+        )
+    )
+    # 'partial' misses md values strictly between adjacent thresholds when
+    # the edge histogram has keys absent from the node histogram — it can't:
+    # md IS a node degree (the min endpoint's), so every md key appears in nk
+    out = (
+        nk.join(ek, "k")
+        .select(
+            "k",
+            "n_nodes",
+            F.col("partial").alias("n_edges"),
+            F.when(
+                F.col("n_nodes") > 1,
+                2.0 * F.col("partial")
+                / (F.col("n_nodes") * (F.col("n_nodes") - 1)),
+            ).alias("phi"),
+        )
+        .orderBy("k")
+    )
+    out = out.localCheckpoint(eager=True)
+    deg.unpersist()
+    return out

@@ -143,3 +143,63 @@ def test_bowtie_all_core(spark):
     g = Graph.from_edge_list(spark, [(0, 1), (1, 2), (2, 0)], directed=True)
     got = {r.node: r.region for r in bowtie_decomposition(g).collect()}
     assert got == {0: "core", 1: "core", 2: "core"}
+
+
+# -- degree-structure analytics -------------------------------------------
+
+def test_powerlaw_alpha_matches_formula(spark):
+    from networkit_spark.operators.webstructure import powerlaw_alpha
+
+    g = Graph.from_edge_list(
+        spark, [(0, 1), (0, 2), (0, 3), (1, 2), (4, 0)], directed=False
+    )
+    degs = {0: 4, 1: 2, 2: 2, 3: 1, 4: 1}
+    expected = 1.0 + len(degs) / sum(math.log(d / 0.5) for d in degs.values())
+    assert powerlaw_alpha(g, xmin=1) == pytest.approx(expected, abs=1e-12)
+    degs2 = {d for d in degs.values() if d >= 2}
+    expected2 = 1.0 + 3 / sum(
+        math.log(d / 1.5) for n, d in degs.items() if d >= 2
+    )
+    assert powerlaw_alpha(g, xmin=2) == pytest.approx(expected2, abs=1e-12)
+
+
+def test_rich_club_star_plus_clique(spark):
+    from networkit_spark.operators.webstructure import rich_club
+
+    # triangle {0,1,2} plus pendant 3-0: degrees 0:3, 1:2, 2:2, 3:1
+    g = Graph.from_edge_list(
+        spark, [(0, 1), (0, 2), (1, 2), (0, 3)], directed=False
+    )
+    rows = {r.k: r for r in rich_club(g).collect()}
+    assert set(rows) == {1, 2, 3}
+    # k=1: nodes {0,1,2} (deg>1), edges among them = 3 → phi = 1.0
+    assert (rows[1].n_nodes, rows[1].n_edges) == (3, 3)
+    assert rows[1].phi == pytest.approx(1.0)
+    # k=2: nodes {0} → phi undefined (null)
+    assert (rows[2].n_nodes, rows[2].n_edges) == (1, 0)
+    assert rows[2].phi is None
+    # k=3: no nodes
+    assert (rows[3].n_nodes, rows[3].n_edges) == (0, 0)
+
+
+def test_rich_club_replica_random(spark):
+    import itertools, random
+    from networkit_spark.operators.webstructure import rich_club
+
+    rng = random.Random(11)
+    edges = [
+        (u, v) for u, v in itertools.combinations(range(20), 2)
+        if rng.random() < 0.25
+    ]
+    deg = {}
+    for u, v in edges:
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+    g = Graph.from_edge_list(spark, edges, directed=False)
+    rows = {r.k: r for r in rich_club(g).collect()}
+    for k in sorted(set(deg.values())):
+        nk = sum(1 for d in deg.values() if d > k)
+        ek = sum(1 for u, v in edges if deg[u] > k and deg[v] > k)
+        assert (rows[k].n_nodes, rows[k].n_edges) == (nk, ek), k
+        if nk > 1:
+            assert rows[k].phi == pytest.approx(2 * ek / (nk * (nk - 1)))
