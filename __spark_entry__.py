@@ -1166,6 +1166,7 @@ def q_pagerank_nibble(spark, sf_dir):
 # from the shared lineitem table)
 
 N_SPARSE = 300
+CLOSURE_DOUBLINGS = 6  # p0..p{n} doubling depth: paths <= 2^n steps
 SCC_MOD = 29
 CORE_MOD = 13
 CORE_HINDEX_ROUNDS = 30  # H-index fixpoint over-unroll (converges ≪ 30 here)
@@ -4381,7 +4382,7 @@ def _scc_sql() -> str:
         "p0 AS MATERIALIZED (SELECT src, dst FROM sedges "
         "UNION SELECT node AS src, node AS dst FROM snodes)",
     ]
-    for i in range(6):
+    for i in range(CLOSURE_DOUBLINGS):
         ctes.append(
             f"p{i + 1} AS MATERIALIZED (SELECT DISTINCT a.src, b.dst "
             f"FROM p{i} a JOIN p{i} b ON a.dst = b.src)"
@@ -4389,8 +4390,8 @@ def _scc_sql() -> str:
     return _with(
         *ctes,
         select=(
-            "SELECT f.src AS node, MIN(f.dst) AS component FROM p6 f "
-            "JOIN p6 b ON f.dst = b.src AND b.dst = f.src GROUP BY f.src"
+            f"SELECT f.src AS node, MIN(f.dst) AS component FROM p{CLOSURE_DOUBLINGS} f "
+            f"JOIN p{CLOSURE_DOUBLINGS} b ON f.dst = b.src AND b.dst = f.src GROUP BY f.src"
         ),
     )
 
@@ -5337,31 +5338,32 @@ def _bowtie_sql() -> str:
         "p0 AS MATERIALIZED (SELECT src, dst FROM sedges "
         "UNION SELECT node AS src, node AS dst FROM snodes)",
     ]
-    for i in range(6):
+    for i in range(CLOSURE_DOUBLINGS):
         ctes.append(
             f"p{i + 1} AS MATERIALIZED (SELECT DISTINCT a.src, b.dst "
             f"FROM p{i} a JOIN p{i} b ON a.dst = b.src)"
         )
+    P = f"p{CLOSURE_DOUBLINGS}"
     ctes += [
-        "scc AS MATERIALIZED (SELECT f.src AS node, MIN(f.dst) AS component"
-        " FROM p6 f JOIN p6 b ON f.dst = b.src AND b.dst = f.src GROUP BY f.src)",
+        f"scc AS MATERIALIZED (SELECT f.src AS node, MIN(f.dst) AS component"
+        f" FROM {P} f JOIN {P} b ON f.dst = b.src AND b.dst = f.src GROUP BY f.src)",
         "core AS MATERIALIZED (SELECT node FROM scc WHERE component ="
         " (SELECT component FROM scc GROUP BY component"
         " ORDER BY COUNT(*) DESC, component LIMIT 1))",
-        "fwd AS MATERIALIZED (SELECT DISTINCT p.dst AS node"
-        " FROM p6 p JOIN core c ON p.src = c.node)",
-        "bwd AS MATERIALIZED (SELECT DISTINCT p.src AS node"
-        " FROM p6 p JOIN core c ON p.dst = c.node)",
+        f"fwd AS MATERIALIZED (SELECT DISTINCT p.dst AS node"
+        f" FROM {P} p JOIN core c ON p.src = c.node)",
+        f"bwd AS MATERIALIZED (SELECT DISTINCT p.src AS node"
+        f" FROM {P} p JOIN core c ON p.dst = c.node)",
         "ins AS MATERIALIZED (SELECT node FROM bwd EXCEPT SELECT node FROM core)",
         "outs AS MATERIALIZED (SELECT node FROM fwd EXCEPT SELECT node FROM core)",
         "rest AS MATERIALIZED (SELECT node FROM snodes"
         " EXCEPT SELECT node FROM fwd EXCEPT SELECT node FROM bwd)",
-        "fin AS MATERIALIZED (SELECT DISTINCT p.dst AS node FROM p6 p"
-        " JOIN ins i ON p.src = i.node"
-        " WHERE p.dst IN (SELECT node FROM rest))",
-        "bout AS MATERIALIZED (SELECT DISTINCT p.src AS node FROM p6 p"
-        " JOIN outs o ON p.dst = o.node"
-        " WHERE p.src IN (SELECT node FROM rest))",
+        f"fin AS MATERIALIZED (SELECT DISTINCT p.dst AS node FROM {P} p"
+        f" JOIN ins i ON p.src = i.node"
+        f" WHERE p.dst IN (SELECT node FROM rest))",
+        f"bout AS MATERIALIZED (SELECT DISTINCT p.src AS node FROM {P} p"
+        f" JOIN outs o ON p.dst = o.node"
+        f" WHERE p.src IN (SELECT node FROM rest))",
     ]
     return _with(
         *ctes,

@@ -42,6 +42,9 @@ UNROLLED = [
     ("dynbfs_update", "DYN_ROUNDS"),
     ("dedup_clusters", "DEDUP_CLUSTER_ROUNDS"),
     ("umsf", "UMSF_ROUNDS"),
+    ("ktruss", "TRUSS_ROUNDS"),
+    ("scc", "CLOSURE_DOUBLINGS"),
+    ("bowtie", "CLOSURE_DOUBLINGS"),
 ]
 
 
