@@ -1807,6 +1807,41 @@ def q_bowtie(spark, sf_dir):
     return bowtie_decomposition(_bowtie_digraph(spark, sf_dir)).orderBy("node")
 
 
+DYNPR_REM_MOD = 19  # dynpagerank event batch: remove arcs (src*31+dst)%19==0
+DYNPR_ADD_K = 15    # dynpagerank event batch: add arcs 1000+i -> (97*i)%N_NODES
+DYNPR_TOL = 1e-11   # warm restart tolerance; oracle unrolls far deeper
+
+
+def q_dynpagerank(spark, sf_dir):
+    """Incremental PageRank (streaming.DynPageRank): scores maintained under
+    a deterministic arc-removal + node-arrival batch by WARM-started power
+    iteration, not recompute. The oracle is a cold from-scratch PR on the
+    post-event arc set unrolled 260 rounds (residual 0.85^260 ≈ 4e-19);
+    the warm restart converges to the same unique fixpoint at 1e-11, so the
+    round-6 comparison is decided by the fixpoint, not the path."""
+    from networkit_spark.streaming.dynamic import DynPageRank
+
+    g = _g(spark, sf_dir, directed=True)
+    d = DynPageRank(g, tol=DYNPR_TOL)
+    rem = g.edges.select(
+        (F.col("src") * 1000 + F.col("dst")).alias("seq"),
+        F.lit("EDGE_REMOVAL").alias("type"),
+        F.col("src").alias("u"), F.col("dst").alias("v"),
+        F.lit(0.0).alias("w"), F.lit(None).cast("timestamp").alias("ts"),
+    ).filter((F.col("u") * 31 + F.col("v")) % DYNPR_REM_MOD == 0)
+    add = spark.range(1, DYNPR_ADD_K + 1).select(
+        (F.lit(10_000_000) + F.col("id")).alias("seq"),
+        F.lit("EDGE_ADDITION").alias("type"),
+        (F.lit(1000) + F.col("id")).cast("long").alias("u"),
+        ((F.col("id") * 97) % N_NODES).cast("long").alias("v"),
+        F.lit(1.0).alias("w"), F.lit(None).cast("timestamp").alias("ts"),
+    )
+    d.update(rem.unionByName(add))
+    return d.scores.select(
+        "node", F.round("score", 6).alias("score")
+    ).orderBy("node")
+
+
 PL_XMIN = 2  # power-law MLE tail cut
 
 
@@ -1986,6 +2021,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ktruss": q_ktruss,
         "powerlaw_alpha": q_powerlaw_alpha,
         "rich_club": q_rich_club,
+        "dynpagerank_update": q_dynpagerank,
         # rows-only (no SQL-expressible oracle: FM sketches / multilevel
         # Louvain are not fixed-unroll reproducible in ANSI SQL)
         "anf_diameter": q_anf_diameter,
@@ -5243,6 +5279,54 @@ def _hits_sql() -> str:
     )
 
 
+DYNPR_ROUNDS = 260  # cold oracle unroll: 0.85^260 ~ 4e-19 residual
+
+
+def _dynpagerank_sql() -> str:
+    """Cold PR on the post-event DIRECTED arc set: (arcs − removed) ∪ added,
+    node set re-derived from surviving arcs (a node losing all arcs departs,
+    added sources 1000+i arrive), transition weight/out-wdeg, final
+    sum-normalize — exactly what the warm-start converges to."""
+    ctes = [
+        edges_sql(N_NODES, directed=True),
+        f"frem AS MATERIALIZED (SELECT src, dst FROM edges"
+        f" WHERE (src * 31 + dst) % {DYNPR_REM_MOD} = 0)",
+        f"""faddp AS MATERIALIZED (
+  SELECT 1000 + i AS src, (i * 97) % {N_NODES} AS dst, 1.0 AS weight
+  FROM range(1, {DYNPR_ADD_K + 1}) t(i)
+)""",
+        """fedges AS MATERIALIZED (
+  SELECT e.src, e.dst, e.weight FROM edges e
+  LEFT JOIN frem r ON e.src = r.src AND e.dst = r.dst WHERE r.src IS NULL
+  UNION ALL SELECT src, dst, weight FROM faddp
+)""",
+        "fnodes AS MATERIALIZED (SELECT DISTINCT node FROM ("
+        "SELECT src AS node FROM fedges UNION ALL SELECT dst AS node FROM fedges) u)",
+        "fwdeg AS MATERIALIZED (SELECT src AS node, SUM(weight) AS wdeg"
+        " FROM fedges GROUP BY src)",
+        "fn AS MATERIALIZED (SELECT COUNT(*) AS n FROM fnodes)",
+        "z0 AS MATERIALIZED (SELECT node, 1.0 / fn.n AS score"
+        " FROM fnodes CROSS JOIN fn)",
+    ]
+    for i in range(DYNPR_ROUNDS):
+        ctes.append(f"""z{i + 1} AS MATERIALIZED (
+  SELECT nd.node, 0.85 * COALESCE(m.mass, 0) + 0.15 / fn.n AS score
+  FROM fnodes nd CROSS JOIN fn
+  LEFT JOIN (
+    SELECT t.dst AS node, SUM(t.weight / w.wdeg * r.score) AS mass
+    FROM fedges t JOIN fwdeg w ON t.src = w.node JOIN z{i} r ON t.src = r.node
+    GROUP BY t.dst
+  ) m ON nd.node = m.node
+)""")
+    return _with(
+        *ctes,
+        select=(
+            f"SELECT node, ROUND(score / (SELECT SUM(score) FROM z{DYNPR_ROUNDS}), 6)"
+            f" AS score FROM z{DYNPR_ROUNDS} ORDER BY node"
+        ),
+    )
+
+
 def _powerlaw_alpha_sql() -> str:
     return _with(
         edges_sql(N_NODES),
@@ -5595,4 +5679,5 @@ def oracle_sql() -> dict[str, str]:
         "ktruss": _ktruss_sql(),
         "powerlaw_alpha": _powerlaw_alpha_sql(),
         "rich_club": _rich_club_sql(),
+        "dynpagerank_update": _dynpagerank_sql(),
     }

@@ -66,8 +66,16 @@ def pagerank(
     resume: bool = False,
     num_partitions: Optional[int] = None,
     broadcast_threshold: int = 2_000_000,
+    init_scores: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Returns (node, score) normalized to sum 1.
+
+    ``init_scores`` warm-starts the power iteration from a prior (node,
+    score) vector (streaming.DynPageRank passes the pre-event answer):
+    scores are aligned to the CURRENT node set — new nodes get the uniform
+    mass, departed nodes drop — and renormalized to sum 1, so a small graph
+    perturbation converges in a few supersteps instead of a cold start's
+    full geometric decay.
 
     ``checkpoint_dir`` + ``resume=True`` restarts from the latest durable
     manifest written by plans/iterate.py (north_rule resumability); a fresh
@@ -90,7 +98,18 @@ def pagerank(
     bcast = (lambda df: F.broadcast(df)) if n <= broadcast_threshold else (lambda df: df)
 
     teleport = (1.0 - damp) / n
-    init = nodes.select("node", F.lit(1.0 / n).alias("score"))
+    if init_scores is not None:
+        aligned = nodes.join(init_scores.select("node", "score"), "node", "left")
+        total0 = aligned.agg(F.sum("score")).collect()[0][0] or 1.0
+        init = aligned.select(
+            "node",
+            (F.coalesce("score", F.lit(total0 / n)) / F.lit(total0)).alias("score"),
+        ).localCheckpoint(eager=True)
+        # renormalize exactly after the fill (the fill itself shifts the sum)
+        t1 = init.agg(F.sum("score")).collect()[0][0] or 1.0
+        init = init.select("node", (F.col("score") / F.lit(t1)).alias("score"))
+    else:
+        init = nodes.select("node", F.lit(1.0 / n).alias("score"))
 
     def step(ranks: DataFrame, i: int):
         sums = (

@@ -310,3 +310,50 @@ class DynApproxBetweenness:
         return self.graph.nodes().join(out, "node", "left").select(
             "node", F.coalesce("score", F.lit(0.0)).alias("score")
         )
+
+
+class DynPageRank:
+    """Incremental PageRank under GraphEvent batches — warm-started power
+    iteration (Spark-first extension; the reference's Dyn* family stops at
+    distances/betweenness). The previous score vector seeds the iteration on
+    the post-event transition (operators/pagerank.pagerank ``init_scores``):
+    after a batch touching a small fraction of edges the iterate starts
+    within O(‖Δ‖) of the new fixpoint, so convergence needs the few
+    supersteps of that residual's geometric decay instead of a cold start's
+    full log(tol)/log(damp) — the same affected-region economics as DynSSSP,
+    in spectral form. Exactness is unconditional: the damped power iteration
+    contracts to the UNIQUE stationary vector from any normalized start, so
+    the warm answer equals a from-scratch run at the same tolerance.
+
+    Usage::
+
+        d = DynPageRank(graph, damp=0.85, tol=1e-9)
+        d.update(event_batch_df)   # GraphEvent rows, EVENT_SCHEMA
+        d.scores                   # (node, score) DataFrame, sums to 1
+    """
+
+    def __init__(self, graph: Graph, damp: float = 0.85, tol: float = 1e-9):
+        from ..operators.pagerank import pagerank
+
+        self.graph = graph
+        self.damp = damp
+        self.tol = tol
+        self.scores = pagerank(graph, damp=damp, tol=tol)
+        self.iterations = getattr(self.scores, "_iterations", None)
+
+    def update(self, events: DataFrame) -> DataFrame:
+        from ..operators.pagerank import pagerank
+
+        new_edges = apply_events(
+            self.graph.edges.select("src", "dst", "weight"),
+            events,
+            directed=self.graph.directed,
+        ).transform(_cc)
+        self.graph = Graph(
+            new_edges, directed=self.graph.directed, weighted=self.graph.weighted
+        )
+        self.scores = pagerank(
+            self.graph, damp=self.damp, tol=self.tol, init_scores=self.scores
+        )
+        self.iterations = getattr(self.scores, "_iterations", None)
+        return self.scores

@@ -45,6 +45,7 @@ UNROLLED = [
     ("ktruss", "TRUSS_ROUNDS"),
     ("scc", "CLOSURE_DOUBLINGS"),
     ("bowtie", "CLOSURE_DOUBLINGS"),
+    ("dynpagerank_update", "DYNPR_ROUNDS"),
 ]
 
 
