@@ -1807,6 +1807,21 @@ def q_bowtie(spark, sf_dir):
     return bowtie_decomposition(_bowtie_digraph(spark, sf_dir)).orderBy("node")
 
 
+SALSA_ITERS = 6  # shared between q_salsa and the unrolled oracle
+
+
+def q_salsa(spark, sf_dir):
+    """SALSA hub/authority walks (Lempel–Moran 2000;
+    webstructure.salsa) on the directed lineitem graph — mass-preserving
+    chains, fixed 6 supersteps mirroring the unrolled oracle."""
+    from networkit_spark.operators.webstructure import salsa
+
+    s = salsa(_g(spark, sf_dir, directed=True), fixed_iters=SALSA_ITERS)
+    return s.select(
+        "node", F.round("hub", 6).alias("hub"), F.round("auth", 6).alias("auth")
+    )
+
+
 DYNPR_REM_MOD = 19  # dynpagerank event batch: remove arcs (src*31+dst)%19==0
 DYNPR_ADD_K = 15    # dynpagerank event batch: add arcs 1000+i -> (97*i)%N_NODES
 DYNPR_TOL = 1e-11   # warm restart tolerance; oracle unrolls far deeper
@@ -2022,6 +2037,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "powerlaw_alpha": q_powerlaw_alpha,
         "rich_club": q_rich_club,
         "dynpagerank_update": q_dynpagerank,
+        "salsa": q_salsa,
         # rows-only (no SQL-expressible oracle: FM sketches / multilevel
         # Louvain are not fixed-unroll reproducible in ANSI SQL)
         "anf_diameter": q_anf_diameter,
@@ -5279,6 +5295,58 @@ def _hits_sql() -> str:
     )
 
 
+def _salsa_sql() -> str:
+    """SALSA unrolled: per iteration the authority chain's backward then
+    forward half-step, and the mirror hub chain — exactly
+    webstructure.salsa's superstep order; zeros filled on the full node
+    set at the end like the operator."""
+    ctes = [
+        edges_sql(N_NODES, directed=True),
+        "soutd AS MATERIALIZED (SELECT src AS node, SUM(weight) AS od"
+        " FROM edges GROUP BY src)",
+        "sindg AS MATERIALIZED (SELECT dst AS node, SUM(weight) AS idg"
+        " FROM edges GROUP BY dst)",
+        """strans AS MATERIALIZED (
+  SELECT e.src, e.dst, e.weight / o.od AS p_fwd, e.weight / i.idg AS p_bwd
+  FROM edges e JOIN soutd o ON e.src = o.node JOIN sindg i ON e.dst = i.node
+)""",
+        "sa0 AS MATERIALIZED (SELECT node,"
+        " 1.0 / (SELECT COUNT(*) FROM sindg) AS a FROM sindg)",
+        "sh0 AS MATERIALIZED (SELECT node,"
+        " 1.0 / (SELECT COUNT(*) FROM soutd) AS h FROM soutd)",
+    ]
+    for i in range(1, SALSA_ITERS + 1):
+        ctes.append(
+            f"shb{i} AS MATERIALIZED (SELECT t.src AS node,"
+            f" SUM(t.p_bwd * a.a) AS h FROM strans t"
+            f" JOIN sa{i - 1} a ON t.dst = a.node GROUP BY t.src)"
+        )
+        ctes.append(
+            f"sa{i} AS MATERIALIZED (SELECT t.dst AS node,"
+            f" SUM(t.p_fwd * h.h) AS a FROM strans t"
+            f" JOIN shb{i} h ON t.src = h.node GROUP BY t.dst)"
+        )
+        ctes.append(
+            f"sab{i} AS MATERIALIZED (SELECT t.dst AS node,"
+            f" SUM(t.p_fwd * h.h) AS a FROM strans t"
+            f" JOIN sh{i - 1} h ON t.src = h.node GROUP BY t.dst)"
+        )
+        ctes.append(
+            f"sh{i} AS MATERIALIZED (SELECT t.src AS node,"
+            f" SUM(t.p_bwd * a.a) AS h FROM strans t"
+            f" JOIN sab{i} a ON t.dst = a.node GROUP BY t.src)"
+        )
+    return _with(
+        *ctes,
+        select=(
+            f"SELECT n.node, ROUND(COALESCE(h.h, 0), 6) AS hub,"
+            f" ROUND(COALESCE(a.a, 0), 6) AS auth"
+            f" FROM nodes n LEFT JOIN sh{SALSA_ITERS} h ON n.node = h.node"
+            f" LEFT JOIN sa{SALSA_ITERS} a ON n.node = a.node"
+        ),
+    )
+
+
 DYNPR_ROUNDS = 260  # cold oracle unroll: 0.85^260 ~ 4e-19 residual
 
 
@@ -5680,4 +5748,5 @@ def oracle_sql() -> dict[str, str]:
         "powerlaw_alpha": _powerlaw_alpha_sql(),
         "rich_club": _rich_club_sql(),
         "dynpagerank_update": _dynpagerank_sql(),
+        "salsa": _salsa_sql(),
     }

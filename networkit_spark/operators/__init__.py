@@ -99,6 +99,7 @@ from .webstructure import (
     bowtie_profile,
     powerlaw_alpha,
     rich_club,
+    salsa,
 )
 
 __all__ = [n for n in dir() if not n.startswith("_")]

@@ -403,3 +403,123 @@ def rich_club(graph: Graph) -> DataFrame:
     out = out.localCheckpoint(eager=True)
     deg.unpersist()
     return out
+
+
+def salsa(
+    graph: Graph,
+    tol: float = 1e-10,
+    max_iter: int = 200,
+    fixed_iters: Optional[int] = None,
+) -> DataFrame:
+    """SALSA hub/authority scores (Lempel & Moran, *The stochastic approach
+    for link-structure analysis*, WWW 2000): ``(node, hub, auth)``.
+
+    Unlike HITS' mutual reinforcement, SALSA runs two MASS-PRESERVING random
+    walks on the bipartite hub/authority view: the authority chain steps
+    backward along a uniformly-chosen in-link then forward along the chosen
+    hub's out-links, i.e. per superstep
+
+        h(q)  = Σ_p  W(q,p)/indeg_w(p)  · a(p)     (backward half-step)
+        a'(r) = Σ_q  W(q,r)/outdeg_w(q) · h(q)     (forward half-step)
+
+    and the hub chain is the mirror image. Both walks conserve probability
+    mass, so there is no per-step normalization (and no norm collects —
+    cheaper supersteps than HITS); the stationary authority vector is
+    in-degree-proportional within each component of the co-citation graph.
+    Nodes with no in-links get auth 0; no out-links → hub 0.
+
+    Plan shape: both normalized transitions are derived once and cached; a
+    superstep is two gather-aggregates over them (the arc table never
+    reshuffles), same scale story as PageRank/HITS.
+    """
+    arcs = graph.sym() if not graph.directed else graph.edges
+    arcs = arcs.select("src", "dst", "weight")
+    outd = arcs.groupBy("src").agg(F.sum("weight").alias("od"))
+    ind = arcs.groupBy("dst").agg(F.sum("weight").alias("idg"))
+    trans = (
+        arcs.join(outd, "src")
+        .join(ind, "dst")
+        .select(
+            "src",
+            "dst",
+            (F.col("weight") / F.col("od")).alias("p_fwd"),   # hub q -> auth r
+            (F.col("weight") / F.col("idg")).alias("p_bwd"),  # auth p -> hub q
+        )
+        .persist()
+    )
+    trans.count()
+    auth_side = trans.select(F.col("dst").alias("node")).distinct().persist()
+    hub_side = trans.select(F.col("src").alias("node")).distinct().persist()
+    n_auth = auth_side.count()
+    n_hub = hub_side.count()
+    a = auth_side.select("node", F.lit(1.0 / n_auth).alias("a"))
+    h0 = hub_side.select("node", F.lit(1.0 / n_hub).alias("h"))
+    state = (
+        graph.nodes()
+        .join(a, "node", "left")
+        .join(h0, "node", "left")
+        .select(
+            "node",
+            F.coalesce("h", F.lit(0.0)).alias("hub"),
+            F.coalesce("a", F.lit(0.0)).alias("auth"),
+        )
+    )
+
+    def step(st: DataFrame, i: int):
+        hb = (
+            trans.join(st.select(F.col("node").alias("dst"), "auth"), "dst")
+            .groupBy("src")
+            .agg(F.sum(F.col("p_bwd") * F.col("auth")).alias("h"))
+        )
+        anew = (
+            trans.join(hb.withColumnRenamed("src", "s2"), trans.src == F.col("s2"))
+            .groupBy("dst")
+            .agg(F.sum(F.col("p_fwd") * F.col("h")).alias("a"))
+        )
+        # mirror chain for hubs: forward along out-links then backward
+        ab = (
+            trans.join(st.select(F.col("node").alias("src"), "hub"), "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("p_fwd") * F.col("hub")).alias("a2"))
+        )
+        hnew = (
+            trans.join(ab.withColumnRenamed("dst", "d2"), trans.dst == F.col("d2"))
+            .groupBy("src")
+            .agg(F.sum(F.col("p_bwd") * F.col("a2")).alias("h2"))
+        )
+        new = (
+            graph.nodes()
+            .join(hnew.withColumnRenamed("src", "node"), "node", "left")
+            .join(anew.withColumnRenamed("dst", "node"), "node", "left")
+            .select(
+                "node",
+                F.coalesce("h2", F.lit(0.0)).alias("hub"),
+                F.coalesce("a", F.lit(0.0)).alias("auth"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        if fixed_iters is not None:
+            return new, None
+        resid = (
+            new.alias("x")
+            .join(st.alias("y"), "node")
+            .agg(
+                F.sum(
+                    F.abs(F.col("x.hub") - F.col("y.hub"))
+                    + F.abs(F.col("x.auth") - F.col("y.auth"))
+                ).alias("s")
+            )
+            .first()["s"]
+        )
+        return new, resid or 0.0
+
+    driver = SuperstepDriver(
+        tol=tol,
+        max_iter=fixed_iters if fixed_iters is not None else max_iter,
+        use_local_checkpoint=False,
+    )
+    out = driver.run(state, step).df
+    trans.unpersist()
+    auth_side.unpersist()
+    hub_side.unpersist()
+    return out

@@ -203,3 +203,53 @@ def test_rich_club_replica_random(spark):
         assert (rows[k].n_nodes, rows[k].n_edges) == (nk, ek), k
         if nk > 1:
             assert rows[k].phi == pytest.approx(2 * ek / (nk * (nk - 1)))
+
+
+# -- SALSA -----------------------------------------------------------------
+
+def _salsa_replica(n, arcs, iters):
+    W = np.zeros((n, n))
+    for u, v, w in arcs:
+        W[u, v] += w
+    outd = W.sum(axis=1)
+    ind = W.sum(axis=0)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        B = np.where(ind > 0, W / ind, 0.0)          # B[q,p]: auth p -> hub q
+        Fw = np.where(outd[:, None] > 0, W / outd[:, None], 0.0)  # q -> auth r
+    a = (ind > 0) / max((ind > 0).sum(), 1)
+    h = (outd > 0) / max((outd > 0).sum(), 1)
+    for _ in range(iters):
+        a = Fw.T @ (B @ a)
+        h = B @ (Fw.T @ h)
+    return h, a
+
+
+def test_salsa_matches_numpy_replica(spark):
+    from networkit_spark.operators.webstructure import salsa
+
+    g = Graph.from_edge_list(spark, HITS_ARCS, directed=True, weighted=True)
+    rows = {r.node: r for r in salsa(g, fixed_iters=6).collect()}
+    hub, auth = _salsa_replica(5, HITS_ARCS, 6)
+    for v in range(5):
+        assert rows[v].hub == pytest.approx(hub[v], abs=1e-12)
+        assert rows[v].auth == pytest.approx(auth[v], abs=1e-12)
+    # mass conservation, both chains
+    assert sum(r.auth for r in rows.values()) == pytest.approx(1.0)
+    assert sum(r.hub for r in rows.values()) == pytest.approx(1.0)
+
+
+def test_salsa_stationary_is_indegree_proportional(spark):
+    from networkit_spark.operators.webstructure import salsa
+
+    # connected co-citation structure: stationary auth ∝ in-degree
+    arcs = [(0, 2), (1, 2), (0, 3), (1, 3), (2, 4), (0, 4), (3, 4)]
+    ind = {}
+    for _, v in arcs:
+        ind[v] = ind.get(v, 0) + 1
+    tot = sum(ind.values())
+    g = Graph.from_edge_list(spark, arcs, directed=True)
+    rows = {r.node: r for r in salsa(g, tol=1e-14, max_iter=500).collect()}
+    for v, d in ind.items():
+        assert rows[v].auth == pytest.approx(d / tot, abs=1e-6), v
+    for v in (0, 1):  # no in-links → zero authority
+        assert rows[v].auth == pytest.approx(0.0, abs=1e-12)
