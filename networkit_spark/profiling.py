@@ -53,6 +53,7 @@ def profile(
     from .operators.pagerank import katz_centrality, pagerank
     from .operators.plm import plm
     from .operators.triangles import local_clustering_coefficient
+    from .operators.webstructure import powerlaw_alpha
 
     suite = {
         "degree": lambda g: degree_centrality(g),
@@ -70,6 +71,9 @@ def profile(
         "plm": lambda g: plm(g),
         "plp": lambda g: plp(g),
         "connected_components": lambda g: connected_components(g),
+        # the reference profile's degree-distribution power-law fit
+        # (networkit/profiling/stat.py gamma) — scalar measure
+        "powerlaw_gamma": lambda g: powerlaw_alpha(g),
     }
     if measures is not None:
         unknown = set(measures) - set(suite)
@@ -88,11 +92,13 @@ def profile(
         for name, fn in suite.items():
             t0 = time.time()
             res = fn(graph)
-            rows = res.count()
-            out["measures"][name] = {
-                "seconds": round(time.time() - t0, 3),
-                "rows": int(rows),
-            }
+            entry = {"seconds": None}
+            if hasattr(res, "count"):
+                entry["rows"] = int(res.count())
+            else:
+                entry["value"] = float(res)
+            entry["seconds"] = round(time.time() - t0, 3)
+            out["measures"][name] = entry
         total = time.time() - t_all
         out["total_seconds"] = round(total, 3)
         # the reference's aggregate metric (profiling.py:301)
@@ -108,7 +114,8 @@ def profile_report(result: dict) -> str:
     """Human-readable block mirroring the reference's verbose print."""
     lines = [f"profile: {result['nodes']} nodes, {result['edges']} edges"]
     for name, r in result["measures"].items():
-        lines.append(f"  {name:22s} {r['seconds']:8.2f} s  ({r['rows']} rows)")
+        tail = f"({r['rows']} rows)" if "rows" in r else f"= {r['value']:.4f}"
+        lines.append(f"  {name:22s} {r['seconds']:8.2f} s  {tail}")
     lines.append(
         f"total time: {result['total_seconds']:.2f} s — "
         f"total speed: {result['edges_per_sec']:.1f} edges/s"

@@ -15,8 +15,9 @@ def test_profile_suite_composes(spark):
     assert set(res["measures"]) == {
         "degree", "coreness", "lcc", "pagerank", "kpath", "katz",
         "approx_betweenness", "approx_closeness", "plm", "plp",
-        "connected_components",
+        "connected_components", "powerlaw_gamma",
     }
+    assert res["measures"]["powerlaw_gamma"]["value"] > 1.0  # MLE lower bound
     n = g.num_nodes()
     for name in ("degree", "coreness", "lcc", "pagerank", "katz"):
         assert res["measures"][name]["rows"] == n, name
