@@ -77,10 +77,19 @@ def hits(
 
     Scale shape: identical to PageRank's superstep — the arc table is the
     loop-invariant big side, only the O(n) score vectors move per round.
+    The two gathers join the arcs on DIFFERENT keys (src for the authority
+    gather, dst for the hub gather), so the arc table is pinned in BOTH
+    hash layouts once (same rule as PageRank's pre-partitioned transition);
+    each superstep's joins then satisfy their distribution from cache and
+    only the O(n) score vector exchanges.
     """
-    arcs = graph.sym() if not graph.directed else graph.edges
-    arcs = arcs.select("src", "dst", "weight").persist()
-    arcs.count()
+    raw = graph.sym() if not graph.directed else graph.edges
+    raw = raw.select("src", "dst", "weight")
+    np_ = graph.edges.sparkSession.sparkContext.defaultParallelism
+    arcs_src = raw.repartition(np_, "src").persist()
+    arcs_dst = raw.repartition(np_, "dst").persist()
+    arcs_src.count()
+    arcs_dst.count()
     nodes = graph.nodes().persist()
     n = nodes.count()
     init = nodes.select(
@@ -90,9 +99,10 @@ def hits(
     )
 
     def step(state: DataFrame, i: int):
-        # authority: gather hub mass over IN-edges
+        # authority: gather hub mass over IN-edges (src-keyed join → pinned
+        # src layout)
         a_raw = (
-            arcs.join(
+            arcs_src.join(
                 state.select(F.col("node").alias("src"), "hub"), "src"
             )
             .groupBy("dst")
@@ -105,9 +115,10 @@ def hits(
         )
         na = a_raw.agg(F.sqrt(F.sum(F.pow("auth", 2))).alias("s")).first()["s"] or 1.0
         auth = a_raw.select("node", (F.col("auth") / F.lit(na)).alias("auth"))
-        # hub: gather authority mass over OUT-edges
+        # hub: gather authority mass over OUT-edges (dst-keyed join → pinned
+        # dst layout)
         h_raw = (
-            arcs.join(
+            arcs_dst.join(
                 auth.select(F.col("node").alias("dst"), "auth"), "dst"
             )
             .groupBy("src")
@@ -150,7 +161,8 @@ def hits(
         use_local_checkpoint=False,  # step() checkpoints before its collects
     )
     state = driver.run(init, step)
-    arcs.unpersist()
+    arcs_src.unpersist()
+    arcs_dst.unpersist()
     nodes.unpersist()
     return state.df
 
@@ -428,15 +440,16 @@ def salsa(
     in-degree-proportional within each component of the co-citation graph.
     Nodes with no in-links get auth 0; no out-links → hub 0.
 
-    Plan shape: both normalized transitions are derived once and cached; a
-    superstep is two gather-aggregates over them (the arc table never
-    reshuffles), same scale story as PageRank/HITS.
+    Plan shape: both normalized transitions are derived once and pinned in
+    BOTH hash layouts (each chain joins the transition on src AND on dst per
+    superstep — same dual-layout rule as :func:`hits`); the arc table never
+    reshuffles, only the O(n) mass vectors move.
     """
     arcs = graph.sym() if not graph.directed else graph.edges
     arcs = arcs.select("src", "dst", "weight")
     outd = arcs.groupBy("src").agg(F.sum("weight").alias("od"))
     ind = arcs.groupBy("dst").agg(F.sum("weight").alias("idg"))
-    trans = (
+    trans0 = (
         arcs.join(outd, "src")
         .join(ind, "dst")
         .select(
@@ -445,9 +458,13 @@ def salsa(
             (F.col("weight") / F.col("od")).alias("p_fwd"),   # hub q -> auth r
             (F.col("weight") / F.col("idg")).alias("p_bwd"),  # auth p -> hub q
         )
-        .persist()
     )
-    trans.count()
+    np_ = graph.edges.sparkSession.sparkContext.defaultParallelism
+    trans_src = trans0.repartition(np_, "src").persist()
+    trans_dst = trans0.repartition(np_, "dst").persist()
+    trans_src.count()
+    trans_dst.count()
+    trans = trans_src
     auth_side = trans.select(F.col("dst").alias("node")).distinct().persist()
     hub_side = trans.select(F.col("src").alias("node")).distinct().persist()
     n_auth = auth_side.count()
@@ -467,23 +484,27 @@ def salsa(
 
     def step(st: DataFrame, i: int):
         hb = (
-            trans.join(st.select(F.col("node").alias("dst"), "auth"), "dst")
+            trans_dst.join(st.select(F.col("node").alias("dst"), "auth"), "dst")
             .groupBy("src")
             .agg(F.sum(F.col("p_bwd") * F.col("auth")).alias("h"))
         )
         anew = (
-            trans.join(hb.withColumnRenamed("src", "s2"), trans.src == F.col("s2"))
+            trans_src.join(
+                hb.withColumnRenamed("src", "s2"), trans_src.src == F.col("s2")
+            )
             .groupBy("dst")
             .agg(F.sum(F.col("p_fwd") * F.col("h")).alias("a"))
         )
         # mirror chain for hubs: forward along out-links then backward
         ab = (
-            trans.join(st.select(F.col("node").alias("src"), "hub"), "src")
+            trans_src.join(st.select(F.col("node").alias("src"), "hub"), "src")
             .groupBy("dst")
             .agg(F.sum(F.col("p_fwd") * F.col("hub")).alias("a2"))
         )
         hnew = (
-            trans.join(ab.withColumnRenamed("dst", "d2"), trans.dst == F.col("d2"))
+            trans_dst.join(
+                ab.withColumnRenamed("dst", "d2"), trans_dst.dst == F.col("d2")
+            )
             .groupBy("src")
             .agg(F.sum(F.col("p_bwd") * F.col("a2")).alias("h2"))
         )
@@ -519,7 +540,8 @@ def salsa(
         use_local_checkpoint=False,
     )
     out = driver.run(state, step).df
-    trans.unpersist()
+    trans_src.unpersist()
+    trans_dst.unpersist()
     auth_side.unpersist()
     hub_side.unpersist()
     return out
