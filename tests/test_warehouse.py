@@ -55,8 +55,10 @@ def test_bucketed_self_join_is_exchange_free(spark, bucketed):
     try:
         w = bucketed_wedges(spark, TABLE)
         p = plan_str(w)
-        assert "Exchange hashpartitioning" not in p, p
-        assert "BroadcastExchange" not in p, p
+        # plain "Exchange" (formatted mode prints the operator name alone on
+        # its tree line — a compound "Exchange hashpartitioning" substring
+        # can never appear there and would pass vacuously)
+        assert "Exchange" not in p, p
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
     w = bucketed_wedges(spark, TABLE)
