@@ -119,6 +119,16 @@ def run_algorithm(spark: SparkSession, graph, args):
         from networkit_spark.operators.triangles import node_triangle_counts
 
         return node_triangle_counts(graph), {}
+    if args.algorithm == "hits":
+        from networkit_spark.operators.webstructure import hits
+
+        return hits(graph, tol=args.tol, max_iter=args.max_iter), {}
+    if args.algorithm == "bowtie":
+        from networkit_spark.operators.webstructure import bowtie_decomposition
+
+        if not graph.directed:
+            raise SystemExit("--algorithm bowtie needs --directed input")
+        return bowtie_decomposition(graph), {}
     raise SystemExit(f"unknown algorithm {args.algorithm!r}")
 
 
@@ -144,7 +154,7 @@ def main(argv=None) -> int:
     p.add_argument("--input-kind", choices=["edges", "pages"], default="edges")
     p.add_argument(
         "--algorithm",
-        choices=["pagerank", "components", "plp", "triangles"],
+        choices=["pagerank", "components", "plp", "triangles", "hits", "bowtie"],
         default="pagerank",
     )
     p.add_argument("--output", required=True)

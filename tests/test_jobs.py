@@ -137,3 +137,21 @@ def test_submit_components_from_pages(spark, tmp_path):
     df = spark.read.parquet(out)
     assert df.columns == ["node", "component"]
     assert df.count() > 0
+
+
+def test_submit_hits(edges_parquet, spark, tmp_path):
+    """The web-analytics additions ride the same spark-submit surface."""
+    out = str(tmp_path / "hits_out")
+    _run_job(
+        [
+            "--input", edges_parquet,
+            "--algorithm", "hits",
+            "--directed",
+            "--max-iter", "8",
+            "--output", out,
+        ],
+        cwd=REPO,
+    )
+    got = spark.read.parquet(out)
+    assert got.count() > 0
+    assert set(got.columns) == {"node", "hub", "auth"}
