@@ -1807,6 +1807,45 @@ def q_bowtie(spark, sf_dir):
     return bowtie_decomposition(_bowtie_digraph(spark, sf_dir)).orderBy("node")
 
 
+LINEDEDUP_GROUPS = 50  # composite docs: 500 texts -> 50 multi-line documents
+
+
+def q_line_dedup(spark, sf_dir):
+    """CCNet-style line-level dedup (functions/dedup.line_dedup): composite
+    multi-line documents are synthesized by grouping the corpus 50 ways and
+    using each text's 3-word prefix as a line (prefixes repeat across
+    documents — the boilerplate analog); lines occurring in >= 2 documents
+    are dropped."""
+    from networkit_spark.functions.dedup import line_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pre = docs.select(
+        (F.col("doc_id") % LINEDEDUP_GROUPS).alias("gid"),
+        "doc_id",
+        F.array_join(F.slice(F.split(F.col("text"), " "), 1, 3), " ").alias("line"),
+    )
+    comp = (
+        pre.groupBy("gid")
+        .agg(
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("doc_id", "line"))),
+                    lambda x: x["line"],
+                ),
+            ).alias("text")
+        )
+        .select(F.col("gid").alias("doc_id"), "text")
+    )
+    out = line_dedup(comp, min_dup=2)
+    return out.select(
+        "doc_id",
+        "clean_text",
+        F.col("n_lines").cast("long").alias("n_lines"),
+        F.col("n_removed").cast("long").alias("n_removed"),
+    ).orderBy("doc_id")
+
+
 SALSA_ITERS = 6  # shared between q_salsa and the unrolled oracle
 
 
@@ -2038,6 +2077,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rich_club": q_rich_club,
         "dynpagerank_update": q_dynpagerank,
         "salsa": q_salsa,
+        "line_dedup": q_line_dedup,
         # rows-only (no SQL-expressible oracle: FM sketches / multilevel
         # Louvain are not fixed-unroll reproducible in ANSI SQL)
         "anf_diameter": q_anf_diameter,
@@ -5295,6 +5335,34 @@ def _hits_sql() -> str:
     )
 
 
+def _line_dedup_sql() -> str:
+    return f"""WITH pre AS (
+  SELECT doc_id % {LINEDEDUP_GROUPS} AS gid, doc_id,
+         array_to_string(string_split(text, ' ')[1:3], ' ') AS line
+  FROM documents
+),
+comp AS (
+  SELECT gid AS doc_id, string_agg(line, chr(10) ORDER BY doc_id) AS text
+  FROM pre GROUP BY gid
+),
+lines AS (
+  SELECT doc_id, unnest(string_split(text, chr(10))) AS line,
+         generate_subscripts(string_split(text, chr(10)), 1) AS pos
+  FROM comp
+),
+counts AS (SELECT line, COUNT(DISTINCT doc_id) AS ndocs FROM lines GROUP BY line),
+tagged AS (
+  SELECT l.doc_id, l.pos, l.line, (c.ndocs < 2) AS keep
+  FROM lines l JOIN counts c USING (line)
+)
+SELECT doc_id,
+       COALESCE(string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY pos),
+                '') AS clean_text,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_removed
+FROM tagged GROUP BY doc_id ORDER BY doc_id"""
+
+
 def _salsa_sql() -> str:
     """SALSA unrolled: per iteration the authority chain's backward then
     forward half-step, and the mirror hub chain — exactly
@@ -5749,4 +5817,5 @@ def oracle_sql() -> dict[str, str]:
         "rich_club": _rich_club_sql(),
         "dynpagerank_update": _dynpagerank_sql(),
         "salsa": _salsa_sql(),
+        "line_dedup": _line_dedup_sql(),
     }

@@ -435,3 +435,82 @@ def dedup_clusters(
         )
     sym.unpersist()
     return labels
+
+
+def line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_dup: int = 2,
+    keep_first: bool = False,
+) -> DataFrame:
+    """CCNet/Gopher-style line-level (paragraph) deduplication: drop every
+    line whose EXACT text occurs in ``min_dup``-or-more documents across the
+    corpus (boilerplate — cookie banners, nav bars, license footers — is
+    exactly the text that repeats across pages). Returns
+    ``(id_col, clean_text, n_lines, n_removed)`` with line order preserved.
+
+    ``keep_first`` retains one canonical copy of each duplicated line (in
+    the document with the smallest id at the line's first position) instead
+    of dropping all copies — CCNet drops all, Gopher-style pipelines
+    sometimes keep one; both semantics are one boolean apart here.
+
+    Plan shape: explode lines (posexplode keeps per-doc order), one
+    hash-groupBy on the line text counting DISTINCT documents, one join back
+    on the (line) key, re-assemble with ``array_sort`` over (pos, line)
+    structs + ``concat_ws`` — every step JVM-side built-ins; the only
+    corpus-wide shuffle is the line-count groupBy, keyed on the line hash
+    (uniform unless the corpus is one repeated line). At 10^12 docs the
+    line-count table is the dedup-defining artifact and can be persisted /
+    bucketed once and reused across shards.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    counts = lines.groupBy("line").agg(
+        F.countDistinct(id_col).alias("ndocs"),
+        F.min(
+            F.concat(
+                F.lpad(F.col(id_col).cast("string"), 12, "0"),
+                F.lit("#"),
+                F.lpad(F.col("pos").cast("string"), 8, "0"),
+            )
+        ).alias("first_key"),
+    )
+    j = lines.join(counts, "line")
+    this_key = F.concat(
+        F.lpad(F.col(id_col).cast("string"), 12, "0"),
+        F.lit("#"),
+        F.lpad(F.col("pos").cast("string"), 8, "0"),
+    )
+    keep = (F.col("ndocs") < F.lit(min_dup)) | (
+        (F.lit(keep_first)) & (this_key == F.col("first_key"))
+    )
+    tagged = j.select(
+        F.col(id_col),
+        "pos",
+        "line",
+        keep.alias("keep"),
+    )
+    return (
+        tagged.groupBy(id_col)
+        .agg(
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("keep"),
+                                F.struct(F.col("pos"), F.col("line")),
+                            )
+                        )
+                    ),
+                    lambda x: x["line"],
+                ),
+            ).alias("clean_text"),
+            F.count("*").alias("n_lines"),
+            F.sum(F.when(~F.col("keep"), 1).otherwise(0)).alias("n_removed"),
+        )
+    )

@@ -239,3 +239,60 @@ def test_dedup_clusters_transitive_canonical(spark, docs):
     assert got[0] == got[1] == got[2] == 0
     assert got[3] == 3 and got[4] == 4 and got[5] == 5
     assert len(got) == 6
+
+
+# -- line-level (paragraph) dedup ------------------------------------------
+
+def test_line_dedup_drops_cross_doc_lines(spark):
+    from networkit_spark.functions.dedup import line_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "keep me\nBOILER\nunique one"),
+            (2, "BOILER\nother text"),
+            (3, "solo document"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in line_dedup(docs, min_dup=2).collect()}
+    assert out[1].clean_text == "keep me\nunique one"
+    assert (out[1].n_lines, out[1].n_removed) == (3, 1)
+    assert out[2].clean_text == "other text"
+    assert out[3].clean_text == "solo document"
+    assert out[3].n_removed == 0
+
+
+def test_line_dedup_within_doc_repeat_not_dropped(spark):
+    from networkit_spark.functions.dedup import line_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "same\nsame"), (2, "hello")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in line_dedup(docs, min_dup=2).collect()}
+    # 'same' occurs twice but only in ONE document -> ndocs=1 -> kept
+    assert out[1].clean_text == "same\nsame"
+
+
+def test_line_dedup_keep_first(spark):
+    from networkit_spark.functions.dedup import line_dedup
+
+    docs = spark.createDataFrame(
+        [(5, "BOILER\nx"), (9, "BOILER\ny")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in line_dedup(docs, min_dup=2, keep_first=True).collect()}
+    # canonical copy survives in the smallest (doc_id, pos)
+    assert out[5].clean_text == "BOILER\nx"
+    assert out[9].clean_text == "y"
+
+
+def test_line_dedup_order_preserved_and_empty_result(spark):
+    from networkit_spark.functions.dedup import line_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "a\nb\nc"), (2, "a\nb\nc")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in line_dedup(docs, min_dup=2).collect()}
+    assert out[1].clean_text == "" and out[1].n_removed == 3
+    docs2 = spark.createDataFrame([(1, "z\ny\nx")], "doc_id long, text string")
+    out2 = line_dedup(docs2).collect()[0]
+    assert out2.clean_text == "z\ny\nx"  # original order, not sorted
