@@ -784,6 +784,22 @@ def q_sssp_algebraic(spark, sf_dir):
     return sssp_algebraic(g, source).select("node", F.round("dist", 6).alias("dist"))
 
 
+def q_harmonic(spark, sf_dir):
+    """Harmonic closeness from the same CL_NSOURCES pivot sample as
+    `closeness` (centrality.harmonic_closeness_sampled); robust-to-
+    disconnection variant, one shared batched multi-source BFS."""
+    from networkit_spark.operators.centrality import harmonic_closeness_sampled
+
+    g = _g(spark, sf_dir)
+    srcs = [
+        int(r["node"])
+        for r in g.nodes().orderBy("node").limit(CL_NSOURCES).collect()
+    ]
+    return harmonic_closeness_sampled(g, srcs).select(
+        "node", F.round("score", 6).alias("score")
+    )
+
+
 def q_closeness(spark, sf_dir):
     from networkit_spark.operators.centrality import closeness_sampled
 
@@ -2078,6 +2094,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dynpagerank_update": q_dynpagerank,
         "salsa": q_salsa,
         "line_dedup": q_line_dedup,
+        "harmonic": q_harmonic,
         # rows-only (no SQL-expressible oracle: FM sketches / multilevel
         # Louvain are not fixed-unroll reproducible in ANSI SQL)
         "anf_diameter": q_anf_diameter,
@@ -5335,6 +5352,32 @@ def _hits_sql() -> str:
     )
 
 
+def _harmonic_sql() -> str:
+    ctes = [
+        edges_sql(N_NODES),
+        f"srcs AS MATERIALIZED (SELECT node AS s FROM nodes ORDER BY node LIMIT {CL_NSOURCES})",
+        "m0 AS MATERIALIZED (SELECT s, s AS node, 0 AS dist FROM srcs)",
+    ]
+    for i in range(CL_ROUNDS):
+        ctes.append(f"""m{i + 1} AS MATERIALIZED (
+  SELECT s, node, MIN(dist) AS dist FROM (
+    SELECT s, node, dist FROM m{i}
+    UNION ALL
+    SELECT m.s, e.dst AS node, m.dist + 1 AS dist
+    FROM sym e JOIN m{i} m ON e.src = m.node
+  ) x GROUP BY s, node
+)""")
+    return _with(
+        *ctes,
+        select=(
+            f"SELECT n.node, ROUND(COALESCE(h.sc, 0), 6) AS score"
+            f" FROM nodes n LEFT JOIN ("
+            f"SELECT node, SUM(1.0 / dist) AS sc FROM m{CL_ROUNDS}"
+            f" WHERE dist > 0 GROUP BY node) h ON n.node = h.node"
+        ),
+    )
+
+
 def _line_dedup_sql() -> str:
     return f"""WITH pre AS (
   SELECT doc_id % {LINEDEDUP_GROUPS} AS gid, doc_id,
@@ -5818,4 +5861,5 @@ def oracle_sql() -> dict[str, str]:
         "dynpagerank_update": _dynpagerank_sql(),
         "salsa": _salsa_sql(),
         "line_dedup": _line_dedup_sql(),
+        "harmonic": _harmonic_sql(),
     }

@@ -46,6 +46,7 @@ UNROLLED = [
     ("scc", "CLOSURE_DOUBLINGS"),
     ("bowtie", "CLOSURE_DOUBLINGS"),
     ("dynpagerank_update", "DYNPR_ROUNDS"),
+    ("harmonic", "CL_ROUNDS"),
 ]
 
 

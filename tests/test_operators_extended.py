@@ -154,3 +154,20 @@ def test_anf_neighborhood_function(spark):
     assert n * n * 0.4 < est < n * n * 2.5  # FM sketch within ~2x of n²
     ed = effective_diameter_approx(g, num_sketches=16, max_hops=4)
     assert ed <= 1.5
+
+
+def test_harmonic_closeness_path_graph(spark):
+    """Harmonic closeness on a 4-path from all sources equals the hand sum;
+    an isolated far node scores 0 without degenerating the others."""
+    from networkit_spark.graph import Graph
+    from networkit_spark.operators.centrality import harmonic_closeness_sampled
+
+    g = Graph.from_edge_list(spark, [(0, 1), (1, 2), (2, 3), (8, 9)])
+    got = {
+        r.node: r.score
+        for r in harmonic_closeness_sampled(g, [0, 1, 2, 3]).collect()
+    }
+    # node 1: d(0)=1, d(2)=1, d(3)=2 -> 2.5 ; node 0: 1 + 1/2 + 1/3
+    assert got[1] == pytest.approx(2.5)
+    assert got[0] == pytest.approx(1 + 0.5 + 1 / 3)
+    assert got[8] == 0.0 and got[9] == 0.0
