@@ -1823,6 +1823,17 @@ def q_bowtie(spark, sf_dir):
     return bowtie_decomposition(_bowtie_digraph(spark, sf_dir)).orderBy("node")
 
 
+def q_knn_profile(spark, sf_dir):
+    """Degree-correlation profile knn(k) (Pastor-Satorras et al. 2001;
+    webstructure.knn_degree_correlation) on the undirected lineitem graph."""
+    from networkit_spark.operators.webstructure import knn_degree_correlation
+
+    p = knn_degree_correlation(_g(spark, sf_dir))
+    return p.select(
+        F.col("k").cast("long").alias("k"), F.round("knn", 6).alias("knn")
+    ).orderBy("k")
+
+
 LINEDEDUP_GROUPS = 50  # composite docs: 500 texts -> 50 multi-line documents
 
 
@@ -2095,6 +2106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salsa": q_salsa,
         "line_dedup": q_line_dedup,
         "harmonic": q_harmonic,
+        "knn_profile": q_knn_profile,
         # rows-only (no SQL-expressible oracle: FM sketches / multilevel
         # Louvain are not fixed-unroll reproducible in ANSI SQL)
         "anf_diameter": q_anf_diameter,
@@ -5352,6 +5364,23 @@ def _hits_sql() -> str:
     )
 
 
+def _knn_profile_sql() -> str:
+    return _with(
+        edges_sql(N_NODES),
+        """annd AS MATERIALIZED (
+  SELECT n.node, COALESCE(a.ad, 0.0) AS and_deg FROM nodes n LEFT JOIN (
+    SELECT s.src AS node, AVG(CAST(d.degree AS DOUBLE)) AS ad
+    FROM sym s JOIN deg d ON s.dst = d.node GROUP BY s.src
+  ) a ON n.node = a.node
+)""",
+        select=(
+            "SELECT CAST(d.degree AS BIGINT) AS k, ROUND(AVG(a.and_deg), 6) AS knn"
+            " FROM deg d JOIN annd a ON d.node = a.node"
+            " GROUP BY d.degree ORDER BY k"
+        ),
+    )
+
+
 def _harmonic_sql() -> str:
     ctes = [
         edges_sql(N_NODES),
@@ -5862,4 +5891,5 @@ def oracle_sql() -> dict[str, str]:
         "salsa": _salsa_sql(),
         "line_dedup": _line_dedup_sql(),
         "harmonic": _harmonic_sql(),
+        "knn_profile": _knn_profile_sql(),
     }

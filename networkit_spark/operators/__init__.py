@@ -100,6 +100,8 @@ from .webstructure import (
     powerlaw_alpha,
     rich_club,
     salsa,
+    avg_neighbor_degree,
+    knn_degree_correlation,
 )
 
 __all__ = [n for n in dir() if not n.startswith("_")]

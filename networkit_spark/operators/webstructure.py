@@ -545,3 +545,35 @@ def salsa(
     auth_side.unpersist()
     hub_side.unpersist()
     return out
+
+
+def avg_neighbor_degree(graph: Graph) -> DataFrame:
+    """Per-node average neighbor degree ``(node, and_deg)`` — one adjacency
+    join against the degree table + one aggregate. Isolated nodes get 0."""
+    deg = graph.degrees()
+    sym = graph.sym().select("src", "dst")
+    nbr = (
+        sym.join(deg.select(F.col("node").alias("dst"), "degree"), "dst")
+        .groupBy("src")
+        .agg(F.avg(F.col("degree").cast("double")).alias("and_deg"))
+        .withColumnRenamed("src", "node")
+    )
+    return graph.nodes().join(nbr, "node", "left").select(
+        "node", F.coalesce("and_deg", F.lit(0.0)).alias("and_deg")
+    )
+
+
+def knn_degree_correlation(graph: Graph) -> DataFrame:
+    """Degree-correlation profile ``(k, knn)``: mean average-neighbor-degree
+    over nodes of degree k (Pastor-Satorras, Vázquez & Vespignani 2001 —
+    rising knn(k) = assortative, falling = disassortative; the curve behind
+    the scalar ``assortativity`` coefficient). Built on
+    :func:`avg_neighbor_degree`; output is one row per present degree."""
+    annd = avg_neighbor_degree(graph)
+    deg = graph.degrees()
+    return (
+        deg.join(annd, "node")
+        .groupBy(F.col("degree").alias("k"))
+        .agg(F.avg("and_deg").alias("knn"))
+        .orderBy("k")
+    )

@@ -253,3 +253,21 @@ def test_salsa_stationary_is_indegree_proportional(spark):
         assert rows[v].auth == pytest.approx(d / tot, abs=1e-6), v
     for v in (0, 1):  # no in-links → zero authority
         assert rows[v].auth == pytest.approx(0.0, abs=1e-12)
+
+
+def test_avg_neighbor_degree_and_knn(spark):
+    from networkit_spark.operators.webstructure import (
+        avg_neighbor_degree,
+        knn_degree_correlation,
+    )
+
+    # star center 0 with 3 leaves + disjoint edge (4,5)
+    g = Graph.from_edge_list(spark, [(0, 1), (0, 2), (0, 3), (4, 5)])
+    annd = {r.node: r.and_deg for r in avg_neighbor_degree(g).collect()}
+    assert annd[0] == pytest.approx(1.0)   # leaves have degree 1
+    assert annd[1] == pytest.approx(3.0)   # center degree 3
+    assert annd[4] == pytest.approx(1.0)
+    knn = {r.k: r.knn for r in knn_degree_correlation(g).collect()}
+    # degree-1 nodes: leaves see 3.0, the (4,5) pair sees 1.0 -> (3*3+2*1)/5
+    assert knn[1] == pytest.approx((3 * 3 + 2 * 1) / 5)
+    assert knn[3] == pytest.approx(1.0)
