@@ -1130,6 +1130,19 @@ def q_betweenness(spark, sf_dir):
     return out.select("node", F.round("score", 6).alias("score"))
 
 
+def q_edge_betweenness(spark, sf_dir):
+    """Sampled Girvan-Newman EDGE betweenness from the same BETW_SOURCES as
+    `betweenness` (centrality.edge_betweenness_sampled); oracle sums the
+    identical per-level sigma/delta edge terms."""
+    from networkit_spark.operators.centrality import edge_betweenness_sampled
+
+    g = _g(spark, sf_dir)
+    out = edge_betweenness_sampled(g, BETW_SOURCES)
+    return out.select(
+        "src", "dst", F.round("score", 6).alias("score")
+    ).orderBy("src", "dst")
+
+
 def q_anf_diameter(spark, sf_dir):
     from networkit_spark.operators.distance import effective_diameter_approx
 
@@ -2107,6 +2120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "harmonic": q_harmonic,
         "knn_profile": q_knn_profile,
+        "edge_betweenness": q_edge_betweenness,
         # rows-only (no SQL-expressible oracle: FM sketches / multilevel
         # Louvain are not fixed-unroll reproducible in ANSI SQL)
         "anf_diameter": q_anf_diameter,
@@ -4037,6 +4051,35 @@ def _betweenness_sql() -> str:
     )
 
 
+def _edge_betweenness_sql() -> str:
+    """Per-edge Brandes terms: at backward level lvl = BW_ROUNDS - i + 1 the
+    DAG edge (v, w) contributes v.sigma/w.sigma*(1+w.delta) with w.delta
+    read from bk{i-1} (fully accumulated from deeper levels) — the same
+    expression the node oracle aggregates, grouped by edge instead."""
+    base = _betweenness_sql()
+    # rebuild the shared CTE chain (edges/dist/sigma/delta) exactly, then
+    # swap the final node aggregation for the per-edge one
+    head, _, _ = base.rpartition("SELECT n.node")
+    terms = []
+    for i in range(1, BW_ROUNDS + 1):
+        lvl = BW_ROUNDS - i + 1
+        terms.append(
+            f"SELECT LEAST(e.src, w.node) AS src, GREATEST(e.src, w.node) AS dst,"
+            f" v.sigma / w.sigma * (1.0 + w.delta) AS c"
+            f" FROM bk{i - 1} w JOIN sym e ON e.dst = w.node"
+            f" JOIN bk{i - 1} v ON v.s = w.s AND v.node = e.src"
+            f" AND v.dist = w.dist - 1 WHERE w.dist = {lvl}"
+        )
+    union = "\n  UNION ALL\n  ".join(terms)
+    return head + f"""SELECT ed.src, ed.dst, ROUND(COALESCE(sc.score, 0.0), 6) AS score
+FROM edges ed LEFT JOIN (
+  SELECT src, dst, SUM(c) AS score FROM (
+  {union}
+  ) t GROUP BY src, dst
+) sc ON ed.src = sc.src AND ed.dst = sc.dst
+ORDER BY ed.src, ed.dst"""
+
+
 MATCH_ROUNDS = 28  # local-max matching round unroll (converges ≪ 28 here)
 
 
@@ -5892,4 +5935,5 @@ def oracle_sql() -> dict[str, str]:
         "line_dedup": _line_dedup_sql(),
         "harmonic": _harmonic_sql(),
         "knn_profile": _knn_profile_sql(),
+        "edge_betweenness": _edge_betweenness_sql(),
     }

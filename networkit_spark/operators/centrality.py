@@ -88,7 +88,9 @@ def harmonic_closeness_sampled(graph: Graph, sources: list[int]) -> DataFrame:
     )
 
 
-def brandes_dependencies(graph: Graph, sources: list[int]) -> DataFrame:
+def brandes_dependencies(
+    graph: Graph, sources: list[int], edge_acc: "list | None" = None
+) -> DataFrame:
     """Per-source Brandes dependencies ``(source, node, delta)`` — the
     pre-aggregation state of :func:`betweenness_sampled`, exposed so
     incremental callers (streaming/dynamic.py DynApproxBetweenness) can
@@ -135,14 +137,15 @@ def brandes_dependencies(graph: Graph, sources: list[int]) -> DataFrame:
         .select("source", "node", "dist", "sigma", F.lit(0.0).alias("delta"))
         .transform(_cc)
     )
+    edge_contribs = None
     for lvl in range(max_d, 0, -1):
         w = state.filter(F.col("dist") == lvl).select(
             "source", F.col("node").alias("dst"),
             F.col("sigma").alias("sw"), F.col("delta").alias("dw"),
         )
-        contrib = (
+        pair_c = (
             rsym.join(w, "dst")
-            .select("source", F.col("src").alias("node"), "sw", "dw")
+            .select("source", F.col("src").alias("node"), "dst", "sw", "dw")
             .join(
                 state.filter(F.col("dist") == lvl - 1).select(
                     "source", "node", F.col("sigma").alias("sv")
@@ -150,9 +153,23 @@ def brandes_dependencies(graph: Graph, sources: list[int]) -> DataFrame:
                 ["source", "node"],
             )
             .select(
-                "source", "node",
+                "source", "node", "dst",
                 (F.col("sv") / F.col("sw") * (1.0 + F.col("dw"))).alias("c"),
             )
+        )
+        if edge_acc is not None:
+            # per-DAG-edge dependency (v, w, c) — the Girvan-Newman edge
+            # betweenness terms; accumulated level-checkpointed like state
+            lvl_edges = pair_c.select(
+                "source", F.col("node").alias("src"), "dst", "c"
+            )
+            edge_contribs = (
+                lvl_edges
+                if edge_contribs is None
+                else edge_contribs.unionByName(lvl_edges).transform(_cc)
+            )
+        contrib = (
+            pair_c
             .groupBy("source", "node")
             .agg(F.sum("c").alias("c"))
         )
@@ -167,6 +184,15 @@ def brandes_dependencies(graph: Graph, sources: list[int]) -> DataFrame:
     deps = state.filter(F.col("node") != F.col("source")).select(
         "source", "node", "delta"
     ).transform(_cc)
+    if edge_acc is not None:
+        spark = graph.edges.sparkSession
+        edge_acc.append(
+            edge_contribs.transform(_cc)
+            if edge_contribs is not None
+            else spark.createDataFrame(
+                [], "source long, src long, dst long, c double"
+            )
+        )
     dist.unpersist()
     sym.unpersist()
     if graph.directed:
@@ -182,6 +208,35 @@ def betweenness_sampled(graph: Graph, sources: list[int]) -> DataFrame:
     out = deps.groupBy("node").agg(F.sum("delta").alias("score"))
     return graph.nodes().join(out, "node", "left").select(
         "node", F.coalesce("score", F.lit(0.0)).alias("score")
+    )
+
+
+def edge_betweenness_sampled(graph: Graph, sources: list[int]) -> DataFrame:
+    """Sampled EDGE betweenness (the Girvan-Newman primitive): per edge the
+    summed shortest-path dependency ``σ_v/σ_w·(1+δ_w)`` over the sampled
+    sources' BFS DAGs — the per-edge terms the Brandes backward sweep
+    already forms before its node aggregation (:func:`brandes_dependencies`
+    ``edge_acc``). Returns every canonical edge ``(src, dst, score)``;
+    edges on no sampled shortest path score 0. Undirected graphs fold both
+    DAG orientations onto the (min, max) edge key."""
+    acc: list = []
+    brandes_dependencies(graph, sources, edge_acc=acc)
+    terms = acc[0]
+    if not graph.directed:
+        terms = terms.select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+            "c",
+        )
+    scores = terms.groupBy("src", "dst").agg(F.sum("c").alias("score"))
+    base = graph.edges.select("src", "dst").distinct()
+    if not graph.directed:
+        base = base.select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+        ).distinct()
+    return base.join(scores, ["src", "dst"], "left").select(
+        "src", "dst", F.coalesce("score", F.lit(0.0)).alias("score")
     )
 
 

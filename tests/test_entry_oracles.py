@@ -47,6 +47,7 @@ UNROLLED = [
     ("bowtie", "CLOSURE_DOUBLINGS"),
     ("dynpagerank_update", "DYNPR_ROUNDS"),
     ("harmonic", "CL_ROUNDS"),
+    ("edge_betweenness", "BW_ROUNDS"),
 ]
 
 

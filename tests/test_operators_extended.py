@@ -171,3 +171,70 @@ def test_harmonic_closeness_path_graph(spark):
     assert got[1] == pytest.approx(2.5)
     assert got[0] == pytest.approx(1 + 0.5 + 1 / 3)
     assert got[8] == 0.0 and got[9] == 0.0
+
+
+def _edge_bw_replica(edges, sources):
+    """Driver-side Brandes edge betweenness over BFS DAGs (the spec)."""
+    from collections import defaultdict, deque
+
+    adj = defaultdict(set)
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    eb = defaultdict(float)
+    for s in sources:
+        dist = {s: 0}
+        sigma = defaultdict(float)
+        sigma[s] = 1.0
+        order = []
+        q = deque([s])
+        while q:
+            v = q.popleft()
+            order.append(v)
+            for w in adj[v]:
+                if w not in dist:
+                    dist[w] = dist[v] + 1
+                    q.append(w)
+                if dist[w] == dist[v] + 1:
+                    sigma[w] += sigma[v]
+        delta = defaultdict(float)
+        for w in reversed(order):
+            for v in adj[w]:
+                if dist.get(v, -2) == dist[w] - 1:
+                    c = sigma[v] / sigma[w] * (1.0 + delta[w])
+                    eb[tuple(sorted((v, w)))] += c
+                    delta[v] += c
+    return dict(eb)
+
+
+def test_edge_betweenness_matches_replica(spark):
+    import itertools, random
+    from networkit_spark.graph import Graph
+    from networkit_spark.operators.centrality import edge_betweenness_sampled
+
+    rng = random.Random(3)
+    edges = [
+        (u, v) for u, v in itertools.combinations(range(14), 2)
+        if rng.random() < 0.3
+    ]
+    g = Graph.from_edge_list(spark, edges)
+    srcs = sorted({u for e in edges for u in e})[:6]
+    got = {(r.src, r.dst): r.score for r in edge_betweenness_sampled(g, srcs).collect()}
+    want = _edge_bw_replica(edges, srcs)
+    assert set(got) == {tuple(sorted(e)) for e in edges}
+    for e, sc in got.items():
+        assert sc == pytest.approx(want.get(e, 0.0), abs=1e-9), e
+
+
+def test_edge_betweenness_path(spark):
+    from networkit_spark.graph import Graph
+    from networkit_spark.operators.centrality import edge_betweenness_sampled
+
+    # path 0-1-2-3, all sources: middle edge carries the most pairs
+    g = Graph.from_edge_list(spark, [(0, 1), (1, 2), (2, 3)])
+    got = {(r.src, r.dst): r.score for r in edge_betweenness_sampled(g, [0, 1, 2, 3]).collect()}
+    # per source, edge dependency = #pairs crossing; summed over 4 sources:
+    # (0,1): from 0 covers 3, from 1.. covers 1+1+1 -> 6; (1,2): 2+2+2+2=8
+    assert got[(0, 1)] == pytest.approx(6.0)
+    assert got[(1, 2)] == pytest.approx(8.0)
+    assert got[(2, 3)] == pytest.approx(6.0)
