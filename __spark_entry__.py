@@ -1967,6 +1967,19 @@ TRUSS_K = 8
 TRUSS_ROUNDS = 6  # oracle over-unroll; Spark peels to fixpoint (≤3 rounds here)
 
 
+def q_bowtie_profile(spark, sf_dir):
+    """Region-size rollup of the bow-tie decomposition (Broder's headline
+    percentages) on the same BOWTIE_MOD digraph; fractions over the node
+    count."""
+    from networkit_spark.operators.webstructure import bowtie_profile
+
+    return bowtie_profile(_bowtie_digraph(spark, sf_dir)).select(
+        "region",
+        F.col("n_nodes").cast("long").alias("n_nodes"),
+        F.round("frac", 6).alias("frac"),
+    ).orderBy("region")
+
+
 def q_ktruss(spark, sf_dir):
     """k-truss surviving edges (Cohen 2008 peel; operators/triangles.k_truss)
     over a 200-node lineitem projection — at sf0.001 the peel cascades 3
@@ -2121,6 +2134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "harmonic": q_harmonic,
         "knn_profile": q_knn_profile,
         "edge_betweenness": q_edge_betweenness,
+        "bowtie_profile": q_bowtie_profile,
         # rows-only (no SQL-expressible oracle: FM sketches / multilevel
         # Louvain are not fixed-unroll reproducible in ANSI SQL)
         "anf_diameter": q_anf_diameter,
@@ -5620,6 +5634,25 @@ def _rich_club_sql() -> str:
     )
 
 
+def _bowtie_profile_sql() -> str:
+    base = _bowtie_sql()
+    head, _, _ = base.rpartition("SELECT n.node")
+    return head + """SELECT region, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       ROUND(COUNT(*) / (SELECT CAST(COUNT(*) AS DOUBLE) FROM snodes), 6) AS frac
+FROM (
+  SELECT n.node,
+    CASE WHEN n.node IN (SELECT node FROM core) THEN 'core'
+         WHEN n.node IN (SELECT node FROM ins) THEN 'in'
+         WHEN n.node IN (SELECT node FROM outs) THEN 'out'
+         WHEN n.node IN (SELECT node FROM fin)
+              AND n.node IN (SELECT node FROM bout) THEN 'tube'
+         WHEN n.node IN (SELECT node FROM fin) THEN 'tendril_in'
+         WHEN n.node IN (SELECT node FROM bout) THEN 'tendril_out'
+         ELSE 'disconnected' END AS region
+  FROM snodes n
+) t GROUP BY region ORDER BY region"""
+
+
 def _ktruss_sql() -> str:
     """Peel rounds unrolled: per round, per-edge support = common-neighbor
     count inside the surviving edge set, then the < k-2 filter. Over-unrolled
@@ -5936,4 +5969,5 @@ def oracle_sql() -> dict[str, str]:
         "harmonic": _harmonic_sql(),
         "knn_profile": _knn_profile_sql(),
         "edge_betweenness": _edge_betweenness_sql(),
+        "bowtie_profile": _bowtie_profile_sql(),
     }
