@@ -5682,12 +5682,16 @@ def _ktruss_sql() -> str:
 
 
 def _reciprocity_sql() -> str:
+    # arcs CTE mirrors the operator's defensive arc normalization (self-loop
+    # filter + dedup) so the oracle stays in lockstep even if the edge
+    # generator ever emits loops or multiplicity rows
     return _with(
         edges_sql(N_NODES, directed=True),
+        "arcs AS (SELECT DISTINCT src, dst FROM edges WHERE src <> dst)",
         select=(
-            "SELECT ROUND(CAST((SELECT COUNT(*) FROM edges x"
-            " JOIN edges y ON y.src = x.dst AND y.dst = x.src) AS DOUBLE)"
-            " / (SELECT COUNT(*) FROM edges), 6) AS reciprocity"
+            "SELECT ROUND(CAST((SELECT COUNT(*) FROM arcs x"
+            " JOIN arcs y ON y.src = x.dst AND y.dst = x.src) AS DOUBLE)"
+            " / (SELECT COUNT(*) FROM arcs), 6) AS reciprocity"
         ),
     )
 

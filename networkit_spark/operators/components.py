@@ -114,29 +114,45 @@ def connected_components(
     return out
 
 
-def strongly_connected_components(graph: Graph, max_outer: int = 100) -> DataFrame:
+def strongly_connected_components(
+    graph: Graph, max_outer: int = 100, trim_rounds: int = 3
+) -> DataFrame:
     """(node, component) on a DIRECTED graph; component = MIN member id of the
     SCC (deterministic canonical labels — the reference's
     StronglyConnectedComponents.cpp:33-164 iterative Tarjan emits
     discovery-order ids; canonicalize both to min-member to compare).
 
-    Distributed trim + min-coloring + backward sweep (the FW-BW-Trim family —
-    sequential Tarjan does not distribute):
-      1. TRIM to fixpoint: a node with in- or out-degree 0 inside the
-         remaining subgraph is its own SCC (peels tendrils/chains — on web
-         graphs this clears most of the node set in a few rounds).
-      2. COLOR: propagate ``color[v] = min(v, color of in-neighbors)`` to
-         fixpoint inside the remaining subgraph — color[v] is the min node id
-         that reaches v.
-      3. SWEEP: every root r (color[r] == r) is the MIN member of its SCC;
-         multi-source backward BFS from all roots along in-edges restricted
-         to equal color collects each root's SCC in parallel.
-      4. Remove resolved SCCs, repeat — each outer round resolves every
-         source-SCC of the remaining condensation, so outer rounds are
-         bounded by the condensation's level depth.
+    Distributed trim + min-coloring + backward min-label (the FW-BW-Trim
+    family — sequential Tarjan does not distribute), with SHORTCUT DOUBLING
+    on both label loops so each fixpoint converges in ~log(diameter) rounds
+    instead of O(diameter):
+      1. TRIM (capped at ``trim_rounds`` per outer pass): a node with in-
+         or out-degree 0 inside the remaining subgraph is its own SCC —
+         peels the tendril bulk of web graphs in the first couple of
+         rounds; deeper chains resolve through the label loops instead of
+         paying one round-trip per chain link.
+      2. COLOR: ``color[v] = min(v, color of in-neighbors,
+         color[color[v]])`` to fixpoint — the third term is pointer
+         jumping on the best-known-ancestor pointer (color[v] reaches v and
+         color[color[v]] reaches color[v], so the composite is a valid
+         ancestor), collapsing long witness paths by doubling. Fixpoint:
+         color[v] = min node id that reaches v.
+      3. BACKWARD MIN on the color-homogeneous edge set (edges whose
+         endpoints share a color — any v→root path lies entirely inside
+         root's SCC, hence inside one color region): ``bmin[v] = min(v,
+         bmin of out-neighbors, bmin[bmin[v]])``, same doubling. Fixpoint:
+         bmin[v] = min id v reaches inside its region — which is the
+         region's root r iff v ∈ SCC(r) (r is the min id of its region:
+         a smaller-id region member would be its own ancestor and force
+         color[r] < r).
+      4. Resolved = every v with ``bmin[v] == color[v]`` (component =
+         color). This resolves at least all source-SCCs of the remaining
+         condensation per outer pass, so outer rounds are bounded by the
+         condensation's level depth — same bound as the sweep formulation,
+         but each inner loop is now logarithmic.
 
-    Every superstep is a frontier semi-join + groupBy — the same shuffle
-    shape as connected_components; nothing is collected to the driver except
+    Every superstep is a join + groupBy — the same shuffle shape as
+    connected_components; nothing is collected to the driver except
     per-round convergence counters.
     """
     if not graph.directed:
@@ -153,8 +169,8 @@ def strongly_connected_components(graph: Graph, max_outer: int = 100) -> DataFra
     for _ in range(max_outer):
         if remaining.isEmpty():
             break
-        # -- 1. trim loop ---------------------------------------------------
-        while True:
+        # -- 1. capped trim loop --------------------------------------------
+        for _t in range(trim_rounds):
             e = (
                 edges_all.join(remaining.withColumnRenamed("node", "src"), "src", "left_semi")
                 .join(remaining.withColumnRenamed("node", "dst"), "dst", "left_semi")
@@ -177,9 +193,10 @@ def strongly_connected_components(graph: Graph, max_outer: int = 100) -> DataFra
         e = (
             edges_all.join(remaining.withColumnRenamed("node", "src"), "src", "left_semi")
             .join(remaining.withColumnRenamed("node", "dst"), "dst", "left_semi")
+            .filter(F.col("src") != F.col("dst"))
             .transform(_cc)
         )
-        # -- 2. forward min-color propagation to fixpoint --------------------
+        # -- 2. forward min-color with shortcut doubling ---------------------
         color = remaining.select("node", F.col("node").alias("color")).localCheckpoint(
             eager=True
         )
@@ -188,8 +205,18 @@ def strongly_connected_components(graph: Graph, max_outer: int = 100) -> DataFra
                 e.join(color.withColumnRenamed("node", "src"), "src")
                 .select(F.col("dst").alias("node"), "color")
             )
+            jump = (
+                color.join(
+                    color.select(
+                        F.col("node").alias("color"), F.col("color").alias("c2")
+                    ),
+                    "color",
+                )
+                .select("node", F.col("c2").alias("color"))
+            )
             new = (
                 color.unionByName(nbr)
+                .unionByName(jump)
                 .groupBy("node")
                 .agg(F.min("color").alias("color"))
                 .transform(_cc)
@@ -203,26 +230,56 @@ def strongly_connected_components(graph: Graph, max_outer: int = 100) -> DataFra
             color = new
             if changed == 0:
                 break
-        # -- 3. backward sweep from roots within equal color -----------------
-        visited = (
-            color.filter(F.col("color") == F.col("node"))
-            .select("node", F.col("node").alias("component"))
+        # -- 3. backward min on color-homogeneous edges, same doubling -------
+        ec = (
+            e.join(color.withColumnRenamed("node", "src")
+                   .withColumnRenamed("color", "c_src"), "src")
+            .join(color.withColumnRenamed("node", "dst")
+                  .withColumnRenamed("color", "c_dst"), "dst")
+            .filter(F.col("c_src") == F.col("c_dst"))
+            .select("src", "dst")
             .transform(_cc)
         )
-        frontier = visited
-        src_color = color.select(F.col("node").alias("src"), F.col("color").alias("c_src"))
-        while not frontier.isEmpty():
-            cand = (
-                e.join(frontier.withColumnRenamed("node", "dst"), "dst")
-                .join(src_color, "src")
-                .filter(F.col("c_src") == F.col("component"))
-                .select(F.col("src").alias("node"), "component")
-                .distinct()
+        bmin = remaining.select("node", F.col("node").alias("bmin")).localCheckpoint(
+            eager=True
+        )
+        while True:
+            nbr = (
+                ec.join(bmin.withColumnRenamed("node", "dst"), "dst")
+                .select(F.col("src").alias("node"), "bmin")
             )
-            frontier = cand.join(visited, "node", "left_anti").transform(_cc)
-            if frontier.isEmpty():
+            jump = (
+                bmin.join(
+                    bmin.select(
+                        F.col("node").alias("bmin"), F.col("bmin").alias("b2")
+                    ),
+                    "bmin",
+                )
+                .select("node", F.col("b2").alias("bmin"))
+            )
+            new = (
+                bmin.unionByName(nbr)
+                .unionByName(jump)
+                .groupBy("node")
+                .agg(F.min("bmin").alias("bmin"))
+                .transform(_cc)
+            )
+            changed = (
+                new.alias("a")
+                .join(bmin.alias("b"), "node")
+                .filter(F.col("a.bmin") != F.col("b.bmin"))
+                .count()
+            )
+            bmin = new
+            if changed == 0:
                 break
-            visited = visited.unionByName(frontier).transform(_cc)
+        # -- 4. resolve SCCs whose backward min hits their region root -------
+        visited = (
+            color.join(bmin, "node")
+            .filter(F.col("bmin") == F.col("color"))
+            .select("node", F.col("color").alias("component"))
+            .transform(_cc)
+        )
         done = _accum(done, visited)
         remaining = remaining.join(visited, "node", "left_anti").transform(_cc)
     if not remaining.isEmpty():

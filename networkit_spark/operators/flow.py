@@ -543,9 +543,19 @@ def cut_clustering(
     overwrite-unconditionally rules (a node assigned by an earlier cut in
     the same wave has its own precomputed cut discarded, exactly as the
     serial loop would never compute it). Wave memory is ``batch × m``
-    residual-arc rows — tune ``batch`` to executor memory; driver
-    round-trips shrink by the same factor. ``method="sequential"`` keeps the
-    literal reference-shaped per-node Edmonds-Karp loop for parity tests."""
+    residual-arc rows — tune ``batch`` to executor memory.
+
+    Assignment replay is fully distributed: labels live in a (node,
+    cluster, rank) DataFrame folded per wave — later ranks (the
+    descending-degree processing order) overwrite via ``max_by`` inside a
+    wave and an anti-join merge across waves; wave representatives are
+    selected by an anti-join + ``limit(batch)`` against the label frame.
+    The driver only ever materializes ``batch`` representative ids and the
+    batch×batch within-wave rep-membership matrix per wave — never a node
+    set or an O(n) dict. ``method="sequential"`` keeps the literal
+    reference-shaped per-node Edmonds-Karp loop for parity tests."""
+    from ..plans.ckpt import clean_local_checkpoint as _cc
+
     spark = graph.edges.sparkSession
     n_sink = int(graph.nodes().agg(F.max("node")).collect()[0][0]) + 1
 
@@ -561,44 +571,83 @@ def cut_clustering(
         base.unionByName(sink_edges), directed=False, weighted=True
     )
 
-    degs = graph.degrees().collect()  # assignment replay mirrors the reference's
-    order = [int(r["node"]) for r in sorted(degs, key=lambda t: (-t["degree"], t["node"]))]
-    assigned: dict = {}
-
-    def _apply(u: int, members: list) -> None:
-        for v in members:
-            # reference overwrites unconditionally: a later cut may absorb
-            # earlier clusters wholesale (CutClustering.cpp:72-76)
-            assigned[v] = u
-
     if method == "sequential":
+        degs = graph.degrees().collect()  # parity mode: reference-shaped loop
+        order = [
+            int(r["node"])
+            for r in sorted(degs, key=lambda t: (-t["degree"], t["node"]))
+        ]
+        assigned: dict = {}
         for u in order:
             if u in assigned:
                 continue
             res = edmonds_karp(aug, u, n_sink)
-            _apply(u, [int(r["node"]) for r in res.source_set.collect()])
-    else:
-        pos = 0
-        while pos < len(order):
-            wave = []
-            while pos < len(order) and len(wave) < batch:
-                u = order[pos]
-                pos += 1
-                if u not in assigned:
-                    wave.append(u)
-            if not wave:
-                continue
-            b = push_relabel_batched(
-                aug, [(i, u) for i, u in enumerate(wave)], n_sink
+            for v in (int(r["node"]) for r in res.source_set.collect()):
+                # reference overwrites unconditionally: a later cut may
+                # absorb earlier clusters wholesale (CutClustering.cpp:72-76)
+                assigned[v] = u
+        return _labels_df(spark, assigned)
+
+    # distributed precedence fold: rank = position in the reference's
+    # descending-degree bucket order (CutClustering.cpp:37-61)
+    from pyspark.sql import Window
+
+    ranked = _cc(
+        graph.degrees().select(
+            "node",
+            F.row_number()
+            .over(Window.orderBy(F.col("degree").desc(), F.col("node")))
+            .alias("rank"),
+        )
+    ).persist()
+    labels = _cc(spark.createDataFrame([], "node long, cluster long, rank int"))
+    while True:
+        reps = (
+            ranked.join(labels, "node", "left_anti")
+            .orderBy("rank")
+            .limit(batch)
+            .collect()
+        )
+        if not reps:
+            break
+        wave = [(i, int(r["node"]), int(r["rank"])) for i, r in enumerate(reps)]
+        b = push_relabel_batched(aug, [(i, u) for i, u, _ in wave], n_sink)
+        sets = b.source_sets.persist()
+        # within-wave liveness: rep u_i is live iff no EARLIER live rep's
+        # source set contains it — needs only the batch×batch membership
+        # matrix, not the sets themselves
+        rep_nodes = spark.createDataFrame(
+            [(u,) for _, u, _ in wave], "node long"
+        )
+        mem = {
+            (int(r["sys"]), int(r["node"]))
+            for r in sets.join(F.broadcast(rep_nodes), "node", "left_semi")
+            .select("sys", "node")
+            .collect()
+        }
+        live: list = []
+        for i, u, rank in wave:
+            if any((j, u) in mem for j, _, _ in live):
+                continue  # absorbed by an earlier cut in this wave
+            live.append((i, u, rank))
+        sys_map = spark.createDataFrame(
+            [(i, u, rank) for i, u, rank in live], "sys int, cluster long, rank int"
+        )
+        wave_labels = (
+            sets.join(F.broadcast(sys_map), "sys")
+            .groupBy("node")
+            .agg(
+                F.max_by("cluster", "rank").alias("cluster"),
+                F.max("rank").alias("rank"),
             )
-            members_by_sys: dict = {i: [] for i in range(len(wave))}
-            for r in b.source_sets.collect():
-                members_by_sys[int(r["sys"])].append(int(r["node"]))
-            for i, u in enumerate(wave):
-                if u in assigned:
-                    continue  # absorbed by an earlier cut in this wave
-                _apply(u, members_by_sys[i])
-    return _labels_df(spark, assigned)
+        )
+        # later waves always carry larger ranks → overwrite on merge
+        labels = _cc(
+            labels.join(wave_labels, "node", "left_anti").unionByName(wave_labels)
+        )
+        sets.unpersist()
+    ranked.unpersist()
+    return labels.select("node", "cluster")
 
 
 def _labels_df(spark, assigned: dict) -> DataFrame:

@@ -140,13 +140,16 @@ def path_growing_matching(
         .transform(_cc)
     )
     empty = graph.edges.limit(0).select("src", "dst", "weight")
-    grown = None
+    grown_parts: list = []  # per-round picked frames, unioned ONCE after the
+    # loop — re-materializing the accumulated union every round would be
+    # O(rounds × total grown edges)
     # live path ends: alive vertices carrying exactly one grown edge
     ends = spark.createDataFrame([], "node long")
     rounds_used = 0
     for _ in range(max_rounds):
-        if edges.isEmpty():
-            break
+        # no edges.isEmpty() pre-check: the globally heaviest alive edge is
+        # always mutual, so picked is empty iff edges is — one fewer action
+        # per round; the post-loop isEmpty guard still catches stalls
         rounds_used += 1
         incident = edges.select(
             F.col("src").alias("node"), "src", "dst", "weight"
@@ -181,11 +184,7 @@ def path_growing_matching(
         )
         if picked.isEmpty():
             break
-        grown = (
-            picked
-            if grown is None
-            else grown.unionByName(picked).transform(_cc)
-        )
+        grown_parts.append(picked)
         # death rule: an end (one prior grown edge) dies on its second edge;
         # of two fresh endpoints the smaller id (src) dies
         p = (
@@ -205,11 +204,13 @@ def path_growing_matching(
                 F.coalesce("de", F.lit(False)).alias("de"),
             )
         )
+        # dead stays LAZY: a cheap join of two cached frames (picked, ends),
+        # recomputed inside the ends/edges materializations below instead of
+        # paying its own scheduling round-trip
         dead = (
             p.filter(F.col("se") | ~F.col("de")).select(F.col("src").alias("node"))
             .unionByName(p.filter(F.col("de")).select(F.col("dst").alias("node")))
             .distinct()
-            .transform(_cc)
         )
         survivors = (
             p.select(F.col("src").alias("node"))
@@ -233,58 +234,77 @@ def path_growing_matching(
             f"{max_rounds} rounds — raise max_rounds (silent truncation "
             "would break the 1/2-approximation)"
         )
+    if not grown_parts:
+        return empty
+    grown = grown_parts[0]
+    for part in grown_parts[1:]:
+        grown = grown.unionByName(part)
+    grown = _cc(grown)
     if stats is not None:
         stats["rounds"] = rounds_used
-        stats["grown_edges"] = 0 if grown is None else grown.count()
-    if grown is None:
-        return empty
+        stats["grown_edges"] = grown.count()
     return _heavier_class_per_path(grown)
 
 
-def _heavier_class_per_path(grown: DataFrame, max_iter: int = 10_000) -> DataFrame:
+def _heavier_class_per_path(grown: DataFrame, max_iter: int = 64) -> DataFrame:
     """Given a vertex-disjoint union of simple paths (src, dst, weight),
     2-color each path's edges by position parity and return the heavier
-    class per path. Position/component come from a distributed min-root BFS
-    seeded at every path endpoint (degree-1 vertex): a vertex's root is the
-    SMALLEST endpoint id of its path and dist its position from that root."""
+    class per path. Position/component come from a path-distance DOUBLING
+    closure (Wyllie-style list ranking, O(log L) supersteps for longest
+    path L instead of one round per hop): the hop table R(u, v, d) starts
+    as the symmetric edge set at d=1 and squares itself each round
+    (compose R∘R, keep min d per pair — on a simple path the min over
+    walk compositions IS the unique simple distance, and a pair's first
+    appearance always includes its exact distance via the midpoint split).
+    Converged when the pair set stops growing. A vertex's root is then the
+    SMALLEST endpoint id (degree-1 vertex) of its path and dist its
+    position from that root.
+
+    Space/time tradeoff: the closure holds Σ L_i² pairs vs the BFS's Σ L_i
+    state — fine here because heaviest-edge handshake paths are short (the
+    growth loop is O(L) rounds anyway, so L is already the binding bound);
+    pick BFS back if a workload ever produces mega-node single paths."""
     sym = grown.select(F.col("src").alias("u"), F.col("dst").alias("v")).unionByName(
         grown.select(F.col("dst").alias("u"), F.col("src").alias("v"))
     ).transform(_cc)
     deg = sym.groupBy("u").agg(F.count("*").alias("d"))
+    rel = _cc(sym.select("u", "v", F.lit(1).alias("dist")))
+    n_rel = rel.count()
+    for _ in range(max_iter):
+        comp = (
+            rel.alias("a")
+            .join(rel.alias("b"), F.col("a.v") == F.col("b.u"))
+            .filter(F.col("a.u") != F.col("b.v"))
+            .select(
+                F.col("a.u").alias("u"),
+                F.col("b.v").alias("v"),
+                (F.col("a.dist") + F.col("b.dist")).alias("dist"),
+            )
+        )
+        new_rel = _cc(
+            rel.unionByName(comp)
+            .groupBy("u", "v")
+            .agg(F.min("dist").alias("dist"))
+        )
+        n_new = new_rel.count()
+        if n_new == n_rel:
+            rel = new_rel
+            break
+        rel, n_rel = new_rel, n_new
+    ends = deg.filter(F.col("d") == 1).select(F.col("u").alias("node"))
+    cand = (
+        rel.join(ends.withColumnRenamed("node", "u"), "u", "left_semi")
+        .select(F.col("v").alias("node"), F.col("u").alias("root"), "dist")
+        .unionByName(
+            ends.select("node", F.col("node").alias("root"), F.lit(0).alias("dist"))
+        )
+    )
     state = (
-        deg.filter(F.col("d") == 1)
-        .select(F.col("u").alias("node"), F.col("u").alias("root"), F.lit(0).alias("dist"))
+        cand.groupBy("node")
+        .agg(F.min(F.struct("root", "dist")).alias("m"))
+        .select("node", F.col("m.root").alias("root"), F.col("m.dist").alias("dist"))
         .transform(_cc)
     )
-    while max_iter > 0:
-        max_iter -= 1
-        nbr = (
-            sym.join(state, sym.u == state.node)
-            .select(F.col("v").alias("node"), "root", (F.col("dist") + 1).alias("dist"))
-        )
-        merged = (
-            state.unionByName(nbr)
-            .groupBy("node")
-            .agg(F.min(F.struct("root", "dist")).alias("m"))
-            .select("node", F.col("m.root").alias("root"), F.col("m.dist").alias("dist"))
-            .transform(_cc)
-        )
-        changed = (
-            merged.join(
-                state.withColumnRenamed("root", "r0").withColumnRenamed("dist", "d0"),
-                "node",
-                "left",
-            )
-            .filter(
-                F.col("r0").isNull()
-                | (F.col("root") != F.col("r0"))
-                | (F.col("dist") != F.col("d0"))
-            )
-            .isEmpty()
-        )
-        state = merged
-        if changed:
-            break
     su = state.select(F.col("node").alias("src"), F.col("root").alias("ru"), F.col("dist").alias("du"))
     sv = state.select(F.col("node").alias("dst"), F.col("root").alias("rv"), F.col("dist").alias("dv"))
     colored = (

@@ -346,22 +346,34 @@ def clustering(graph: Graph, error: float = 0.01, seed: int = 42) -> float:
     return approx_avg_local_clustering(graph, seed=seed)
 
 
-def k_truss(graph: Graph, k: int, max_rounds: int = 100) -> DataFrame:
+def k_truss(graph: Graph, k: int, max_rounds: int = 200) -> DataFrame:
     """Edges of the k-truss: the maximal subgraph in which every edge closes
     at least ``k - 2`` triangles (Cohen 2008, *Trusses: cohesive subgraphs
-    for social network analysis*; distributed peel as in Wang & Cheng,
-    VLDB 2012). Returns the surviving canonical undirected edges
-    ``(src, dst)`` with ``src < dst``; k ≥ 3. No reference C++ twin — a
-    Spark-first cohesive-subgraph extension over the same degree-ordered
+    for social network analysis*; distributed support-decrement peel as in
+    Wang & Cheng, VLDB 2012). Returns the surviving canonical undirected
+    edges ``(src, dst)`` with ``src < dst``; k ≥ 3. No reference C++ twin —
+    a Spark-first cohesive-subgraph extension over the same degree-ordered
     triangle kernel as :func:`triangles`.
 
-    Peel loop: per round, recompute per-edge support inside the surviving
-    subgraph (one triangle enumeration — arboricity-bounded, see module
-    docstring) and drop edges with support < k-2; stop when no edge drops.
-    Rounds are bounded by the peel depth (small in practice — the cascade
-    length), each round is a full distributed triangle pass + one join, and
-    per-round state is checkpoint-truncated, so the loop carries no driver
-    state beyond the edge count."""
+    Peel loop (support maintenance — NOT per-round recomputation): per-edge
+    support is computed ONCE from a full triangle enumeration; each round
+    then (1) takes the frontier (edges with support < k-2), (2) enumerates
+    only the DISTINCT triangles touching the frontier inside the
+    round-start graph (frontier ⋈ adjacency with the frontier broadcast
+    when small, so the big edge side never reshuffles), and (3) decrements
+    each dead triangle's SURVIVING edges by exactly one — a triangle with
+    two or three frontier edges still dies once, hence the distinct on the
+    sorted triple. Round cost is therefore proportional to the deletion
+    frontier's triangle neighborhood, not the graph: on deep peel cascades
+    (length L) this does O(total destroyed triangles) work overall where a
+    recompute loop pays L full arboricity-bounded passes.
+
+    Support maintenance is exact: support within the surviving subgraph
+    equals initial support minus triangles destroyed, so the surviving edge
+    set per round is identical to the recompute formulation (the pytest
+    replica sweep pins this). Raises RuntimeError if ``max_rounds`` is
+    exhausted before the fixpoint — a silent non-fixpoint return would be
+    indistinguishable from a converged truss."""
     from ..plans.ckpt import clean_local_checkpoint as _cc
 
     if k < 3:
@@ -373,36 +385,91 @@ def k_truss(graph: Graph, k: int, max_rounds: int = 100) -> DataFrame:
         )
         .distinct()
     )
-    n_cur = cur.count()
+    if cur.isEmpty():
+        return cur
+    # one full triangle pass for the initial per-edge support
+    g0 = Graph(
+        cur.select("src", "dst", F.lit(1.0).alias("weight")),
+        directed=False,
+        weighted=False,
+    )
+    handle: list = []
+    tri = triangles(g0, cache_handle=handle)
+    corners = (
+        tri.select(F.least("a", "b").alias("src"), F.greatest("a", "b").alias("dst"))
+        .unionByName(
+            tri.select(F.least("a", "c").alias("src"), F.greatest("a", "c").alias("dst"))
+        )
+        .unionByName(
+            tri.select(F.least("b", "c").alias("src"), F.greatest("b", "c").alias("dst"))
+        )
+    )
+    sup0 = corners.groupBy("src", "dst").agg(F.count("*").alias("support"))
+    state = _cc(
+        cur.join(sup0, ["src", "dst"], "left").select(
+            "src", "dst", F.coalesce("support", F.lit(0)).alias("support")
+        )
+    )
+    for h in handle:
+        h.unpersist()
+    # broadcast the frontier below this row count so the O(m) side of the
+    # frontier-triangle probe never reshuffles (2 longs/row → ~16 MB at 1M)
+    bcast_limit = 1_000_000
     for _ in range(max_rounds):
-        if n_cur == 0:
-            break
-        g = Graph(
-            cur.select("src", "dst", F.lit(1.0).alias("weight")),
-            directed=False,
-            weighted=False,
+        frontier = state.filter(F.col("support") < k - 2).select("src", "dst")
+        frontier = _cc(frontier)
+        n_del = frontier.count()
+        if n_del == 0:
+            return state.select("src", "dst")
+        fr = F.broadcast(frontier) if n_del <= bcast_limit else frontier
+        # both orientations of the round-start edge set, for adjacency probes
+        sym = state.select("src", "dst").unionByName(
+            state.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
-        handle: list = []
-        tri = triangles(g, cache_handle=handle)
-        corners = (
-            tri.select(F.least("a", "b").alias("src"), F.greatest("a", "b").alias("dst"))
-            .unionByName(
-                tri.select(F.least("a", "c").alias("src"), F.greatest("a", "c").alias("dst"))
+        # distinct triangles touching the frontier: for frontier edge (u,v),
+        # w adjacent to u via sym, then (v,w) membership via a second probe
+        cand = (
+            fr.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+            .join(
+                sym.select(F.col("src").alias("u"), F.col("dst").alias("w")), "u"
             )
-            .unionByName(
-                tri.select(F.least("b", "c").alias("src"), F.greatest("b", "c").alias("dst"))
+            .filter((F.col("w") != F.col("v")))
+        )
+        cand_b = F.broadcast(cand) if n_del <= bcast_limit else cand
+        tri_dead = (
+            cand_b.join(
+                sym.select(F.col("src").alias("v"), F.col("dst").alias("w")),
+                ["v", "w"],
+                "left_semi",
+            )
+            .select(F.array_sort(F.array("u", "v", "w")).alias("t"))
+            .distinct()
+        )
+        # each dead triangle decrements each of its SURVIVING edges once
+        dead_edges = tri_dead.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("t")[0].alias("src"), F.col("t")[1].alias("dst")),
+                    F.struct(F.col("t")[0].alias("src"), F.col("t")[2].alias("dst")),
+                    F.struct(F.col("t")[1].alias("src"), F.col("t")[2].alias("dst")),
+                )
+            ).alias("e")
+        ).select(F.col("e.src").alias("src"), F.col("e.dst").alias("dst"))
+        dec = (
+            dead_edges.join(fr, ["src", "dst"], "left_anti")
+            .groupBy("src", "dst")
+            .agg(F.count("*").alias("dec"))
+        )
+        state = _cc(
+            state.join(frontier, ["src", "dst"], "left_anti")
+            .join(dec, ["src", "dst"], "left")
+            .select(
+                "src",
+                "dst",
+                (F.col("support") - F.coalesce("dec", F.lit(0))).alias("support"),
             )
         )
-        sup = corners.groupBy("src", "dst").agg(F.count("*").alias("support"))
-        new = _cc(
-            cur.join(sup, ["src", "dst"], "left")
-            .filter(F.coalesce("support", F.lit(0)) >= k - 2)
-            .select("src", "dst")
-        )
-        n_new = new.count()
-        for h in handle:
-            h.unpersist()
-        if n_new == n_cur:
-            return new
-        cur, n_cur = new, n_new
-    return cur
+    raise RuntimeError(
+        f"k_truss did not reach a fixpoint within max_rounds={max_rounds}; "
+        "the peel cascade is deeper than the round budget — raise max_rounds"
+    )

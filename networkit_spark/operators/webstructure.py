@@ -92,15 +92,39 @@ def hits(
     arcs_dst.count()
     nodes = graph.nodes().persist()
     n = nodes.count()
+    if n == 0:
+        # empty graph: same explicit handling as bowtie_decomposition /
+        # reciprocity — no nodes means no hubs or authorities
+        arcs_src.unpersist()
+        arcs_dst.unpersist()
+        nodes.unpersist()
+        return graph.edges.sparkSession.createDataFrame(
+            [], "node long, hub double, auth double"
+        )
     init = nodes.select(
         "node",
         F.lit(1.0 / math.sqrt(n)).alias("hub"),
         F.lit(1.0 / math.sqrt(n)).alias("auth"),
     )
 
+    def _norm(frame: DataFrame, col: str) -> DataFrame:
+        # 1-row L2 norm as an IN-PLAN broadcast aggregate over a cached
+        # frame — a cheap subjob inside the next materialization, not a
+        # driver collect
+        return frame.agg(
+            F.when(
+                F.sqrt(F.sum(F.pow(col, 2))) > 0, F.sqrt(F.sum(F.pow(col, 2)))
+            )
+            .otherwise(F.lit(1.0))
+            .alias(f"n_{col}")
+        )
+
+    held: list = []  # previous iteration's backing checkpoint
+
     def step(state: DataFrame, i: int):
         # authority: gather hub mass over IN-edges (src-keyed join → pinned
-        # src layout)
+        # src layout); materialize ONCE, normalize lazily via the in-plan
+        # norm so the half-step costs one job, not a job + a collect
         a_raw = (
             arcs_src.join(
                 state.select(F.col("node").alias("src"), "hub"), "src"
@@ -113,8 +137,9 @@ def hits(
             .select("node", F.coalesce("mass", F.lit(0.0)).alias("auth"))
             .localCheckpoint(eager=True)
         )
-        na = a_raw.agg(F.sqrt(F.sum(F.pow("auth", 2))).alias("s")).first()["s"] or 1.0
-        auth = a_raw.select("node", (F.col("auth") / F.lit(na)).alias("auth"))
+        auth = a_raw.crossJoin(F.broadcast(_norm(a_raw, "auth"))).select(
+            "node", (F.col("auth") / F.col("n_auth")).alias("auth")
+        )
         # hub: gather authority mass over OUT-edges (dst-keyed join → pinned
         # dst layout)
         h_raw = (
@@ -124,7 +149,7 @@ def hits(
             .groupBy("src")
             .agg(F.sum(F.col("weight") * F.col("auth")).alias("mass"))
         )
-        new = (
+        raw = (
             nodes.join(h_raw, nodes.node == h_raw.src, "left")
             .select(
                 "node",
@@ -134,26 +159,34 @@ def hits(
             .select("node", "hub", "auth")
             .localCheckpoint(eager=True)
         )
-        nh = new.agg(F.sqrt(F.sum(F.pow("hub", 2))).alias("s")).first()["s"] or 1.0
-        new = new.select(
-            "node", (F.col("hub") / F.lit(nh)).alias("hub"), "auth"
-        ).localCheckpoint(eager=True)
-        if fixed_iters is not None:
-            return new, None
-        resid = (
-            new.alias("a")
-            .join(state.alias("b"), "node")
-            .agg(
-                F.sqrt(
-                    F.sum(
-                        F.pow(F.col("a.hub") - F.col("b.hub"), 2)
-                        + F.pow(F.col("a.auth") - F.col("b.auth"), 2)
-                    )
-                ).alias("s")
-            )
-            .first()["s"]
+        new = raw.crossJoin(F.broadcast(_norm(raw, "hub"))).select(
+            "node", (F.col("hub") / F.col("n_hub")).alias("hub"), "auth"
         )
-        return new, resid or 0.0
+        # a_raw is baked into raw's materialization; the PREVIOUS raw backs
+        # the incoming lazy state — free it only after the residual read
+        from ..plans.iterate import _free_checkpoint_blocks
+
+        _free_checkpoint_blocks(a_raw)
+        resid = None
+        if fixed_iters is None:
+            resid = (
+                new.alias("a")
+                .join(state.alias("b"), "node")
+                .agg(
+                    F.sqrt(
+                        F.sum(
+                            F.pow(F.col("a.hub") - F.col("b.hub"), 2)
+                            + F.pow(F.col("a.auth") - F.col("b.auth"), 2)
+                        )
+                    ).alias("s")
+                )
+                .first()["s"]
+            ) or 0.0
+        for old in held:
+            _free_checkpoint_blocks(old)
+        held.clear()
+        held.append(raw)
+        return new, resid
 
     driver = SuperstepDriver(
         tol=tol,
@@ -469,6 +502,14 @@ def salsa(
     hub_side = trans.select(F.col("src").alias("node")).distinct().persist()
     n_auth = auth_side.count()
     n_hub = hub_side.count()
+    if n_auth == 0 or n_hub == 0:
+        # arcless graph: every node is neither hub nor authority (consistent
+        # with hits()'s empty-graph early return)
+        for df in (trans_src, trans_dst, auth_side, hub_side):
+            df.unpersist()
+        return graph.nodes().select(
+            "node", F.lit(0.0).alias("hub"), F.lit(0.0).alias("auth")
+        )
     a = auth_side.select("node", F.lit(1.0 / n_auth).alias("a"))
     h0 = hub_side.select("node", F.lit(1.0 / n_hub).alias("h"))
     state = (

@@ -70,3 +70,22 @@ def test_matches_replica_on_random_graph(spark):
     g = Graph.from_edge_list(spark, edges, directed=False)
     for k in (3, 4, 5, 6):
         assert _collect(k_truss(g, k)) == _truss_replica(edges, k), k
+
+
+def test_deep_peel_cascade_strip(spark):
+    # strip of triangles (i, i+1, i+2): at k=4 only the two end triangles
+    # are under-supported initially, so the peel eats inward one triangle
+    # per round from each side — a >=6-round cascade on 16 vertices —
+    # exercising the support-decrement frontier loop well past one round
+    n = 16
+    edges = [(i, i + 1) for i in range(n - 1)] + [(i, i + 2) for i in range(n - 2)]
+    g = Graph.from_edge_list(spark, edges, directed=False)
+    assert _collect(k_truss(g, 4)) == _truss_replica(edges, 4)
+    assert _collect(k_truss(g, 3)) == _truss_replica(edges, 3)
+
+
+def test_max_rounds_exhaustion_raises(spark):
+    edges = [(i, i + 1) for i in range(10)] + [(i, i + 2) for i in range(9)]
+    g = Graph.from_edge_list(spark, edges, directed=False)
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        k_truss(g, 4, max_rounds=1)

@@ -271,3 +271,19 @@ def test_avg_neighbor_degree_and_knn(spark):
     # degree-1 nodes: leaves see 3.0, the (4,5) pair sees 1.0 -> (3*3+2*1)/5
     assert knn[1] == pytest.approx((3 * 3 + 2 * 1) / 5)
     assert knn[3] == pytest.approx(1.0)
+
+
+def test_hits_salsa_empty_and_arcless(spark):
+    """Empty / arcless graphs return explicit zero frames instead of
+    dividing by zero (consistent with bowtie/reciprocity handling)."""
+    from networkit_spark.operators.webstructure import salsa
+
+    empty = Graph(
+        spark.createDataFrame([], "src long, dst long, weight double"),
+        directed=True,
+    )
+    assert hits(empty).count() == 0
+    assert salsa(empty).count() == 0
+    # self-loop-only graph: nodes exist but salsa's normalized transition is
+    # still well-defined (loop arcs); a graph with nodes but NO arcs at all
+    # can't be expressed via an edge table, so empty covers the arcless case.
