@@ -142,6 +142,7 @@ def conjugate_gradient(
     iters: int = 50,
     tol: float = 1e-10,
     num_partitions: Optional[int] = None,
+    safeguard: bool = False,
 ) -> DataFrame:
     """Diagonal-preconditioned Conjugate Gradient on the graph Laplacian,
     batched over systems (reference cpp/numerics/ConjugateGradient.h:68-106
@@ -209,13 +210,19 @@ def conjugate_gradient(
             ).alias("rz")
         )
 
+    # per-system ||b||^2 — used by the positive-tol early exit AND by the
+    # breakdown guard below (rz <= thresh·bb means the system is converged;
+    # iterating past that point divides by a noise-level residual norm /
+    # near-zero p·Ap and amplifies rounding chaotically — freeze alpha/beta
+    # to 0 instead, making convergence a fixed point). thresh=1e-28 is
+    # mirrored EXACTLY in the unrolled SQL oracle (_cg_ctes); callers that
+    # may run far past the Krylov dimension and need robustness over
+    # bit-parity (maxent_stress) pass ``safeguard=True`` → freeze earlier
+    # at 1e-14·bb, before the tiny-p·Ap breakdown regime.
+    bb_df = _cc(state.groupBy("sys").agg(F.sum(F.col("b") * F.col("b")).alias("bb")))
+    thresh = 1e-14 if safeguard else 1e-28
     bb = (
-        {
-            row["sys"]: float(row["bb"])
-            for row in state.groupBy("sys")
-            .agg(F.sum(F.col("b") * F.col("b")).alias("bb"))
-            .collect()
-        }
+        {row["sys"]: float(row["bb"]) for row in bb_df.collect()}
         if tol > 0
         else None
     )
@@ -239,9 +246,13 @@ def conjugate_gradient(
         a_df = (
             _rz_df(prev_rz_src)
             .join(pap_df, "sys")
+            .join(bb_df, "sys")
             .select(
                 "sys",
-                F.when(F.col("pap") > 0, F.col("rz") / F.col("pap"))
+                F.when(
+                    (F.col("pap") > 0) & (F.col("rz") > thresh * F.col("bb")),
+                    F.col("rz") / F.col("pap"),
+                )
                 .otherwise(F.lit(0.0))
                 .alias("alpha"),
             )
@@ -261,9 +272,13 @@ def conjugate_gradient(
             _rz_df(st2)
             .withColumnRenamed("rz", "rzn")
             .join(_rz_df(prev_rz_src), "sys")
+            .join(bb_df, "sys")
             .select(
                 "sys",
-                F.when(F.col("rz") > 0, F.col("rzn") / F.col("rz"))
+                F.when(
+                    F.col("rz") > thresh * F.col("bb"),
+                    F.col("rzn") / F.col("rz"),
+                )
                 .otherwise(F.lit(0.0))
                 .alias("beta"),
             )

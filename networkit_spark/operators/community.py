@@ -74,18 +74,32 @@ def plp(
         new = superstep(labels).transform(_cc)
         iters = i + 1
         if fixed_iters is None:
-            diff1 = (
-                new.alias("a").join(labels.alias("b"), "node")
-                .filter(F.col("a.label") != F.col("b.label")).count()
-            )
+            # one aggregate reads both convergence counters (vs t-1 and,
+            # for period-2 oscillation detection, vs t-2) — one cached-side
+            # job per round instead of two
+            cmp_ = new.alias("a").join(labels.alias("b"), "node")
+            if prev is not None:
+                cmp_ = cmp_.join(prev.alias("c"), "node")
+            row = cmp_.agg(
+                F.sum(
+                    (F.col("a.label") != F.col("b.label")).cast("long")
+                ).alias("d1"),
+                *(
+                    [
+                        F.sum(
+                            (F.col("a.label") != F.col("c.label")).cast("long")
+                        ).alias("d2")
+                    ]
+                    if prev is not None
+                    else []
+                ),
+            ).first()
+            diff1 = int(row["d1"] or 0)
             if diff1 <= theta:
                 labels = new
                 break
             if prev is not None:
-                diff2 = (
-                    new.alias("a").join(prev.alias("b"), "node")
-                    .filter(F.col("a.label") != F.col("b.label")).count()
-                )
+                diff2 = int(row["d2"] or 0)
                 if diff2 <= theta:
                     # period-2 cycle (synchronous LP on bipartite structure):
                     # resolve deterministically to the elementwise min of the

@@ -92,19 +92,26 @@ def connected_components(
             "component",
             (F.col("component") != F.col("old")).alias("changed"),
         )
+        # step owns the (stats-clean) truncation in BOTH modes — the driver
+        # is constructed with use_local_checkpoint=False, so the adaptive
+        # path's changed-count runs over the already-cached frame and the
+        # driver does not re-materialize it (was a second checkpoint job
+        # per round)
+        new = _cc(new)
         if fixed_iters is not None:
             return new, None
-        new = _cc(new)
         changed = new.filter("changed").count()
         return new, float(changed)
 
-    # stats_clean: the pointer-jumping step joins the state against itself
-    # (label-of-label), so plain checkpoint stats would square per round.
+    # step() already checkpoints with clean_local_checkpoint (stats-clean:
+    # the pointer-jumping step joins the state against itself, so plain
+    # checkpoint stats would square per round) — driver must not truncate
+    # again.
     driver = SuperstepDriver(
         tol=0.0,
         max_iter=fixed_iters if fixed_iters is not None else max_iter,
         checkpoint_dir=checkpoint_dir,
-        stats_clean=True,
+        use_local_checkpoint=False,
     )
     state = driver.run(init, step)
     sym.unpersist()

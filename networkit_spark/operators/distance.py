@@ -18,12 +18,22 @@ from ..graph import Graph
 from ..plans.ckpt import clean_local_checkpoint as _cc
 
 
-def bfs_distances(graph: Graph, source: int, max_iter: int = 10_000) -> DataFrame:
+def bfs_distances(
+    graph: Graph,
+    source: int,
+    max_iter: int = 10_000,
+    max_dist: int | None = None,
+) -> DataFrame:
     """(node, dist) for nodes reachable from source; hop counts.
 
     Frontier superstep: dist'[v] = min(dist[v], min over in-neighbors+1).
     Converges in eccentricity(source) rounds; each round is one join +
-    min-aggregate on the (small) frontier."""
+    min-aggregate on the (small) frontier. ``max_dist`` bounds the
+    exploration ball (hop-count analog of IncompleteDijkstra,
+    cpp/graph/IncompleteDijkstra.cpp:10-64): nodes beyond it are neither
+    returned nor expanded."""
+    if max_dist is not None:
+        max_iter = min(max_iter, int(max_dist))
     sym = graph.sym_part().persist()
     sym.count()
     dist = (
@@ -50,13 +60,28 @@ def bfs_distances(graph: Graph, source: int, max_iter: int = 10_000) -> DataFram
     return dist
 
 
-def sssp_distances(graph: Graph, source: int, max_iter: int = 10_000) -> DataFrame:
+def sssp_distances(
+    graph: Graph,
+    source: int,
+    max_iter: int = 10_000,
+    max_dist: float | None = None,
+) -> DataFrame:
     """Weighted single-source shortest paths (Dijkstra semantics via
     Bellman-Ford supersteps): (node, dist DOUBLE) for reachable nodes.
     Rejects negative weights up front — the reference assumes Dijkstra
     preconditions, and through ``sym()`` one negative undirected edge is a
     negative CYCLE: the relax loop would burn all ``max_iter`` supersteps
-    and return silently wrong distances."""
+    and return silently wrong distances.
+
+    ``max_dist`` gives the reference's bounded-exploration
+    IncompleteDijkstra semantics (cpp/graph/IncompleteDijkstra.cpp:10-64:
+    the heap-driven loop simply never expands settled nodes beyond the
+    bound): nodes at distance > max_dist are neither returned nor
+    expanded, so the frontier — and every per-round shuffle — stays
+    proportional to the bounded ball rather than the component. With
+    non-negative weights, pruning relaxed distances > max_dist is exact
+    for every node within the bound (any prefix of a shortest path is
+    shorter than the whole)."""
     min_w = graph.edges.agg(F.min("weight")).collect()[0][0]
     if min_w is not None and float(min_w) < 0.0:
         raise ValueError(
@@ -80,6 +105,8 @@ def sssp_distances(graph: Graph, source: int, max_iter: int = 10_000) -> DataFra
             .groupBy("node")
             .agg(F.min("dist").alias("dist"))
         )
+        if max_dist is not None:
+            relax = relax.filter(F.col("dist") <= float(max_dist))
         merged = (
             dist.unionByName(relax).groupBy("node").agg(F.min("dist").alias("dist"))
         ).transform(_cc)
@@ -474,3 +501,16 @@ def bfs_sample(graph: Graph, source: int, k: int = 50) -> Graph:
         dist.orderBy(F.asc("dist"), F.asc("node")).limit(k + 1).select("node")
     )
     return graph.subgraph_from_nodes(closest)
+
+
+def graph_distance(graph: Graph, u: int, v: int) -> float:
+    """Single-pair distance dispatch (reference cpp/graph/GraphDistance.cpp
+    :12-36 ``weightedDistance``/``unweightedDistance``): BFS hop count on
+    unweighted graphs, Dijkstra on weighted ones — exactly the reference's
+    branch. Returns +inf when ``v`` is unreachable from ``u`` (the
+    reference's ``none``/infinite-distance convention)."""
+    dist = (
+        sssp_distances(graph, u) if graph.weighted else bfs_distances(graph, u)
+    )
+    row = dist.filter(F.col("node") == v).collect()
+    return float(row[0]["dist"]) if row else float("inf")

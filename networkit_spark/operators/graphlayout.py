@@ -304,6 +304,8 @@ def multilevel_layout(
     n_thresh: int = 64,
     max_iter: int = 50,
     seed: int = 42,
+    refine: str = "fr",
+    maxent_rounds: int = 5,
     _level: int = 0,
 ) -> DataFrame:
     """Multilevel force-directed layout — reference
@@ -317,6 +319,12 @@ def multilevel_layout(
     Each level's refinement runs over the FINE graph but starts pre-placed,
     so it needs few iterations — the standard multilevel speedup; all steps
     (PLP, coarsen, FR) are the existing distributed operators.
+
+    ``refine="maxent"`` swaps the FINEST level's refinement for
+    :func:`maxent_stress` seeded from the prolonged layout (the reference's
+    MaxentStress also runs inside a coarsening hierarchy,
+    MaxentStress.cpp) — better distance fidelity on mesh-like graphs at
+    the cost of ``maxent_rounds`` Laplacian solves.
     """
     from .community import coarsen, plp
 
@@ -336,6 +344,300 @@ def multilevel_layout(
         )
         .select("node", "x", "y")
     )
+    if refine == "maxent" and _level == 0:
+        out = maxent_stress(
+            graph,
+            rounds=maxent_rounds,
+            seed=seed,
+            init=init.select("node", F.col("x").alias("p0"), F.col("y").alias("p1")),
+        )
+        return out.select("node", "x", "y")
     return fruchterman_reingold(
         graph, max_iter=max(10, max_iter // 2), seed=seed + _level, init=init
     )
+
+
+def _maxent_positions_init(graph: Graph, dim: int, seed: int) -> DataFrame:
+    cols = [
+        (
+            hash60(
+                F.concat_ws(
+                    ":", F.col("node").cast("string"), F.lit(f"mx{k}"), F.lit(str(seed))
+                )
+            )
+            / F.lit(_HSPACE)
+        ).alias(f"p{k}")
+        for k in range(dim)
+    ]
+    return graph.nodes().select("node", *cols)
+
+
+def stress_value(graph: Graph, pos: DataFrame, dim: int = 2) -> float:
+    """Weighted stress Σ_{(i,j)∈E} w_ij (||x_i - x_j|| - d_ij)² with
+    w_ij = 1/d_ij² (the maxent-stress objective's stress half,
+    MaxentStress.cpp fullStressMeasure analog)."""
+    e = graph.sym().select("src", "dst", "weight").filter(F.col("src") < F.col("dst"))
+    pu = pos.select(
+        F.col("node").alias("src"), *[F.col(f"p{k}").alias(f"u{k}") for k in range(dim)]
+    )
+    pv = pos.select(
+        F.col("node").alias("dst"), *[F.col(f"p{k}").alias(f"v{k}") for k in range(dim)]
+    )
+    d2 = None
+    for k in range(dim):
+        t = (F.col(f"u{k}") - F.col(f"v{k}")) ** 2
+        d2 = t if d2 is None else d2 + t
+    dist = F.sqrt(d2)
+    row = (
+        e.join(pu, "src")
+        .join(pv, "dst")
+        .agg(
+            F.sum(
+                (dist - F.col("weight")) ** 2 / (F.col("weight") ** 2)
+            ).alias("s")
+        )
+        .first()
+    )
+    return float(row["s"] or 0.0)
+
+
+def maxent_stress(
+    graph: Graph,
+    dim: int = 2,
+    rounds: int = 10,
+    alpha: float = 0.008,
+    q: float = 0.0,
+    cg_iters: int = 20,
+    repulsion_samples: int = 4,
+    exact_repulsion: bool = False,
+    seed: int = 42,
+    init: DataFrame | None = None,
+) -> DataFrame:
+    """Maxent-stress layout — reference cpp/viz/MaxentStress.cpp (Gansner,
+    Hu & North 2012, *A maxent-stress model for graph layout*): minimize
+    edge stress Σ w_ij(||x_i-x_j|| - d_ij)² plus an entropy term that
+    repels non-adjacent pairs, by the paper's fixed-point iteration — per
+    round solve ``L_w x = b(x_old)`` per coordinate, where
+
+        b_i = Σ_{j∈N(i)} w_ij d_ij (x_i-x_j)/||x_i-x_j||
+              + α Σ_{j∉N(i)} (x_i-x_j)/||x_i-x_j||^{q+2},
+
+    w_ij = 1/d_ij². The reference drives its solves through LAMG; here the
+    Laplacian solves are the repo's batched diagonal-preconditioned CG
+    (operators/algebraic.py), all ``dim`` coordinates as one batched
+    system, tol=0 (fixed schedule, deterministic). Both rhs halves sum to
+    zero per coordinate (antisymmetric pair contributions, the repulsion
+    pair set is symmetric), so the singular-Laplacian CG stays orthogonal
+    to the constant nullspace; positions are re-centered each round.
+
+    Repulsion: the reference approximates the entropy force with a
+    quadtree; the distributed analog samples ``repulsion_samples``
+    pseudo-random partners per node (hash60 rank-indexed, symmetrized,
+    adjacents excluded) and scales by (n-1-deg)/s — O(n·s) rows, one
+    shuffle. ``exact_repulsion`` computes the full non-adjacent pair set
+    (fixture scale only, for the NumPy replica test).
+
+    Returns (node, p0..p{dim-1}); for dim=2 also aliased (x, y)."""
+    from .algebraic import conjugate_gradient
+    from ..plans.order import zip_with_rank
+
+    spark = graph.edges.sparkSession
+    n = graph.num_nodes()
+    if n == 0:
+        return spark.createDataFrame([], "node long, x double, y double")
+    sym = (
+        graph.sym()
+        .select("src", "dst", "weight")
+        .filter(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+        .persist()
+    )
+    sym.count()
+    wgraph = Graph(
+        sym.filter(F.col("src") < F.col("dst")).select(
+            "src", "dst", (F.lit(1.0) / (F.col("weight") ** 2)).alias("weight")
+        ),
+        directed=False,
+        weighted=True,
+    )
+    deg = sym.groupBy("src").agg(F.count("*").alias("deg")).withColumnRenamed(
+        "src", "node"
+    )
+    ranked = _cc(zip_with_rank(graph.nodes(), order_cols=("node",)))
+    # ranked: (node, rank) with dense 0..n-1 rank — partner index -> node id
+    if init is not None:
+        pos = init.select(
+            "node", *[F.col(c).alias(f"p{k}") for k, c in enumerate(
+                [c for c in init.columns if c != "node"][:dim]
+            )]
+        )
+    else:
+        pos = _maxent_positions_init(graph, dim, seed)
+    pos = _cc(pos)
+    eps = 1e-9
+    for r in range(rounds):
+        pu = pos.select(
+            F.col("node").alias("src"),
+            *[F.col(f"p{k}").alias(f"u{k}") for k in range(dim)],
+        )
+        pv = pos.select(
+            F.col("node").alias("dst"),
+            *[F.col(f"p{k}").alias(f"v{k}") for k in range(dim)],
+        )
+        d2 = None
+        for k in range(dim):
+            t = (F.col(f"u{k}") - F.col(f"v{k}")) ** 2
+            d2 = t if d2 is None else d2 + t
+        dist = F.greatest(F.sqrt(d2), F.lit(eps))
+        att = (
+            sym.join(pu, "src")
+            .join(pv, "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(
+                *[
+                    F.sum(
+                        (F.col(f"u{k}") - F.col(f"v{k}"))
+                        / dist
+                        / F.col("weight")  # w_ij d_ij = 1/d_ij
+                    ).alias(f"a{k}")
+                    for k in range(dim)
+                ]
+            )
+        )
+        if exact_repulsion:
+            pairs = (
+                ranked.select(F.col("node").alias("src"))
+                .crossJoin(ranked.select(F.col("node").alias("dst")))
+                .filter(F.col("src") != F.col("dst"))
+                .join(sym.select("src", "dst"), ["src", "dst"], "left_anti")
+                .withColumn("scale", F.lit(1.0))
+            )
+        else:
+            s = repulsion_samples
+            t_df = spark.range(s).withColumnRenamed("id", "t")
+            cand = (
+                ranked.crossJoin(F.broadcast(t_df))
+                .select(
+                    "node",
+                    (
+                        hash60(
+                            F.concat_ws(
+                                ":",
+                                F.col("node").cast("string"),
+                                F.col("t").cast("string"),
+                                F.lit(f"rep{r}"),
+                                F.lit(str(seed)),
+                            )
+                        )
+                        % F.lit(n)
+                        + F.lit(1)  # zip_with_rank ranks are 1-based
+                    ).alias("prank"),
+                )
+            )
+            half = (
+                cand.join(
+                    ranked.select(F.col("rank").alias("prank"), F.col("node").alias("partner")),
+                    "prank",
+                )
+                .filter(F.col("node") != F.col("partner"))
+                .select(F.col("node").alias("src"), F.col("partner").alias("dst"))
+                .join(sym.select("src", "dst"), ["src", "dst"], "left_anti")
+                .distinct()
+            )
+            pairs_unscaled = half.unionByName(
+                half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            ).distinct()
+            pairs = (
+                pairs_unscaled.join(deg, pairs_unscaled.src == deg.node, "left")
+                .select(
+                    "src",
+                    "dst",
+                    (
+                        (F.lit(float(n - 1)) - F.coalesce("deg", F.lit(0.0)))
+                        / F.lit(float(max(1, 2 * s)))
+                    ).alias("scale"),
+                )
+            )
+        rep = (
+            pairs.join(pu, "src")
+            .join(pv, "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(
+                *[
+                    F.sum(
+                        F.col("scale")
+                        * (F.col(f"u{k}") - F.col(f"v{k}"))
+                        / F.pow(dist, F.lit(float(q + 2.0)))
+                    ).alias(f"r{k}")
+                    for k in range(dim)
+                ]
+            )
+        )
+        b = (
+            graph.nodes()
+            .join(att, "node", "left")
+            .join(rep, "node", "left")
+            .select(
+                "node",
+                *[
+                    (
+                        F.coalesce(f"a{k}", F.lit(0.0))
+                        + F.lit(float(alpha)) * F.coalesce(f"r{k}", F.lit(0.0))
+                    ).alias(f"b{k}")
+                    for k in range(dim)
+                ],
+            )
+        )
+        # project the rhs onto the zero-sum subspace per coordinate: the
+        # exact-repulsion / attraction halves are antisymmetric, but the
+        # SAMPLED repulsion scale is per-source-degree, so its sum is only
+        # approximately zero — any constant component is in the singular
+        # Laplacian's nullspace and would poison the CG residual without
+        # changing the layout (positions are re-centered anyway)
+        bmeans = b.agg(
+            *[F.avg(f"b{k}").alias(f"bm{k}") for k in range(dim)]
+        )
+        b = b.crossJoin(F.broadcast(bmeans)).select(
+            "node",
+            *[
+                (F.col(f"b{k}") - F.col(f"bm{k}")).alias(f"b{k}")
+                for k in range(dim)
+            ],
+        )
+        rhs = None
+        for k in range(dim):
+            part = b.select(
+                F.lit(k).cast("long").alias("sys"), "node", F.col(f"b{k}").alias("b")
+            )
+            rhs = part if rhs is None else rhs.unionByName(part)
+        x = conjugate_gradient(wgraph, rhs, iters=cg_iters, tol=0.0, safeguard=True)
+        wide = (
+            x.groupBy("node")
+            .pivot("sys", list(range(dim)))
+            .agg(F.first("x"))
+            .select(
+                "node", *[F.col(str(k)).alias(f"p{k}") for k in range(dim)]
+            )
+        )
+        means = wide.agg(
+            *[F.avg(f"p{k}").alias(f"m{k}") for k in range(dim)]
+        )
+        pos = _cc(
+            wide.crossJoin(F.broadcast(means)).select(
+                "node",
+                *[
+                    (F.col(f"p{k}") - F.col(f"m{k}")).alias(f"p{k}")
+                    for k in range(dim)
+                ],
+            )
+        )
+    sym.unpersist()
+    if dim == 2:
+        return pos.select(
+            "node",
+            "p0",
+            "p1",
+            F.col("p0").alias("x"),
+            F.col("p1").alias("y"),
+        )
+    return pos

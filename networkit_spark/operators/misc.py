@@ -15,6 +15,8 @@ Reference files:
 
 from __future__ import annotations
 
+import math
+
 from typing import Optional
 
 from pyspark.sql import DataFrame, Window, functions as F
@@ -863,3 +865,136 @@ def union_maximum_spanning_forest(graph: Graph, max_levels: int = 10_000) -> Dat
     if marked is None:
         return graph.edges.select("src", "dst", "weight", F.lit(False).alias("in_umsf"))
     return marked
+
+
+def random_spanning_forest(
+    graph: Graph, seed: int = 42, max_rounds: int = 10_000
+) -> DataFrame:
+    """UNIFORM random spanning forest — reference
+    cpp/graph/RandomSpanningForest.cpp:20-49 (Wilson's loop-erased random
+    walks) — via the Propp-Wilson CYCLE-POPPING formulation of the same
+    algorithm (Propp & Wilson 1998, *How to get a perfectly random sample
+    from a generic Markov chain...*), which distributes where the walk does
+    not: every non-root node holds an i.i.d. stack of uniform-neighbor
+    arrows; repeatedly pop ALL directed cycles of the current arrow graph
+    (advance the stack of every on-cycle node) until the arrows form a
+    forest rooted at each component's root. The popping theorem makes the
+    result independent of pop order and distributed exactly as Wilson's
+    tree — uniform over spanning trees per component.
+
+    Spark formulation, per round: (1) arrows from the per-node stack index
+    k via element_at(sorted nbrs, hash60(node,k,seed) % deg) — the stack is
+    a deterministic hash sequence, so arrows are reproducible and
+    partitioning-independent; (2) on-cycle nodes = image of arrow^(2^K)
+    (K = ceil(log2 n) pointer-doubling squarings — every walk of length n
+    lands on its terminal cycle or root, and cycle nodes are exactly the
+    non-root image); (3) bump k on every on-cycle node. Cycles in a
+    functional graph are vertex-disjoint, so popping them all at once is a
+    valid pop order. Roots: each component's MIN node id.
+
+    Deviations from the reference, documented: the walk randomness is the
+    md5-based hash60 sequence, not a host RNG (hash60 % deg carries a
+    ≤ deg/2^60 modulo bias — immaterial); roots are deterministic min-ids
+    (the reference picks arbitrary unvisited walk starts; the tree
+    DISTRIBUTION is root-independent for uniform spanning trees). Returns
+    forest edges (src, dst) canonical src < dst.
+    """
+    from ..functions.dedup import hash60
+    from .components import connected_components
+
+    sym = (
+        graph.sym()
+        .select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    adj = _cc(
+        sym.groupBy("src")
+        .agg(F.array_sort(F.collect_list("dst")).alias("nbrs"))
+        .select(F.col("src").alias("node"), "nbrs", F.size("nbrs").alias("deg"))
+    )
+    n = graph.num_nodes()
+    if n == 0:
+        return graph.edges.sparkSession.createDataFrame([], "src long, dst long")
+    roots = (
+        connected_components(graph)
+        .groupBy("component")
+        .agg(F.min("node").alias("node"))
+        .select("node", F.lit(True).alias("is_root"))
+    )
+    state = _cc(
+        adj.join(roots, "node", "left")
+        .select(
+            "node",
+            "nbrs",
+            "deg",
+            F.coalesce("is_root", F.lit(False)).alias("is_root"),
+            F.lit(0).alias("k"),
+        )
+    )
+    doubling_rounds = max(1, math.ceil(math.log2(max(2, n))))
+    for _ in range(max_rounds):
+        arrows = _cc(
+            state.select(
+                "node",
+                "is_root",
+                F.when(F.col("is_root"), F.col("node"))
+                .otherwise(
+                    F.element_at(
+                        "nbrs",
+                        (
+                            hash60(
+                                F.concat_ws(
+                                    ":",
+                                    F.col("node").cast("string"),
+                                    F.col("k").cast("string"),
+                                    F.lit(str(seed)),
+                                )
+                            )
+                            % F.col("deg")
+                        ).cast("int")
+                        + F.lit(1),
+                    )
+                )
+                .alias("to"),
+            )
+        )
+        # pointer doubling: ptr = arrow^(2^i); roots are absorbing
+        ptr = arrows.select("node", F.col("to").alias("ptr"))
+        for _i in range(doubling_rounds):
+            ptr = _cc(
+                ptr.alias("a")
+                .join(
+                    ptr.alias("b").select(
+                        F.col("node").alias("ptr"), F.col("ptr").alias("p2")
+                    ),
+                    "ptr",
+                )
+                .select("node", F.col("p2").alias("ptr"))
+            )
+        on_cycle = (
+            ptr.select(F.col("ptr").alias("node"))
+            .distinct()
+            .join(arrows.filter("is_root").select("node"), "node", "left_anti")
+        )
+        n_cyc = on_cycle.count()
+        if n_cyc == 0:
+            edges = arrows.filter(~F.col("is_root")).select(
+                F.least("node", "to").alias("src"),
+                F.greatest("node", "to").alias("dst"),
+            )
+            return edges
+        state = _cc(
+            state.join(on_cycle.withColumn("bump", F.lit(1)), "node", "left")
+            .select(
+                "node",
+                "nbrs",
+                "deg",
+                "is_root",
+                (F.col("k") + F.coalesce("bump", F.lit(0))).alias("k"),
+            )
+        )
+    raise RuntimeError(
+        f"random_spanning_forest: cycle popping did not converge in "
+        f"{max_rounds} rounds"
+    )

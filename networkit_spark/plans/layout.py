@@ -227,6 +227,11 @@ def pagerank_csr(
             "node",
             (F.lit(damp) * F.coalesce("mass", F.lit(0.0)) + F.lit(teleport)).alias("score"),
         )
+        # step owns the truncation (driver runs use_local_checkpoint=False):
+        # the adaptive residual below reads the cached frame instead of
+        # computing the plan once for the collect and AGAIN for the driver's
+        # re-checkpoint
+        new = new.localCheckpoint(eager=True)
         if fixed_iters is not None:
             return new, None
         resid = (
@@ -241,6 +246,7 @@ def pagerank_csr(
         tol=tol,
         max_iter=fixed_iters if fixed_iters is not None else max_iter,
         checkpoint_dir=checkpoint_dir,
+        use_local_checkpoint=False,
     )
     state = driver.run(init, step)
     blocks.unpersist()

@@ -106,3 +106,28 @@ def test_dynbfs_random_batches_match_recompute(spark):
         got = _dist_map(d.distances)
         fresh = _dist_map(bfs_distances(d.graph, 0))
         assert {k: float(v) for k, v in fresh.items()} == got
+
+
+def test_bounded_exploration_incomplete_dijkstra(spark):
+    """IncompleteDijkstra parity: max_dist prunes the ball exactly —
+    distances within the bound match the unbounded run, nothing beyond the
+    bound is returned."""
+    from networkit_spark.graph import Graph
+    from networkit_spark.operators.distance import (
+        bfs_distances,
+        graph_distance,
+        sssp_distances,
+    )
+
+    edges = [(0, 1, 1.0), (1, 2, 2.0), (2, 3, 1.0), (3, 4, 5.0), (0, 5, 10.0)]
+    g = Graph.from_edge_list(spark, edges, directed=False, weighted=True)
+    full = {r.node: r.dist for r in sssp_distances(g, 0).collect()}
+    bounded = {r.node: r.dist for r in sssp_distances(g, 0, max_dist=4.0).collect()}
+    assert bounded == {n: d for n, d in full.items() if d <= 4.0}
+    assert 4 not in bounded and 5 not in bounded
+    hop = {r.node: r.dist for r in bfs_distances(g, 0, max_dist=2).collect()}
+    assert set(hop) == {0, 1, 2, 5}
+    assert graph_distance(g, 0, 4) == full[4]
+    g2 = Graph.from_edge_list(spark, [(0, 1), (2, 3)], directed=False)
+    assert graph_distance(g2, 0, 1) == 1.0
+    assert graph_distance(g2, 0, 3) == float("inf")

@@ -93,3 +93,59 @@ def test_streaming_degree_tracker_matches_fold(spark, tmp_path):
         assert latest == expected
     finally:
         q.stop()
+
+
+def test_pipeline_kill_resume_equals_batch(spark, tmp_path):
+    """End-to-end: file-stream of DynamicDorogovtsevMendes events →
+    foreachBatch → warm DynPageRank, killed after the first half and
+    RESUMED by a fresh pipeline instance over the same checkpoint+state
+    dirs — final scores equal a cold batch PageRank on the fully-folded
+    edge table (warm start contracts to the same unique fixpoint)."""
+    import os
+
+    from networkit_spark.graph import Graph
+    from networkit_spark.operators.pagerank import pagerank
+    from networkit_spark.streaming.dynamic_generators import (
+        dynamic_dorogovtsev_mendes_events,
+    )
+    from networkit_spark.streaming.graph_events import apply_events
+    from networkit_spark.streaming.pipeline import IncrementalPageRankPipeline
+    from pyspark.sql import functions as F
+
+    events = dynamic_dorogovtsev_mendes_events(spark, steps=12, seed=9)
+    rows = events.orderBy("seq").collect()
+    half = len(rows) // 2
+    in_dir = str(tmp_path / "events")
+    ckpt = str(tmp_path / "ckpt")
+    state = str(tmp_path / "state")
+    os.makedirs(in_dir)
+
+    def write_file(batch_rows, name):
+        df = spark.createDataFrame(batch_rows, events.schema)
+        df.coalesce(1).write.mode("overwrite").json(str(tmp_path / "tmpj"))
+        import glob
+        import shutil
+
+        src = glob.glob(str(tmp_path / "tmpj" / "part-*.json"))[0]
+        shutil.copy(src, os.path.join(in_dir, name))
+
+    write_file(rows[:half], "a.json")
+    p1 = IncrementalPageRankPipeline(spark, in_dir, ckpt, state, tol=1e-10)
+    p1.run_available()
+    assert p1.batches_applied >= 1
+    # "kill": drop the instance; new files arrive while the service is down
+    write_file(rows[half:], "b.json")
+    p2 = IncrementalPageRankPipeline(spark, in_dir, ckpt, state, tol=1e-10)
+    # resume reloads the folded edges + warm scores from state_dir
+    assert p2.edges.count() > 0 and p2.scores is not None
+    p2.run_available()
+    assert p2.batches_applied >= 1
+    # equality vs cold batch recompute over the full event fold
+    empty = spark.createDataFrame([], "src long, dst long, weight double")
+    full_edges = apply_events(empty, events)
+    cold = pagerank(Graph(full_edges, weighted=True), tol=1e-10)
+    got = {r.node: r.score for r in p2.scores.collect()}
+    want = {r.node: r.score for r in cold.collect()}
+    assert set(got) == set(want)
+    for n in want:
+        assert abs(got[n] - want[n]) < 1e-7, n
