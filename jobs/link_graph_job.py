@@ -129,6 +129,26 @@ def run_algorithm(spark: SparkSession, graph, args):
         if not graph.directed:
             raise SystemExit("--algorithm bowtie needs --directed input")
         return bowtie_decomposition(graph), {}
+    if args.algorithm == "scc":
+        from networkit_spark.operators.components import (
+            strongly_connected_components,
+        )
+
+        if not graph.directed:
+            raise SystemExit("--algorithm scc needs --directed input")
+        stats: dict = {}
+        result = strongly_connected_components(graph, stats=stats)
+        return result, stats
+    if args.algorithm == "ktruss":
+        from networkit_spark.operators.triangles import k_truss
+
+        stats = {}
+        result = k_truss(graph, args.truss_k, stats=stats)
+        return result, {"rounds": stats.get("rounds")}
+    if args.algorithm == "maxent":
+        from networkit_spark.operators.graphlayout import maxent_stress
+
+        return maxent_stress(graph, rounds=args.max_iter), {}
     raise SystemExit(f"unknown algorithm {args.algorithm!r}")
 
 
@@ -154,7 +174,10 @@ def main(argv=None) -> int:
     p.add_argument("--input-kind", choices=["edges", "pages"], default="edges")
     p.add_argument(
         "--algorithm",
-        choices=["pagerank", "components", "plp", "triangles", "hits", "bowtie"],
+        choices=[
+            "pagerank", "components", "plp", "triangles", "hits", "bowtie",
+            "scc", "ktruss", "maxent",
+        ],
         default="pagerank",
     )
     p.add_argument("--output", required=True)
@@ -163,6 +186,7 @@ def main(argv=None) -> int:
     p.add_argument("--resume", action="store_true")
     p.add_argument("--directed", action="store_true")
     p.add_argument("--damping", type=float, default=0.85)
+    p.add_argument("--truss-k", type=int, default=4)
     p.add_argument("--tol", type=float, default=1e-8)
     p.add_argument("--max-iter", type=int, default=100)
     p.add_argument("--shuffle-partitions", type=int, default=None)

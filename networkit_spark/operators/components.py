@@ -122,7 +122,10 @@ def connected_components(
 
 
 def strongly_connected_components(
-    graph: Graph, max_outer: int = 100, trim_rounds: int = 3
+    graph: Graph,
+    max_outer: int = 100,
+    trim_rounds: int = 3,
+    stats: dict | None = None,
 ) -> DataFrame:
     """(node, component) on a DIRECTED graph; component = MIN member id of the
     SCC (deterministic canonical labels — the reference's
@@ -168,6 +171,7 @@ def strongly_connected_components(
     edges_all.count()
     remaining = _cc(graph.nodes().select("node"))
     done: DataFrame | None = None
+    counters = {"outer": 0, "trim": 0, "color": 0, "bmin": 0}
 
     def _accum(acc, part):
         part = part.select("node", F.col("component").cast("long").alias("component"))
@@ -176,6 +180,7 @@ def strongly_connected_components(
     for _ in range(max_outer):
         if remaining.isEmpty():
             break
+        counters["outer"] += 1
         # -- 1. capped trim loop --------------------------------------------
         for _t in range(trim_rounds):
             e = (
@@ -190,6 +195,7 @@ def strongly_connected_components(
                 .join(has_in, "node", "left_semi")
                 .transform(_cc)
             )
+            counters["trim"] += 1
             trimmed = remaining.join(keep, "node", "left_anti")
             if trimmed.isEmpty():
                 break
@@ -235,6 +241,7 @@ def strongly_connected_components(
                 .count()
             )
             color = new
+            counters["color"] += 1
             if changed == 0:
                 break
         # -- 3. backward min on color-homogeneous edges, same doubling -------
@@ -278,6 +285,7 @@ def strongly_connected_components(
                 .count()
             )
             bmin = new
+            counters["bmin"] += 1
             if changed == 0:
                 break
         # -- 4. resolve SCCs whose backward min hits their region root -------
@@ -298,6 +306,8 @@ def strongly_connected_components(
             f"after {max_outer} outer rounds — raise max_outer"
         )
     edges_all.unpersist()
+    if stats is not None:
+        stats.update(counters)
     if done is None:
         return graph.nodes().select("node", F.col("node").alias("component"))
     return done

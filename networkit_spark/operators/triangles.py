@@ -346,7 +346,9 @@ def clustering(graph: Graph, error: float = 0.01, seed: int = 42) -> float:
     return approx_avg_local_clustering(graph, seed=seed)
 
 
-def k_truss(graph: Graph, k: int, max_rounds: int = 200) -> DataFrame:
+def k_truss(
+    graph: Graph, k: int, max_rounds: int = 200, stats: dict | None = None
+) -> DataFrame:
     """Edges of the k-truss: the maximal subgraph in which every edge closes
     at least ``k - 2`` triangles (Cohen 2008, *Trusses: cohesive subgraphs
     for social network analysis*; distributed support-decrement peel as in
@@ -419,6 +421,9 @@ def k_truss(graph: Graph, k: int, max_rounds: int = 200) -> DataFrame:
         frontier = state.filter(F.col("support") < k - 2).select("src", "dst")
         frontier = _cc(frontier)
         n_del = frontier.count()
+        if stats is not None:
+            stats.setdefault("frontiers", []).append(n_del)
+            stats["rounds"] = stats.get("rounds", 0) + 1
         if n_del == 0:
             return state.select("src", "dst")
         fr = F.broadcast(frontier) if n_del <= bcast_limit else frontier

@@ -155,3 +155,31 @@ def test_submit_hits(edges_parquet, spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() > 0
     assert set(got.columns) == {"node", "hub", "auth"}
+
+
+def test_submit_scc_and_ktruss(edges_parquet, spark, tmp_path):
+    out = str(tmp_path / "scc_out")
+    _run_job(
+        [
+            "--input", edges_parquet,
+            "--algorithm", "scc",
+            "--directed",
+            "--output", out,
+        ],
+        cwd=REPO,
+    )
+    got = spark.read.parquet(out)
+    assert got.count() > 0
+    assert set(got.columns) == {"node", "component"}
+    out2 = str(tmp_path / "truss_out")
+    _run_job(
+        [
+            "--input", edges_parquet,
+            "--algorithm", "ktruss",
+            "--truss-k", "3",
+            "--output", out2,
+        ],
+        cwd=REPO,
+    )
+    got2 = spark.read.parquet(out2)
+    assert set(got2.columns) == {"src", "dst"}
