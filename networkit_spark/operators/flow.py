@@ -589,17 +589,21 @@ def cut_clustering(
         return _labels_df(spark, assigned)
 
     # distributed precedence fold: rank = position in the reference's
-    # descending-degree bucket order (CutClustering.cpp:37-61)
-    from pyspark.sql import Window
+    # descending-degree bucket order (CutClustering.cpp:37-61); exact global
+    # rank via range-partitioned zip_with_rank — NOT a partitionBy-less
+    # window, which would funnel all nodes through one partition
+    from ..plans.order import zip_with_rank
 
+    handle: list = []
     ranked = _cc(
-        graph.degrees().select(
-            "node",
-            F.row_number()
-            .over(Window.orderBy(F.col("degree").desc(), F.col("node")))
-            .alias("rank"),
-        )
+        zip_with_rank(
+            graph.degrees(),
+            order_cols=(F.col("degree").desc(), F.col("node")),
+            cache_handle=handle,
+        ).select("node", "rank")
     ).persist()
+    for h in handle:
+        h.unpersist()
     labels = _cc(spark.createDataFrame([], "node long, cluster long, rank int"))
     while True:
         reps = (

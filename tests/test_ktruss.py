@@ -89,3 +89,20 @@ def test_max_rounds_exhaustion_raises(spark):
     g = Graph.from_edge_list(spark, edges, directed=False)
     with pytest.raises(RuntimeError, match="fixpoint"):
         k_truss(g, 4, max_rounds=1)
+
+
+def test_decrement_path_equals_recompute_path(spark):
+    # force each strategy explicitly: recompute_frac=1.1 pins the pure
+    # support-decrement path, recompute_frac=0.0 pins full recompute every
+    # round — identical trusses by the maintenance-exactness argument
+    rng = random.Random(3)
+    edges = [
+        (u, v)
+        for u, v in itertools.combinations(range(22), 2)
+        if rng.random() < 0.35
+    ]
+    g = Graph.from_edge_list(spark, edges, directed=False)
+    for k in (3, 4, 5):
+        dec = _collect(k_truss(g, k, recompute_frac=1.1))
+        rec = _collect(k_truss(g, k, recompute_frac=0.0))
+        assert dec == rec == _truss_replica(edges, k), k
