@@ -204,7 +204,16 @@ def _frontier_reach(arcs: DataFrame, seeds: DataFrame, forward: bool) -> DataFra
     """Nodes reachable from ``seeds`` (inclusive) along arcs, forward or
     backward — distributed frontier BFS; per round one semi-join-shaped
     frontier expansion + distinct + anti-join, same shuffle shape as
-    connected_components. ``arcs`` should be persisted by the caller."""
+    connected_components. ``arcs`` should be persisted by the caller.
+
+    Why frontier BFS and not shortcut doubling (the SCC color loop's
+    trick): measured head-to-head at sf1/RMAT (5.9M arcs), a min-label +
+    label-of-label doubling sweep costs 127 s vs 81 s for this loop inside
+    bowtie_decomposition — web-graph reach regions are SHALLOW (a handful
+    of hops), so the few frontier rounds touch only frontier-incident
+    arcs, while every doubling round pays a whole-universe jump join +
+    groupBy. Doubling only wins on deep-chain structures, which the SCC
+    trim/color stages already absorb upstream of these sweeps."""
     step_src, step_dst = ("src", "dst") if forward else ("dst", "src")
     visited = _cc(seeds.select("node").distinct())
     frontier = visited
