@@ -5546,7 +5546,7 @@ def _doc_split_sql() -> str:
     h = hash60_sql("CAST(doc_id AS VARCHAR) || ':42'")
     u = f"(CAST({h} AS DOUBLE) / 1152921504606846976.0)"
     return f"""
-SELECT split, COUNT(*) AS n_docs, SUM(doc_id) AS id_sum
+SELECT split, COUNT(*) AS n_docs, CAST(SUM(doc_id) AS BIGINT) AS id_sum
 FROM (
   SELECT doc_id,
          CASE WHEN {u} < 0.98 THEN 'train'

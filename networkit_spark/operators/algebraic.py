@@ -301,7 +301,11 @@ def conjugate_gradient(
         # delay
         for old in live:
             _free_checkpoint_blocks(old)
-        live = [st, prev_rz_src] if prev_rz_src is not state else [st]
+        # prev_rz_src is the initial state on iteration 1 — it is superseded
+        # exactly like any later one (new_state's lazy beta is the last
+        # reader, materialized by the NEXT iteration's st), so it joins the
+        # delayed free list unconditionally
+        live = [st, prev_rz_src]
         prev_rz_src = st2
         state = new_state
         if tol > 0:

@@ -444,7 +444,12 @@ def maxent_stress(
     spark = graph.edges.sparkSession
     n = graph.num_nodes()
     if n == 0:
-        return spark.createDataFrame([], "node long, x double, y double")
+        # same schema as the populated path, so callers selecting p0/p1
+        # (and x/y for dim=2) work on empty graphs too
+        schema = "node long, " + ", ".join(f"p{k} double" for k in range(dim))
+        if dim == 2:
+            schema += ", x double, y double"
+        return spark.createDataFrame([], schema)
     sym = (
         graph.sym()
         .select("src", "dst", "weight")
@@ -463,8 +468,14 @@ def maxent_stress(
     deg = sym.groupBy("src").agg(F.count("*").alias("deg")).withColumnRenamed(
         "src", "node"
     )
-    ranked = _cc(zip_with_rank(graph.nodes(), order_cols=("node",)))
-    # ranked: (node, rank) with dense 0..n-1 rank — partner index -> node id
+    _rank_handle: list = []
+    ranked = _cc(
+        zip_with_rank(graph.nodes(), order_cols=("node",), cache_handle=_rank_handle)
+    )
+    for _h in _rank_handle:
+        _h.unpersist()
+    # ranked: (node, rank) with dense 1-based rank (the sampling code below
+    # adds +1 when mapping modular partner indices) — partner index -> node id
     if init is not None:
         pos = init.select(
             "node", *[F.col(c).alias(f"p{k}") for k, c in enumerate(

@@ -472,9 +472,14 @@ def k_truss(
             )
             .filter((F.col("w") != F.col("v")))
         )
-        cand_b = F.broadcast(cand) if n_del <= bcast_limit else cand
+        # cand is frontier × adjacency — hub-amplified and unbounded
+        # relative to n_del, so never hint-broadcast it (an explicit hint
+        # bypasses autoBroadcastJoinThreshold and a hub-heavy frontier could
+        # force tens of millions of rows onto the driver). AQE's runtime
+        # size stats promote the join to broadcast when cand is actually
+        # small, which is the measured-size gate we want.
         tri_dead = (
-            cand_b.join(
+            cand.join(
                 sym.select(F.col("src").alias("v"), F.col("dst").alias("w")),
                 ["v", "w"],
                 "left_semi",

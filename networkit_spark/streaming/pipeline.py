@@ -21,7 +21,9 @@ recompute at the same tolerance.
 
 from __future__ import annotations
 
+import json
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -36,10 +38,14 @@ class IncrementalPageRankPipeline:
     PageRank, with durable resume.
 
     ``checkpoint_dir`` is Spark's streaming offset checkpoint (which input
-    files are committed); ``state_dir`` persists the engine state (edges/,
-    scores/ parquet) after every micro-batch. A fresh instance pointed at
-    the same directories reloads the folded edge table and the last score
-    vector and continues from the first uncommitted batch."""
+    files are committed); ``state_dir`` persists the engine state after
+    every micro-batch as ``batch_<id>/{edges,scores}`` parquet plus an
+    atomically-replaced ``manifest.json`` naming the last committed batch.
+    A fresh instance pointed at the same directories reloads the folded
+    edge table and the last score vector and continues from the first
+    uncommitted batch; replayed batches (crash between state commit and
+    offset commit) are skipped via the manifest, so the non-idempotent
+    weight fold is applied exactly once per batch."""
 
     def __init__(
         self,
@@ -59,13 +65,15 @@ class IncrementalPageRankPipeline:
         self.tol = tol
         self.directed = directed
         self.batches_applied = 0
-        edges_path = os.path.join(state_dir, "edges")
-        scores_path = os.path.join(state_dir, "scores")
-        if os.path.exists(edges_path):
-            self.edges = _cc(spark.read.parquet(edges_path))
+        self._last_committed = -1
+        manifest = self._read_manifest()
+        if manifest is not None:
+            self._last_committed = manifest["batch_id"]
+            bdir = os.path.join(state_dir, f"batch_{manifest['batch_id']}")
+            self.edges = _cc(spark.read.parquet(os.path.join(bdir, "edges")))
             self._init_scores = (
-                _cc(spark.read.parquet(scores_path))
-                if os.path.exists(scores_path)
+                _cc(spark.read.parquet(os.path.join(bdir, "scores")))
+                if manifest.get("has_scores")
                 else None
             )
         else:
@@ -75,9 +83,26 @@ class IncrementalPageRankPipeline:
             self._init_scores = None
         self.scores: DataFrame | None = self._init_scores
 
+    def _manifest_path(self) -> str:
+        return os.path.join(self.state_dir, "manifest.json")
+
+    def _read_manifest(self) -> dict | None:
+        if not os.path.exists(self._manifest_path()):
+            return None
+        with open(self._manifest_path()) as f:
+            return json.load(f)
+
     def _apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         from ..operators.pagerank import pagerank
 
+        # Idempotence: Spark commits the streaming offset only AFTER
+        # foreachBatch returns, so a crash between our state commit and the
+        # offset commit replays this batch. apply_events' weight-increment
+        # fold is non-idempotent, so a replayed batch must be a no-op:
+        # the manifest records the last batch folded into the committed
+        # state, and batch ids are monotonic per checkpoint.
+        if batch_id <= self._last_committed:
+            return
         if batch_df.isEmpty():
             return
         self.edges = _cc(
@@ -90,19 +115,39 @@ class IncrementalPageRankPipeline:
             self.scores = pagerank(
                 g, damp=self.damp, tol=self.tol, init_scores=self.scores
             )
-        # durable engine state: overwrite-per-batch parquet (at scale: an
-        # Iceberg table with snapshot-per-batch); written AFTER the fold so
-        # a crash mid-batch resumes from the previous consistent pair —
-        # Spark only commits the streaming offset after foreachBatch
-        # returns, so the batch replays in full
-        self.edges.write.mode("overwrite").parquet(
-            os.path.join(self.state_dir, "edges")
-        )
+        # Durable engine state, crash-safe: write the new (edges, scores)
+        # pair into a FRESH per-batch directory, then atomically flip the
+        # manifest to it (tmp + os.replace, mirroring
+        # SuperstepDriver._write_checkpoint). A crash mid-write leaves the
+        # manifest pointing at the previous consistent pair; a crash after
+        # the flip but before the offset commit replays the batch, which
+        # the manifest guard above turns into a no-op. At scale the analog
+        # is an Iceberg table whose snapshot commit carries batch_id as a
+        # summary property.
+        bdir = os.path.join(self.state_dir, f"batch_{batch_id}")
+        self.edges.write.mode("overwrite").parquet(os.path.join(bdir, "edges"))
         if self.scores is not None:
             self.scores.write.mode("overwrite").parquet(
-                os.path.join(self.state_dir, "scores")
+                os.path.join(bdir, "scores")
             )
+        manifest = {"batch_id": batch_id, "has_scores": self.scores is not None}
+        tmp = self._manifest_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, self._manifest_path())
+        self._last_committed = batch_id
         self.batches_applied += 1
+        # GC superseded state dirs (anything older than the committed batch)
+        for name in os.listdir(self.state_dir):
+            if name.startswith("batch_") and name != f"batch_{batch_id}":
+                try:
+                    if int(name[6:]) < batch_id:
+                        shutil.rmtree(
+                            os.path.join(self.state_dir, name),
+                            ignore_errors=True,
+                        )
+                except ValueError:
+                    pass
 
     def run_available(self, timeout_sec: float = 300.0) -> None:
         """Process every currently-available input file, then stop

@@ -23,7 +23,7 @@ import pytest
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import __spark_entry__ as entry
-from tools.check_oracles import TABLES, canon
+from tools.check_oracles import TABLES, canon, dtype_split
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -54,3 +54,5 @@ def test_oracle_parity(name, spark, duck):
         f"{name}: cols {sorted(sdf.columns)} != {sorted(odf.columns)}"
     )
     assert canon(sdf) == canon(odf), f"{name}: value hash mismatch"
+    splits = dtype_split(sdf, odf)
+    assert not splits, f"{name}: int/float dtype split {splits}"

@@ -149,3 +149,52 @@ def test_pipeline_kill_resume_equals_batch(spark, tmp_path):
     assert set(got) == set(want)
     for n in want:
         assert abs(got[n] - want[n]) < 1e-7, n
+
+
+def test_pipeline_replay_is_idempotent(spark, tmp_path):
+    """Exactly-once under the crash window Spark leaves open: foreachBatch
+    can REPLAY a batch whose state commit landed but whose streaming offset
+    did not (crash between the two). The manifest guard must turn the
+    replay into a no-op — EDGE_WEIGHT_INCREMENT folds are non-idempotent,
+    so without the guard weights double."""
+    import os
+
+    from networkit_spark.streaming.pipeline import IncrementalPageRankPipeline
+
+    in_dir, ckpt, state = (str(tmp_path / d) for d in ("in", "ckpt", "state"))
+    os.makedirs(in_dir)
+    os.makedirs(state)
+    p = IncrementalPageRankPipeline(spark, in_dir, ckpt, state, tol=1e-9)
+    b0 = spark.createDataFrame(
+        [(int(s), t, int(u), int(v), float(w), None) for s, t, u, v, w in BATCH1],
+        EVENT_SCHEMA,
+    )
+    b1 = spark.createDataFrame(
+        [(int(s), t, int(u), int(v), float(w), None) for s, t, u, v, w in BATCH2],
+        EVENT_SCHEMA,
+    )
+    p._apply_batch(b0, 0)
+    p._apply_batch(b1, 1)
+    want = sorted(
+        (r.src, r.dst, r.weight) for r in p.edges.collect()
+    )
+    # same-instance replay (offset commit lost, query retries the batch)
+    p._apply_batch(b1, 1)
+    assert sorted((r.src, r.dst, r.weight) for r in p.edges.collect()) == want
+    assert p.batches_applied == 2
+    # fresh-instance replay (process died between state and offset commit)
+    p2 = IncrementalPageRankPipeline(spark, in_dir, ckpt, state, tol=1e-9)
+    assert p2._last_committed == 1
+    p2._apply_batch(b1, 1)
+    assert p2.batches_applied == 0
+    got = sorted((r.src, r.dst, r.weight) for r in p2.edges.collect())
+    assert got == want
+    # and the next batch id still applies normally
+    p2._apply_batch(
+        spark.createDataFrame(
+            [(20, "EDGE_ADDITION", 4, 5, 1.0, None)], EVENT_SCHEMA
+        ),
+        2,
+    )
+    assert p2.batches_applied == 1
+    assert p2.edges.count() == len(want) + 1

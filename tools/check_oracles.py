@@ -37,6 +37,22 @@ def canon(df: pd.DataFrame) -> str:
     return hashlib.sha256("\n".join(rows).encode()).hexdigest()[:16]
 
 
+def dtype_split(sdf: pd.DataFrame, odf: pd.DataFrame) -> list:
+    """Columns where one engine yields an integer dtype and the other a float
+    (or object) dtype. ``canon``'s ``%.9g`` float path renders ``124750.0``
+    and int64 ``124750`` identically, which masks exactly the mismatch the
+    driver's stricter hasher flags (e.g. DuckDB typing ``SUM(BIGINT)`` as
+    HUGEINT → pandas float64 vs Spark int64 — round-4 gate-red doc_split).
+    Treat such a split as a failure so this tool predicts the driver rather
+    than being more lenient than it."""
+    out = []
+    for c in set(sdf.columns) & set(odf.columns):
+        ks, ko = sdf[c].dtype.kind, odf[c].dtype.kind
+        if ("iu".find(ks) >= 0) != ("iu".find(ko) >= 0):
+            out.append(f"{c}(spark:{sdf[c].dtype},oracle:{odf[c].dtype})")
+    return sorted(out)
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -78,13 +94,16 @@ def main():
         ok_rows = len(sdf) == len(odf)
         ok_cols = sorted(sdf.columns) == sorted(odf.columns)
         ok_hash = ok_rows and ok_cols and canon(sdf) == canon(odf)
-        status = "OK  " if (ok_rows and ok_cols and ok_hash) else "FAIL"
+        splits = dtype_split(sdf, odf) if ok_cols else []
+        ok = ok_rows and ok_cols and ok_hash and not splits
+        status = "OK  " if ok else "FAIL"
         print(
             f"{status} {name}: rows {len(sdf)}/{len(odf)} cols={ok_cols} "
             f"hash={'match' if ok_hash else 'MISMATCH'} "
-            f"[spark {t_spark:.1f}s duck {t_duck:.1f}s]"
+            + (f"DTYPE-SPLIT {splits} " if splits else "")
+            + f"[spark {t_spark:.1f}s duck {t_duck:.1f}s]"
         )
-        if status == "FAIL":
+        if not ok:
             failures.append(name)
             if ok_rows and ok_cols:
                 # show a few differing rows for debugging
