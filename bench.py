@@ -2,6 +2,14 @@
 local[$SPARK_GRAFT_CPUS]; prints ONE JSON line:
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
 
+Since round 5 the artifact is host-noise-proofed and tracks the engine's
+real cost centers: the six-query headline runs $SPARK_GRAFT_BENCH_ROUNDS
+(default 3) alternating passes and reports each query's MINIMUM (raws in
+extra.rounds_raw), and the heavyweight kernels scc/hits/ktruss are timed
+once and included in ``queries``. ``value`` = sum over ALL listed queries;
+``extra.headline6_total`` is the six-query min-of-rounds total directly
+comparable to BENCH_r01-r04.
+
 Extra keys (informational, driver ignores them): edges/sec-per-superstep for
 PageRank (the BASELINE.md primary target) and graph size.
 
@@ -117,6 +125,40 @@ def run_headline(spark, edges, docs, emb, shuffle: int, pr_iters: int = PR_ITERS
     return timings, extra
 
 
+def run_heavy(spark, edges, shuffle: int):
+    """The engine's cost-center kernels (round-4 verdict item #8): the
+    six-query headline hasn't tracked where wall-time actually goes since
+    scc/hits/ktruss landed, so the driver artifact now times them too.
+    Directed graph for scc/hits: canonical edge low→high plus the reverse
+    arc for every 3rd edge (hash-picked) — deterministic, reciprocity ~1/3,
+    web-like (same construction as tools/bench_sf1.run_extended)."""
+    from pyspark.sql import functions as F
+
+    from networkit_spark.graph import Graph
+    from networkit_spark.operators.components import strongly_connected_components
+    from networkit_spark.operators.triangles import k_truss
+    from networkit_spark.operators.webstructure import hits
+
+    timings: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        fn()
+        timings[name] = round(time.time() - t0, 3)
+
+    und = Graph(edges, directed=False, weighted=True)
+    arcs = edges.select("src", "dst", "weight").unionByName(
+        edges.filter(F.pmod(F.xxhash64("src", "dst"), F.lit(3)) == 0).select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
+        )
+    )
+    dg = Graph(arcs, directed=True, weighted=True)
+    timed("scc", lambda: strongly_connected_components(dg).count())
+    timed("hits", lambda: hits(dg, fixed_iters=8).count())
+    timed("ktruss", lambda: k_truss(und, 5).count())
+    return timings
+
+
 def main():
     from networkit_spark.session import get_spark
     from networkit_spark.testgraph import lineitem_edges
@@ -167,7 +209,33 @@ def main():
     emb.select(F.size("embedding").alias("d")).agg(F.max("d")).collect()
     edges.groupBy("src").count().count()
 
+    # The sandbox host's deliverable compute swings >2x over minutes
+    # (external contention, BENCH/cpu_calibration.json), so a single pass
+    # conflates host drift with engine cost. Run ROUNDS alternating passes
+    # and keep each query's MINIMUM (noise is additive — round-4 verdict
+    # item #10); the per-round raws stay in extra so drift is auditable.
+    rounds = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "3"))
     timings, extra = run_headline(spark, edges, docs, emb, shuffle)
+    all_rounds = [dict(timings)]
+    for _ in range(rounds - 1):
+        t, e = run_headline(spark, edges, docs, emb, shuffle)
+        all_rounds.append(dict(t))
+        if t["pagerank"] < timings["pagerank"]:
+            extra = e
+        timings = {k: min(timings[k], t[k]) for k in timings}
+    headline6_total = round(sum(timings.values()), 3)
+    extra["rounds"] = rounds
+    extra["rounds_raw"] = all_rounds
+    extra["headline6_total"] = headline6_total  # comparable to BENCH_r01-r04
+
+    # Heavyweights (single pass — they dominate wall-clock; their raws are
+    # the timings themselves).
+    if os.environ.get("SPARK_GRAFT_BENCH_HEAVY", "1") != "0":
+        edges.persist()
+        heavy = run_heavy(spark, edges, shuffle)
+        edges.unpersist()
+        timings.update(heavy)
+        extra["heavy_total"] = round(sum(heavy.values()), 3)
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
