@@ -755,6 +755,24 @@ def q_eigenvector(spark, sf_dir):
     return out.select("node", F.round("score", 6).alias("score"))
 
 
+SPECTRAL_ITERS = 40  # power-iteration steps per eigenvector order
+
+
+def q_spectral_partition(spark, sf_dir):
+    """SpectralPartitioner analog (operators/spectral.py, reference
+    networkit/partitioning.py:50-170): count=4 recursive quantile bisection
+    over the two smallest nontrivial Laplacian eigenvectors (deflated power
+    iteration on B = cI - L, fixed schedule). round_to=6 pins the discrete
+    split against sub-1e-6 cross-engine float drift; the oracle unrolls the
+    identical iterations + window-rank splits in SQL."""
+    from networkit_spark.operators.spectral import spectral_partition
+
+    out = spectral_partition(
+        _g(spark, sf_dir), 4, iters=SPECTRAL_ITERS, round_to=6
+    )
+    return out.orderBy("node")
+
+
 def q_ppr(spark, sf_dir):
     from networkit_spark.operators.misc import personalized_pagerank
 
@@ -2124,6 +2142,7 @@ def _queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clustering_per_degree": q_clustering_per_degree,
         "katz": q_katz,
         "eigenvector": q_eigenvector,
+        "spectral_partition": q_spectral_partition,
         "ppr": q_ppr,
         "sssp_dist": q_sssp,
         "sssp_algebraic": q_sssp_algebraic,
@@ -3471,6 +3490,126 @@ def _eigenvector_sql() -> str:
     return _with(
         *ctes,
         select=f"SELECT node, ROUND(score, 6) AS score FROM e{EV_ITERS}",
+    )
+
+
+
+def _spectral_partition_sql() -> str:
+    """Unrolled replica of operators/spectral.py spectral_partition(count=4):
+    two deflated power-iteration eigenvectors on B = cI - L (c = 2 max wdeg,
+    portable-hash init, SPECTRAL_ITERS steps, one stats row per step doing
+    center/orthogonalize/normalize analytically), then the reference's
+    level-synchronous median splits on ROUND(value, 6) with (value, node)
+    rank order — identical arithmetic to the Spark side step for step."""
+    from networkit_spark.functions.dedup import hash60_sql
+
+    ctes = [
+        edges_sql(N_NODES),
+        "nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM nodes)",
+        "spc AS MATERIALIZED (SELECT 2.0 * MAX(wdeg) AS c FROM wdeg)",
+        """spd AS MATERIALIZED (
+  SELECT n.node, COALESCE(w.wdeg, 0) AS d FROM nodes n
+  LEFT JOIN wdeg w ON n.node = w.node
+)""",
+    ]
+    for o in (1, 2):
+        h = hash60_sql(f"CAST(node AS VARCHAR) || '|spectral|42|{o}'")
+        ctes.append(
+            f"""sp{o}i AS MATERIALIZED (
+  SELECT node, CAST({h} AS DOUBLE) / 1152921504606846976.0 AS y FROM nodes
+)"""
+        )
+        if o == 1:
+            stats = "SELECT SUM(y) AS sy, SUM(y * y) AS syy FROM {src}"
+            proj = (
+                "SELECT j.node, (j.y - s.sy / nn.n)"
+                " / sqrt(GREATEST(s.syy - s.sy * s.sy / nn.n, 1e-300)) AS x"
+                " FROM {src} j, {st} s, nn"
+            )
+        else:
+            stats = (
+                "SELECT SUM(j.y) AS sy, SUM(j.y * j.y) AS syy,"
+                " SUM(j.y * e.x) AS c0"
+                " FROM {src} j JOIN spv1 e ON j.node = e.node"
+            )
+            proj = (
+                "SELECT j.node, (j.y - s.sy / nn.n - s.c0 * e.x)"
+                " / sqrt(GREATEST(s.syy - s.sy * s.sy / nn.n"
+                " - s.c0 * s.c0, 1e-300)) AS x"
+                " FROM {src} j JOIN spv1 e ON j.node = e.node, {st} s, nn"
+            )
+        ctes.append(
+            f"sp{o}s0 AS MATERIALIZED ({stats.format(src=f'sp{o}i')})"
+        )
+        ctes.append(
+            f"sp{o}x0 AS MATERIALIZED ("
+            + proj.format(src=f"sp{o}i", st=f"sp{o}s0")
+            + ")"
+        )
+        for i in range(1, SPECTRAL_ITERS + 1):
+            ctes.append(
+                f"""sp{o}y{i} AS MATERIALIZED (
+  SELECT n.node, (spc.c - n.d) * x.x + COALESCE(m.ax, 0) AS y
+  FROM spd n JOIN sp{o}x{i - 1} x ON n.node = x.node
+  LEFT JOIN (
+    SELECT s.dst AS node, SUM(s.weight * x2.x) AS ax
+    FROM sym s JOIN sp{o}x{i - 1} x2 ON s.src = x2.node GROUP BY s.dst
+  ) m ON n.node = m.node
+  CROSS JOIN spc
+)"""
+            )
+            ctes.append(
+                f"sp{o}s{i} AS MATERIALIZED ("
+                + stats.format(src=f"sp{o}y{i}")
+                + ")"
+            )
+            ctes.append(
+                f"sp{o}x{i} AS MATERIALIZED ("
+                + proj.format(src=f"sp{o}y{i}", st=f"sp{o}s{i}")
+                + ")"
+            )
+        if o == 1:
+            ctes.append(
+                f"spv1 AS MATERIALIZED (SELECT node, x FROM sp1x{SPECTRAL_ITERS})"
+            )
+    ctes.append(
+        f"""spj AS MATERIALIZED (
+  SELECT a.node, ROUND(a.x, 6) AS v1, ROUND(b.x, 6) AS v2
+  FROM spv1 a JOIN sp2x{SPECTRAL_ITERS} b ON a.node = b.node
+)"""
+    )
+    ctes.append(
+        """spq1 AS MATERIALIZED (
+  SELECT v1 AS q FROM (
+    SELECT v1, ROW_NUMBER() OVER (ORDER BY v1, node) AS rn FROM spj
+  ) t, nn WHERE rn = CAST(FLOOR(nn.n / 2) AS BIGINT) + 1
+)"""
+    )
+    ctes.append(
+        """spl1 AS MATERIALIZED (
+  SELECT node, v2,
+         CASE WHEN v1 < (SELECT q FROM spq1) THEN 1 ELSE 2 END AS part
+  FROM spj
+)"""
+    )
+    ctes.append(
+        """spq2 AS MATERIALIZED (
+  SELECT part, v2 AS q FROM (
+    SELECT part, v2,
+           ROW_NUMBER() OVER (PARTITION BY part ORDER BY v2, node) AS rn,
+           COUNT(*) OVER (PARTITION BY part) AS cnt
+    FROM spl1
+  ) t WHERE rn = CAST(FLOOR(cnt / 2) AS BIGINT) + 1
+)"""
+    )
+    return _with(
+        *ctes,
+        select="""SELECT l.node,
+       CAST(CASE WHEN l.part = 1 AND l.v2 < q.q THEN 0
+                 WHEN l.part = 1 THEN 1
+                 WHEN l.v2 < q.q THEN 2
+                 ELSE 3 END AS INT) AS part
+FROM spl1 l JOIN spq2 q ON l.part = q.part ORDER BY l.node""",
     )
 
 
@@ -6150,6 +6289,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "katz": _katz_sql(),
         "eigenvector": _eigenvector_sql(),
+        "spectral_partition": _spectral_partition_sql(),
         "ppr": _ppr_sql(),
         "sssp_dist": _sssp_sql(),
         "sssp_algebraic": _sssp_sql(),

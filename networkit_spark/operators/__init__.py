@@ -40,6 +40,7 @@ from .linkprediction import (
     top_predictions,
 )
 from .scd import gce_expand
+from .spectral import laplacian_eigenvectors, spectral_partition
 from .cliques import maximal_cliques, clique_number, max_clique
 from .flow import (
     edmonds_karp,
