@@ -76,6 +76,13 @@ def main():
     timed("path_growing", lambda: path_growing_matching(g, stats=st).count())
     out["path_growing"].update(st)
 
+    from networkit_spark.operators.misc import random_spanning_forest
+
+    st = {}
+    out["rsf"] = {}
+    timed("rsf", lambda: random_spanning_forest(g, stats=st).count())
+    out["rsf"].update(st)
+
     line = json.dumps(out)
     print(line)
     with open(os.path.join(REPO, "BENCH", "supersteps.json"), "w") as f:
