@@ -56,6 +56,7 @@ class IncrementalPageRankPipeline:
         damp: float = 0.85,
         tol: float = 1e-9,
         directed: bool = False,
+        collect_stats: bool = False,
     ):
         self.spark = spark
         self.input_dir = input_dir
@@ -64,6 +65,8 @@ class IncrementalPageRankPipeline:
         self.damp = damp
         self.tol = tol
         self.directed = directed
+        self.collect_stats = collect_stats
+        self.batch_stats: list[dict] = []  # per-batch: events, supersteps, sec
         self.batches_applied = 0
         self._last_committed = -1
         manifest = self._read_manifest()
@@ -105,6 +108,10 @@ class IncrementalPageRankPipeline:
             return
         if batch_df.isEmpty():
             return
+        import time as _time
+
+        t0 = _time.time()
+        n_events = batch_df.count() if self.collect_stats else None
         self.edges = _cc(
             apply_events(self.edges, batch_df, directed=self.directed)
         )
@@ -137,6 +144,15 @@ class IncrementalPageRankPipeline:
         os.replace(tmp, self._manifest_path())
         self._last_committed = batch_id
         self.batches_applied += 1
+        if self.collect_stats:
+            self.batch_stats.append(
+                {
+                    "batch_id": batch_id,
+                    "events": n_events,
+                    "warm_supersteps": getattr(self.scores, "_iterations", None),
+                    "sec": round(_time.time() - t0, 3),
+                }
+            )
         # GC superseded state dirs (anything older than the committed batch)
         for name in os.listdir(self.state_dir):
             if name.startswith("batch_") and name != f"batch_{batch_id}":
@@ -149,11 +165,19 @@ class IncrementalPageRankPipeline:
                 except ValueError:
                     pass
 
-    def run_available(self, timeout_sec: float = 300.0) -> None:
+    def run_available(
+        self, timeout_sec: float = 300.0, max_files_per_batch: int | None = None
+    ) -> None:
         """Process every currently-available input file, then stop
         (trigger availableNow) — the test/batch-drain entry point; a
-        production service would use a continuous trigger instead."""
-        stream = self.spark.readStream.schema(EVENT_SCHEMA).json(self.input_dir)
+        production service would use a continuous trigger instead.
+        ``max_files_per_batch`` caps each micro-batch at that many input
+        files (availableNow honors maxFilesPerTrigger), so a backlog is
+        folded incrementally instead of as one giant batch."""
+        reader = self.spark.readStream.schema(EVENT_SCHEMA)
+        if max_files_per_batch is not None:
+            reader = reader.option("maxFilesPerTrigger", max_files_per_batch)
+        stream = reader.json(self.input_dir)
         q = (
             stream.writeStream.foreachBatch(self._apply_batch)
             .option("checkpointLocation", self.checkpoint_dir)
