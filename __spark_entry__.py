@@ -1076,10 +1076,10 @@ def q_matching(spark, sf_dir):
 
 def q_path_growing(spark, sf_dir):
     """PathGrowingMatcher (operators/matching.py path_growing_matching,
-    reference cpp/matching/PathGrowingMatcher.cpp): concurrent heaviest-edge
-    handshake growth + per-path 2-coloring. Deterministic (global
-    (weight DESC, src, dst) tie-break), so the oracle unrolls the same
-    handshake rounds and replays the coloring with a recursive path walk."""
+    reference cpp/matching/PathGrowingMatcher.cpp): concurrent pointer-CHAIN
+    growth (round 5) + per-path 2-coloring. Deterministic (global
+    (weight DESC, src, dst) total order), so the oracle unrolls the same
+    chain rounds and replays the coloring with a recursive path walk."""
     from networkit_spark.operators.matching import path_growing_matching
 
     return path_growing_matching(_g(spark, sf_dir)).orderBy("src", "dst")
