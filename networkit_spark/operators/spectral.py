@@ -39,7 +39,6 @@ the graph — only the O(count) part-metadata recursion.
 
 from __future__ import annotations
 
-import math
 from typing import Optional
 
 from pyspark.sql import DataFrame, functions as F

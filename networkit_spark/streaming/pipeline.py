@@ -25,11 +25,10 @@ import json
 import os
 import shutil
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession
 
 from ..graph import Graph
 from ..plans.ckpt import clean_local_checkpoint as _cc
-from .dynamic import DynPageRank
 from .graph_events import EVENT_SCHEMA, apply_events
 
 

@@ -96,3 +96,41 @@ def test_pga_grown_components_are_paths(spark):
     m = path_growing_matching(g)
     assert is_proper_matching(m)
     assert all(r.src != r.dst for r in m.collect())
+
+
+@pytest.mark.parametrize("seed", [3, 11])
+def test_pga_hash_tiebreak_half_approx(spark, seed):
+    """tie_break='hash' (the tie-heavy-graph scale mode) permutes only
+    equal-weight edges in the total order — still a strict total order, so
+    every invariant (proper matching, 1/2-approximation) must hold."""
+    import random
+
+    rng = random.Random(seed)
+    n = 12
+    edges = []
+    seen = set()
+    for _ in range(26):
+        u, v = rng.randrange(n), rng.randrange(n)
+        if u == v or (min(u, v), max(u, v)) in seen:
+            continue
+        seen.add((min(u, v), max(u, v)))
+        # coarse weights -> many ties, exercising the hash order
+        edges.append((min(u, v), max(u, v), float(rng.randrange(1, 4))))
+    from networkit_spark.operators.matching import path_growing_matching
+
+    g = Graph.from_edge_list(spark, edges, weighted=True)
+    m = path_growing_matching(g, tie_break="hash")
+    assert is_proper_matching(m)
+    assert matching_weight(m) >= 0.5 * _brute_force_opt(edges)
+
+
+def test_pga_hash_tiebreak_deterministic(spark):
+    edges = [(u, v, 1.0) for u in range(8) for v in range(u + 1, 8)]
+    g = Graph.from_edge_list(spark, edges, weighted=True)
+    a = sorted(
+        (r.src, r.dst) for r in path_growing_matching(g, tie_break="hash").collect()
+    )
+    b = sorted(
+        (r.src, r.dst) for r in path_growing_matching(g, tie_break="hash").collect()
+    )
+    assert a == b and len(a) >= 1
