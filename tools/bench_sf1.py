@@ -128,11 +128,15 @@ def run_extended(spark, edges, docs, shuffle: int) -> dict:
         ).count(),
     )
     timed("line_dedup", lambda: line_dedup(docs).agg(F.sum("n_removed")).collect())
+    pg_sub = und.subgraph_from_nodes(
+        und.nodes().filter(F.col("node") < 100_000).select("node")
+    )
+    timed("path_growing", lambda: path_growing_matching(pg_sub).count())
+    # the tie-heavy-graph scale mode (round 5): hash order scatters tied
+    # pointers so chains fire — 37 vs 25 rounds on this subgraph
     timed(
-        "path_growing",
-        lambda: path_growing_matching(und.subgraph_from_nodes(
-            und.nodes().filter(F.col("node") < 100_000).select("node")
-        )).count(),
+        "path_growing_hash",
+        lambda: path_growing_matching(pg_sub, tie_break="hash").count(),
     )
     return timings
 
