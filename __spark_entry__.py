@@ -2073,13 +2073,17 @@ _GATE_FIRST = [
     "graph_edges", "pagerank", "pagerank_directed", "connected_components",
     "plp", "triangle_count", "pages_edges", "pages_text_ok", "host_pagerank",
     "minhash_pairs", "ann_topk", "dedup_exact",
-    # never-driver-checked tail, rotated in for round 5
+    # round-4's one gate-red row, kept in until the driver confirms the
+    # dtype fix (CAST(SUM(doc_id) AS BIGINT)) green
+    "doc_split",
+    # never-driver-checked tail, rotated in for round 5 (gt_roundtrip
+    # yields its slot to doc_split; four sibling format roundtrips stay)
     "sssp_bounded", "maxent_layout", "gini_degree", "pagerank_topk",
     "prefix_jaccard", "quadrangle_score", "chance_corrected_score",
     "multiscale_score", "modularity_edge_score", "overlap_core",
     "graph_rand", "linearized_score", "luby_mis", "pagerank_nibble",
     "algebraic_distance", "dynbfs_update", "gml_roundtrip",
-    "graphml_roundtrip", "metis_roundtrip", "snap_roundtrip", "gt_roundtrip",
+    "graphml_roundtrip", "metis_roundtrip", "snap_roundtrip",
     "gen_er", "graph_transforms", "anf_nf", "anf_effective_diameter",
     "repetition_profile", "chunks", "winnow_fp", "seir",
     "isolated_conductance", "docs_per_source", "eccentricity", "sfigality",
